@@ -11,10 +11,11 @@ genomic pipeline itself (Index/Quantify/Tare over A-fixtures) lives in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rnadam_spark.functions.shingles import char_shingles
+from rnadam_spark.functions.rounding import hround
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
 
@@ -53,3 +54,176 @@ def kmer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     gave the reference, with codegen.
     """
     return _kmers(spark, sf_dir).groupBy("kmer").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "kmer_doc_counts",
+    oracle=f"""
+    SELECT doc_id, kmer, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_KMERS_SQL})
+    GROUP BY doc_id, kmer
+    """,
+)
+def kmer_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-(container, kmer) counts (Index.scala:90-94's
+    ((t.id, kmer), 1) → reduceByKey, with documents as containers)."""
+    return _kmers(spark, sf_dir).groupBy("doc_id", "kmer").agg(F.count("*").alias("cnt"))
+
+
+_KMER_DOC_COUNTS_SQL = f"SELECT doc_id, kmer, count(*) AS cnt FROM ({_KMERS_SQL}) GROUP BY doc_id, kmer"
+
+# A3+A4: equivalence classes = k-mers sharing a (container, count)
+# signature; IDs are content hashes (md5 of the sorted member list), not
+# zipWithUniqueId (Index.scala:98) — deterministic across partitionings.
+_CLASSES_SQL = f"""
+SELECT doc_id, cnt,
+       md5(string_agg(kmer, '|' ORDER BY kmer)) AS class_id,
+       CAST(count(*) AS BIGINT) AS n_kmers
+FROM ({_KMER_DOC_COUNTS_SQL})
+GROUP BY doc_id, cnt
+"""
+
+
+def _classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kc = kmer_doc_counts(spark, sf_dir)
+    return kc.groupBy("doc_id", "cnt").agg(
+        F.md5(F.array_join(F.sort_array(F.collect_list("kmer")), "|")).alias("class_id"),
+        F.count("*").alias("n_kmers"),
+    )
+
+
+@query("equivalence_classes", oracle=_CLASSES_SQL)
+def equivalence_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: group k-mers by equal-abundance signature (Index.scala:95-98)."""
+    return _classes(spark, sf_dir)
+
+
+@query(
+    "kmer_to_class",
+    oracle=f"""
+    WITH kc AS ({_KMER_DOC_COUNTS_SQL}),
+    cls AS (SELECT doc_id, cnt, md5(string_agg(kmer, '|' ORDER BY kmer)) AS class_id
+            FROM kc GROUP BY doc_id, cnt)
+    SELECT kc.kmer, kc.doc_id, cls.class_id
+    FROM kc JOIN cls ON kc.doc_id = cls.doc_id AND kc.cnt = cls.cnt
+    """,
+)
+def kmer_to_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: invert the class index back to kmer → class (Index.scala:104-106)."""
+    kc = kmer_doc_counts(spark, sf_dir)
+    cls = kc.groupBy("doc_id", "cnt").agg(
+        F.md5(F.array_join(F.sort_array(F.collect_list("kmer")), "|")).alias("class_id")
+    )
+    return kc.join(cls, ["doc_id", "cnt"]).select("kmer", "doc_id", "class_id")
+
+
+@query(
+    "class_counts_normalized",
+    oracle=f"""
+    WITH cls AS ({_CLASSES_SQL}),
+    counted AS (
+      SELECT class_id, CAST(sum(cnt * n_kmers) AS BIGINT) AS class_count
+      FROM cls GROUP BY class_id
+    )
+    SELECT class_id, class_count,
+           floor((class_count / sum(class_count) OVER ()) * 100000000.0 + 0.5) / 100000000.0 AS p
+    FROM counted
+    """,
+)
+def class_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2→A6→A7→A8: roll counts up to classes, then normalize by the
+    global total (Quantify.scala:153-158, 79-87). The global sum is a
+    window over the aggregated (small) class table — no driver collect.
+    """
+    cls = _classes(spark, sf_dir)
+    counted = cls.groupBy("class_id").agg(
+        F.sum(F.col("cnt") * F.col("n_kmers")).cast("bigint").alias("class_count")
+    )
+    w_all = Window.partitionBy()
+    return counted.select(
+        "class_id",
+        "class_count",
+        hround(F.col("class_count") / F.sum("class_count").over(w_all), 8).alias("p"),
+    )
+
+
+@query(
+    "substring_extract",
+    oracle="""
+    SELECT doc_id, substring(text, 11, 20) AS region
+    FROM documents WHERE n_chars >= 30
+    """,
+)
+def substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: region extraction ≡ substring over [start, end)
+    (Index.scala:84-86; oracle semantics QuantifySuite.scala:33-36)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("n_chars") >= 30).select(
+        "doc_id", F.substring("text", 11, 20).alias("region")
+    )
+
+
+@query(
+    "dinuc_context_features",
+    oracle=f"""
+    WITH bigrams AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 2) AS bigram
+      FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 1, 0) + 1)) AS i
+            FROM documents)
+    ), valid AS (
+      SELECT doc_id, bigram FROM bigrams WHERE bigram ~ '^[a-z]{{2}}$'
+    )
+    SELECT doc_id, bigram,
+           CAST(count(*) AS BIGINT) AS cnt,
+           floor((count(*) / CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS frac
+    FROM valid
+    GROUP BY doc_id, bigram
+    """,
+)
+def dinuc_context_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3–P5: 2-shingles filtered to a valid alphabet, then per-container
+    fractional histogram (Tare.scala:88-101's dinucleotide featurization,
+    alphabet [a-z] for documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    valid = (
+        docs.select("doc_id", F.explode(char_shingles("text", 2)).alias("bigram"))
+        .filter(F.col("bigram").rlike("^[a-z]{2}$"))
+    )
+    counts = valid.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    w_doc = Window.partitionBy("doc_id")
+    return counts.select(
+        "doc_id",
+        "bigram",
+        "cnt",
+        hround(F.col("cnt") / F.sum("cnt").over(w_doc).cast("double"), 6).alias("frac"),
+    )
+
+
+@query(
+    "array_length_aggregate",
+    oracle="""
+    SELECT o_orderkey, floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def array_length_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: Σ over a nested collection per parent (the reference's
+    exons.map(width-1).reduce(+), Quantify.scala:137-141) — expressed
+    with collect_list + F.aggregate to exercise the higher-order-function
+    path the nested `transcripts.exons` schema uses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nested = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.collect_list("l_quantity").alias("quantities"))
+    )
+    return nested.select(
+        "o_orderkey",
+        hround(
+            F.aggregate("quantities", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("total_qty"),
+        F.size("quantities").cast("bigint").alias("n_lines"),
+    )

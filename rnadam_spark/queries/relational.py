@@ -1,0 +1,344 @@
+"""Relational operator coverage: joins, aggregations, set ops, rollups.
+
+The reference's joins are all single-key equi-joins (SURVEY.md §2.3
+J1–J4) and its aggregations are word-count / roll-up shapes (§2.4).
+These queries exercise the same primitives — plus the standard surface
+the reference lacks (§2.7: outer/semi/anti joins, set ops, rollup,
+scalar subqueries) — on the driver's TPC-H-ish tables, each with a
+DuckDB oracle.
+
+Float discipline: every double aggregate is rounded on both sides so
+the two engines' summation orders can't produce hash-different bits.
+Sum-of-BIGINT is cast back to BIGINT on the DuckDB side (it widens to
+HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.rounding import hround
+from rnadam_spark.registry import query
+from rnadam_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+           floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+           floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → 8-agg groupBy.
+
+    Catalyst plans partial+final HashAggregate (map-side combine), the
+    same shape the reference hand-built with reduceByKey
+    (Quantify.scala:157) — but codegen'd and spill-aware.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            hround(F.sum("l_quantity"), 4).alias("sum_qty"),
+            hround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            hround(F.sum(disc_price), 4).alias("sum_disc_price"),
+            hround(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            hround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            hround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+
+    customer is small after the segment filter — broadcast it so the
+    orders⋈customer join is shuffle-free; at 100 TB only the
+    orders⋈lineitem join shuffles, on the key both sides are already
+    grouped by downstream. Deterministic top-k: rounded revenue with
+    l_orderkey tiebreak.
+    """
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with three broadcastable dims.
+
+    region/nation/supplier are tiny at any scale factor (they grow
+    sub-linearly in TPC-H) — broadcast them; the only large-large
+    shuffle is orders⋈lineitem.
+    """
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@query(
+    "customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           floor((coalesce(sum(o_totalprice), 0)) * 10000.0 + 0.5) / 10000.0 AS total_spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + agg (reference has no outer joins — §2.7)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            hround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join with a non-equi term."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        filtered.join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), hround(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+@query(
+    "nation_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, n_key FROM
+      (SELECT c_nationkey AS n_key FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+    UNION ALL
+    SELECT 'customer_only' AS tag, n_key FROM
+      (SELECT c_nationkey AS n_key FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2
+    UNION ALL
+    SELECT 'supplier_only' AS tag, n_key FROM
+      (SELECT s_nationkey AS n_key FROM supplier EXCEPT SELECT c_nationkey FROM customer) t3
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (§2.7 set ops)."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.col("c_nationkey").alias("n_key"))
+    s = supplier.select(F.col("s_nationkey").alias("n_key"))
+    return (
+        c.intersect(s).select(F.lit("both").alias("tag"), "n_key")
+        .unionAll(c.subtract(s).select(F.lit("customer_only").alias("tag"), "n_key"))
+        .unionAll(s.subtract(c).select(F.lit("supplier_only").alias("tag"), "n_key"))
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (§2.7 grouping sets)."""
+    orders, customer, nation, region = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(hround(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "above_avg_customers",
+    oracle="""
+    SELECT c_custkey, floor((c_acctbal) * 10000.0 + 0.5) / 10000.0 AS bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery as a broadcast of a 1-row aggregate (A7 global
+    reduce, kept distributed instead of reference's collect —
+    Quantify.scala:82-86)."""
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", hround("c_acctbal", 4).alias("bal"))
+    )
+
+
+@query(
+    "conditional_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END)) * 10000.0 + 0.5) / 10000.0 AS rev_open,
+           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END)) * 10000.0 + 0.5) / 10000.0 AS rev_filled,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (portable to any SQL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        hround(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)), 4).alias(
+            "rev_open"
+        ),
+        hround(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)), 4).alias(
+            "rev_filled"
+        ),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
+    )
+
+
+@query(
+    "supplier_distinct_parts",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n_items")
+    )

@@ -34,7 +34,27 @@ def sf_dir_from_env() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores ``ts`` as Parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. Read nanos as raw INT64
+    (legacy conf) and truncate to a microsecond timestamp — the same
+    truncation DuckDB applies, so oracle comparisons agree. The conf is
+    session-wide but only affects TIMESTAMP(NANOS) columns, which no
+    other table has."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
