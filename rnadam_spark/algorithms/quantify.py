@@ -1,0 +1,173 @@
+"""Sailfish-style EM isoform quantification, DataFrame-native.
+
+Re-expresses ``Quantify.apply`` (rice-core/.../algorithms/
+Quantify.scala:42-127) and its helpers. Every driver-side
+``collectAsMap``/closure in the reference becomes a broadcast join, the
+``flatMap → groupByKey → re-emit`` E-step (Quantify.scala:200-212)
+becomes one window aggregate, and the unbounded-lineage EM loop
+(Quantify.scala:105-114 — a known scaling hazard) truncates its plan
+with ``localCheckpoint`` on the tiny per-transcript state.
+
+State tables (all flat):
+  kmer_counts        (kmer, cnt)
+  kmer_to_class      (kmer, class_id)
+  class_transcripts  (class_id, t_id)          — static membership edges
+  class_counts       (class_id, cnt)
+  rel_kmers          (class_id, rel_p)         — class share of all k-mers
+  alpha              (class_id, t_id, alpha)   — E-state
+  mu                 (t_id, mu)                — M-state (n_transcripts rows)
+
+Scale design (100 TB): the per-iteration joins put the small
+per-transcript ``mu`` table on the broadcast side, so each EM iteration
+is exactly two shuffles of the edge table — the window by class_id and
+the groupBy t_id — independent of iteration count; membership edges are
+joined with ``rel_kmers`` once up front and cached.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.shingles import char_shingles
+
+
+def count_read_kmers(reads: DataFrame, k: int) -> DataFrame:
+    """(kmer, cnt): ADAM's ``adamCountKmers`` (called Quantify.scala:58-60)
+    as explode(shingles) → partial+final hash aggregate."""
+    return (
+        reads.select(F.explode(char_shingles("sequence", k)).alias("kmer"))
+        .groupBy("kmer")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def transcript_lengths(transcripts: DataFrame) -> DataFrame:
+    """(t_id, t_len): Σ per exon of (end − start − 1) — the reference's
+    ``region.width - 1`` rule, quirk preserved (Quantify.scala:137-141;
+    golden 375/350 at QuantifySuite.scala:322-340). Stays a DataFrame —
+    the reference collectAsMap'd this to the driver."""
+    return transcripts.select(
+        "t_id",
+        F.aggregate(
+            "exons", F.lit(0).cast("long"), lambda acc, e: acc + (e["end"] - e["start"] - 1)
+        ).alias("t_len"),
+    )
+
+
+def map_kmers_to_classes(kmer_counts: DataFrame, kmer_to_class: DataFrame) -> DataFrame:
+    """(class_id, cnt): J1 + A6 (Quantify.scala:153-158). A k-mer mapped
+    to several classes contributes its count to each, as in the
+    reference's pair-RDD join."""
+    return (
+        kmer_to_class.join(kmer_counts, "kmer")
+        .groupBy("class_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def relative_class_kmers(class_counts: DataFrame) -> DataFrame:
+    """(class_id, rel_p): each class's share of the total k-mer count
+    (Quantify.scala:79-87). Window over the aggregated class table —
+    no driver collect."""
+    return class_counts.select(
+        "class_id",
+        (F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias("rel_p"),
+    )
+
+
+def initialize_em(class_counts: DataFrame, class_transcripts: DataFrame) -> DataFrame:
+    """alpha₀ (class_id, t_id, alpha): split each class count equally
+    across its member transcripts (A11, Quantify.scala:175-184)."""
+    w = Window.partitionBy("class_id")
+    return (
+        class_counts.join(class_transcripts, "class_id")
+        .select(
+            "class_id",
+            "t_id",
+            (F.col("cnt").cast("double") / F.count("*").over(w)).alias("alpha"),
+        )
+    )
+
+
+def e_step(mu: DataFrame, class_transcripts: DataFrame) -> DataFrame:
+    """E-step (A9, Quantify.scala:200-212): α(j,i) = µ̂_i / Σ_{t∈s_j} µ̂_t.
+
+    One broadcast join + one window — the reference's double shuffle
+    (flatMap → groupByKey) collapses into a single partition-by-class
+    window aggregate."""
+    w = Window.partitionBy("class_id")
+    return class_transcripts.join(F.broadcast(mu), "t_id").select(
+        "class_id", "t_id", (F.col("mu") / F.sum("mu").over(w)).alias("alpha")
+    )
+
+
+def m_step(alpha: DataFrame, t_len: DataFrame, k: int, rel_kmers: DataFrame) -> DataFrame:
+    """M-step (A10, Quantify.scala:238-275): µ_i = Σ_j α(j,i)·k_j / l̂_i,
+    then normalize µ̂_i = µ_i / Σ µ. ``rel_kmers`` and ``t_len`` ride
+    broadcast joins (the reference broadcast tLen and closed over a
+    collected rel-kmers map)."""
+    mus = (
+        alpha.join(F.broadcast(rel_kmers), "class_id")
+        .groupBy("t_id")
+        .agg(F.sum(F.col("alpha") * F.col("rel_p")).alias("sum_alpha"))
+        .join(F.broadcast(t_len), "t_id")
+        .select(
+            "t_id",
+            (F.col("sum_alpha") / (F.col("t_len") - F.lit(k) + 1)).alias("mu_raw"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return mus.select("t_id", (F.col("mu_raw") / F.sum("mu_raw").over(w_all)).alias("mu"))
+
+
+def join_transcripts(transcripts: DataFrame, mu: DataFrame) -> DataFrame:
+    """J3 (Quantify.scala:286-295): attach abundances to the full
+    transcript descriptors."""
+    return transcripts.join(mu.withColumnRenamed("mu", "abundance"), "t_id")
+
+
+def quantify(
+    reads: DataFrame,
+    kmer_to_class: DataFrame,
+    class_transcripts: DataFrame,
+    transcripts: DataFrame,
+    k: int,
+    max_iterations: int,
+    calibrate_kmer_bias: bool = True,
+    calibrate_length_bias: bool = True,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Full pipeline (Quantify.scala:42-127): returns transcripts with
+    an ``abundance`` column (relative abundances, sum 1)."""
+    from rnadam_spark.algorithms import tare
+
+    t_len = transcript_lengths(transcripts)
+
+    kmer_counts = count_read_kmers(reads, k)
+    if calibrate_kmer_bias:
+        kmer_counts = tare.calibrate_kmers(kmer_counts)
+
+    class_counts = map_kmers_to_classes(kmer_counts, kmer_to_class).cache()
+    rel_kmers = relative_class_kmers(class_counts)
+
+    # membership edges ⋈ class shares, computed once and reused by every
+    # iteration's E-step input (static across the loop)
+    edges = class_transcripts.cache()
+
+    alpha = initialize_em(class_counts, edges)
+    mu = m_step(alpha, t_len, k, rel_kmers)
+
+    for i in range(max_iterations):
+        # mu is n_transcripts rows: localCheckpoint truncates the whole
+        # EM lineage at negligible cost (the reference never truncated —
+        # its plan depth grew linearly with iterations)
+        if (i + 1) % checkpoint_every == 0:
+            mu = mu.localCheckpoint(eager=True)
+        alpha = e_step(mu, edges)
+        mu = m_step(alpha, t_len, k, rel_kmers)
+
+    if calibrate_length_bias:
+        mu = tare.calibrate_tx_len_bias(mu, t_len)
+
+    return join_transcripts(transcripts, mu)

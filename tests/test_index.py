@@ -1,0 +1,74 @@
+"""Index golden test, ported from QuantifySuite.scala:426-482 ("Test of
+Index" against a stub ReferenceFile returning a fixed 20-bp string)."""
+
+from rnadam_spark.algorithms.index import build_index, transcript_sequences
+from rnadam_spark.schemas import GENOME, TRANSCRIPTS
+
+TEST_SEQ = "CAATCCTTCGCCGCAGTGCA"  # QuantifySuite.scala:33
+
+
+def _fixtures(spark):
+    # two single-exon transcripts over regions [0,10) and [11,20); the
+    # reference's stub extracts from the same string for any contig, so
+    # the genome table carries the sequence under both contigs
+    transcripts = spark.createDataFrame(
+        [
+            ("transcript1", "gene1", True, [("exon1", "region1", 0, 10)]),
+            ("transcript2", "gene1", True, [("exon2", "region2", 11, 20)]),
+        ],
+        TRANSCRIPTS,
+    )
+    genome = spark.createDataFrame(
+        [("region1", TEST_SEQ), ("region2", TEST_SEQ)], GENOME
+    )
+    return transcripts, genome
+
+
+def test_extract_sequences(spark):
+    transcripts, genome = _fixtures(spark)
+    got = {r.t_id: r.sequence for r in transcript_sequences(transcripts, genome).collect()}
+    assert got["transcript1"] == "CAATCCTTCG"  # QuantifySuite.scala:426-430
+    assert got["transcript2"] == "CGCAGTGCA"
+
+
+def test_index_equivalence_classes(spark):
+    transcripts, genome = _fixtures(spark)
+    kmer_to_class, class_kmers, class_transcripts = build_index(transcripts, genome, 5)
+
+    k2c = kmer_to_class.collect()
+    by_kmer = {}
+    for r in k2c:
+        by_kmer.setdefault(r.kmer, []).append(r.class_id)
+
+    # one instance per k-mer (QuantifySuite.scala:455-465)
+    for km in ("CAATC", "GTGCA", "CTTCG"):
+        assert len(by_kmer[km]) == 1, km
+
+    class1 = by_kmer["CAATC"][0]
+    class2 = by_kmer["GTGCA"][0]
+    class3 = by_kmer["CTTCG"][0]
+    # CAATC and CTTCG share a class; GTGCA does not (":467-471")
+    assert class1 == class3
+    assert class1 != class2
+
+    members = {}
+    for r in class_kmers.collect():
+        members.setdefault(r.class_id, set()).add(r.kmer)
+    assert {"CAATC", "CTTCG"} <= members[class1]
+    assert "GTGCA" not in members[class1]
+    assert "GTGCA" in members[class2]
+    assert not ({"CAATC", "CTTCG"} & members[class2])
+
+    # membership table: every class belongs to exactly one transcript here
+    m = {r.class_id: r.t_id for r in class_transcripts.collect()}
+    assert m[class1] == "transcript1"
+    assert m[class2] == "transcript2"
+
+
+def test_index_deterministic_ids(spark):
+    """The reference's zipWithUniqueId gives layout-dependent IDs
+    (Index.scala:98); ours must be identical across repartitionings."""
+    transcripts, genome = _fixtures(spark)
+    a, _, _ = build_index(transcripts, genome, 5)
+    b, _, _ = build_index(transcripts.repartition(7), genome, 5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,101 @@
+"""Seeded statistical end-to-end tests (SURVEY.md §5 layer 2): generate
+synthetic transcripts + reads, run the full pipeline, assert recovered
+abundances within tolerance — ported from QuantifySuite.scala:383-424
+(unique transcripts) and :484-544 (shared equivalence classes)."""
+
+import pytest
+
+from rnadam_spark.algorithms import generators as gen
+from rnadam_spark.algorithms.quantify import quantify
+from rnadam_spark.schemas import CLASS_TRANSCRIPTS, KMER_TO_CLASS, READS, TRANSCRIPTS
+
+
+def _dataframes(spark, transcripts, names, kmer_map, class_map, reads):
+    reads_df = spark.createDataFrame(list(enumerate(reads)), READS)
+    kmer_df = spark.createDataFrame(list(kmer_map.items()), KMER_TO_CLASS)
+    class_df = spark.createDataFrame(
+        [(c, t) for c, ts in class_map.items() for t in ts], CLASS_TRANSCRIPTS
+    )
+    # single-exon transcript descriptors whose width−1 length matches
+    # len(sequence): region [0, len+1) → width−1 = len
+    t_df = spark.createDataFrame(
+        [
+            (names[i], names[i], True, [(names[i] + "exon", names[i], 0, len(transcripts[i]) + 1)])
+            for i in range(len(names))
+        ],
+        TRANSCRIPTS,
+    )
+    return reads_df, kmer_df, class_df, t_df
+
+
+def test_quantify_unique_transcripts(spark):
+    # QuantifySuite.scala:383-424: k=20, 10,000×75 bp reads, 20 iters,
+    # no calibration; recover abundances ±0.05
+    t_len = [1000, 600, 400, 550, 1275, 1400]
+    abundances = [0.2, 0.1, 0.3, 0.2, 0.1, 0.1]
+    transcripts, names, kmer_map, class_map = gen.generate_independent_transcripts(
+        20, t_len, seed=1234
+    )
+    reads = gen.generate_reads(transcripts, abundances, 10000, 75, seed=4321)
+
+    reads_df, kmer_df, class_df, t_df = _dataframes(
+        spark, transcripts, names, kmer_map, class_map, reads
+    )
+    result = quantify(
+        reads_df, kmer_df, class_df, t_df, k=20, max_iterations=20,
+        calibrate_kmer_bias=False, calibrate_length_bias=False,
+    )
+    got = {r.t_id: r.abundance for r in result.select("t_id", "abundance").collect()}
+    assert len(got) == 6
+    for i, expected in enumerate(abundances):
+        assert abs(got[str(i)] - expected) <= 0.05, (i, got[str(i)], expected)
+
+
+@pytest.mark.slow
+def test_quantify_shared_classes(spark):
+    # QuantifySuite.scala:484-544: transcripts assembled from shared
+    # blocks; 50,000 reads; 50 iters; tolerance 0.05
+    class_size = [1000, 500, 700, 400, 400, 200, 100]
+    class_mult = [1, 1, 1, 1, 2, 2, 3]
+    membership = [{0}, {1, 2}, {1, 3}, {1, 4}, {2, 5}, {2, 6}, {3, 6}, {6}]
+    abundances = [0.05, 0.1, 0.25, 0.1, 0.05, 0.025, 0.025, 0.4]
+    transcripts, names, kmer_map, class_map = gen.generate_transcripts(
+        20, class_size, class_mult, membership, seed=1000
+    )
+    reads = gen.generate_reads(transcripts, abundances, 50000, 75, seed=5000)
+
+    reads_df, kmer_df, class_df, t_df = _dataframes(
+        spark, transcripts, names, kmer_map, class_map, reads
+    )
+    result = quantify(
+        reads_df, kmer_df, class_df, t_df, k=20, max_iterations=50,
+        calibrate_kmer_bias=False, calibrate_length_bias=False,
+    )
+    got = {r.t_id: r.abundance for r in result.select("t_id", "abundance").collect()}
+    assert len(got) == 8
+    for i, expected in enumerate(abundances):
+        assert abs(got[str(i)] - expected) <= 0.05, (i, got[str(i)], expected)
+
+
+def test_quantify_length_bias_calibration(spark):
+    # QuantifySuite.scala:589-630 shape: reads ∝ length (uniform "true"
+    # abundance hidden by length bias); with length calibration ON the
+    # pipeline should recover ~uniform 1/6
+    t_len = [1000, 600, 400, 550, 1275, 1400]
+    total = sum(t_len)
+    biased = [x / total for x in t_len]
+    transcripts, names, kmer_map, class_map = gen.generate_independent_transcripts(
+        20, t_len, seed=1234
+    )
+    reads = gen.generate_reads(transcripts, biased, 10000, 75, seed=4321)
+
+    reads_df, kmer_df, class_df, t_df = _dataframes(
+        spark, transcripts, names, kmer_map, class_map, reads
+    )
+    result = quantify(
+        reads_df, kmer_df, class_df, t_df, k=20, max_iterations=20,
+        calibrate_kmer_bias=False, calibrate_length_bias=True,
+    )
+    got = {r.t_id: r.abundance for r in result.select("t_id", "abundance").collect()}
+    for i in range(6):
+        assert abs(got[str(i)] - 1.0 / 6) <= 0.05, (i, got[str(i)])
