@@ -1,0 +1,1 @@
+from rnadam_spark.operators import dedup, similarity, text  # noqa: F401

@@ -1,0 +1,170 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's equivalence-classing (Index.scala:95-98, SURVEY.md A3)
+is itself a group-by-signature dedup; these operators generalize it to
+the document domain (SURVEY.md §2.7, §7 step 7):
+
+- exact dedup: content-hash groupBy (one shuffle on the hash);
+- MinHash: per-document signature computed entirely inside one
+  projection — shingle array → per-hash transform → array_min — no
+  explode, no shuffle; the only shuffle in the near-dup pipeline is the
+  LSH band self-join;
+- SimHash: sign-aggregated token hashes, same shuffle-free shape;
+- n-gram Jaccard: candidate pairs via shared-shingle equi-join
+  (explode → join on shingle → per-pair count), the scale-safe
+  alternative to the quadratic all-pairs comparison.
+
+Every hash here is the portable polynomial/affine family from
+``rnadam_spark.functions.hashing`` so the DuckDB oracle can reproduce
+signatures bit-for-bit.
+
+Scale notes (100 TB): signatures are per-row projections (codegen,
+embarrassingly parallel). The band join's fan-out is bounded by bucket
+size; hot buckets (boilerplate text) need a bucket-size cap — exposed
+as ``max_bucket`` on ``lsh_candidate_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_col, poly_hash_sql
+from rnadam_spark.functions.shingles import char_shingles, token_ngrams, tokens
+
+SHINGLE_K = 4
+N_HASHES = 16
+N_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, canonical_id, n_dups): exact dedup via md5 groupBy."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_cols(text_col: Column | str, k: int = SHINGLE_K, n_hashes: int = N_HASHES, seed: int = 42) -> list[Column]:
+    """One min-hash column per hash function, computed without explode:
+    h_j = min over shingles of (a_j·code(shingle) + b_j) mod P."""
+    sh = char_shingles(text_col, k)
+
+    def affine_min(a: int, b: int) -> Column:
+        return F.array_min(F.transform(sh, lambda x: (poly_hash_col(x, k) * a + b) % MOD))
+
+    return [
+        affine_min(a, b).alias(f"h{j}") for j, (a, b) in enumerate(hash_family(n_hashes, seed))
+    ]
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h0..h15). Documents shorter than the shingle width are
+    dropped (they have no shingles to hash)."""
+    return docs.filter(F.length(text_col) >= SHINGLE_K).select(
+        F.col(id_col), *minhash_cols(text_col)
+    )
+
+
+def lsh_band_sigs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, band_sig): concatenate each band's row hashes."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select(id_col, F.explode(bands).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """(doc_a, doc_b): near-duplicate candidates — pairs agreeing on at
+    least one full band. ``max_bucket`` drops degenerate buckets (every
+    pair in a bucket of n costs n², so a boilerplate bucket of 10⁶ docs
+    would emit 10¹² pairs; capping is the standard scale guard)."""
+    bands = lsh_band_sigs(minhash_signatures(docs))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        cnt = Window.partitionBy("band", "band_sig")
+        bands = bands.withColumn("_n", F.count("*").over(cnt)).filter(
+            F.col("_n") <= max_bucket
+        ).drop("_n")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over distinct tokens.
+
+    Token code = polynomial hash of the token right-padded to 8 chars;
+    bit_j = sign of Σ_tokens (2·(affine_j(code) mod 2) − 1). All
+    higher-order functions on one row — shuffle-free."""
+    toks = F.array_distinct(tokens(text_col))
+
+    def signed_contrib(a: int, b: int) -> Column:
+        return F.transform(
+            toks,
+            lambda t: ((poly_hash_col(F.rpad(t, 8, "_"), 8) * a + b) % MOD % 2) * 2 - 1,
+        )
+
+    bit_cols = []
+    for j, (a, b) in enumerate(hash_family(16, seed)):
+        contrib = signed_contrib(a, b)
+        bit = (
+            F.aggregate(contrib, F.lit(0).cast("bigint"), lambda acc, x: acc + x) >= 0
+        ).cast("int")
+        bit_cols.append(bit * (2**j))
+    simhash = bit_cols[0]
+    for c in bit_cols[1:]:
+        simhash = simhash + c
+    return docs.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.03,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, jaccard): word-n-gram Jaccard similarity
+    for pairs sharing ≥1 n-gram. Join on the shingle (scale-safe: cost
+    ∝ Σ per-shingle df², not |docs|²), then
+    J = shared / (|A| + |B| − shared)."""
+    grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("size_b"))
+    jac = F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

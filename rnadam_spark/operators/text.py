@@ -1,0 +1,114 @@
+"""Text analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting (SURVEY.md §2.7 north star —
+generalizations of the reference's k-mer shingling P2).
+
+All pure column expressions (codegen, shuffle-free per-row) — at 100 TB
+these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.hashing import poly_hash_col
+from rnadam_spark.functions.rounding import hround
+from rnadam_spark.functions.shingles import char_shingles, tokens
+
+# tiny built-in stopword lists for the language-ID heuristic; real
+# pipelines would load per-language frequency tables
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len)."""
+    toks = tokens(text_col)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        hround(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def _ratio(matched: Column, total: Column) -> Column:
+    return matched.cast("double") / F.greatest(total, F.lit(1)).cast("double")
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, stopword_ratio, punct_ratio, digit_ratio, quality):
+    length/punct/stopword heuristics — the standard pre-training
+    quality filters, as one projection."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    stopword_ratio = _ratio(n_stop, n_tok)
+    punct_ratio = _ratio(n_punct, n_chars)
+    digit_ratio = _ratio(n_digit, n_chars)
+    quality = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        + F.least(stopword_ratio, F.lit(0.2))
+    )
+    return docs.select(
+        F.col(id_col),
+        hround(stopword_ratio, 6).alias("stopword_ratio"),
+        hround(punct_ratio, 6).alias("punct_ratio"),
+        hround(digit_ratio, 6).alias("digit_ratio"),
+        hround(quality, 6).alias("quality"),
+    )
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, predicted_lang, best_score): argmax over per-language
+    marker-token hit ratios, ties broken by language code order."""
+    toks = tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        return (
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers))).cast("double") / n_tok
+        )
+
+    scores = [(lang, marker_score(markers)) for lang, markers in sorted(LANG_MARKERS.items())]
+    # argmax with deterministic tiebreak: fold over (score, lang) pairs
+    best_lang, best_score = F.lit(scores[0][0]), scores[0][1]
+    for lang, s in scores[1:]:
+        improved = s > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, s).otherwise(best_score)
+    return docs.select(
+        F.col(id_col),
+        best_lang.alias("predicted_lang"),
+        hround(best_score, 6).alias("best_score"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, fingerprint): bottom-``w`` sketch of the k-shingle
+    polynomial hashes, joined into a stable string — a cheap
+    content-similarity fingerprint (rolling-hash family)."""
+    hashes = F.array_sort(
+        F.array_distinct(
+            F.transform(char_shingles(text_col, k), lambda s: poly_hash_col(s, k))
+        )
+    )
+    return docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col),
+        F.array_join(F.slice(hashes, 1, w), "_").alias("fingerprint"),
+    )

@@ -1,0 +1,317 @@
+"""Driver-facing queries for the training-data pipeline operators
+(dedup, similarity search, text analysis), each with a DuckDB oracle
+that reproduces the exact same portable hash arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_sql
+from rnadam_spark.functions.rounding import hround
+from rnadam_spark.operators import dedup, similarity, text
+from rnadam_spark.registry import query
+from rnadam_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- dedup
+
+_SHINGLES4_SQL = """
+SELECT doc_id, substring(text, CAST(i AS INT), 4) AS s
+FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 3, 0) + 1)) AS i
+      FROM documents WHERE length(text) >= 4)
+"""
+
+_CODE4 = poly_hash_sql("s", 4)
+_MIN_COLS = ",\n       ".join(
+    f"min((({_CODE4}) * {a} + {b}) % {MOD}) AS h{j}"
+    for j, (a, b) in enumerate(hash_family(dedup.N_HASHES, 42))
+)
+_MINHASH_SQL = f"""
+SELECT doc_id,
+       {_MIN_COLS}
+FROM ({_SHINGLES4_SQL})
+GROUP BY doc_id
+"""
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('_', h{b * 4}, h{b * 4 + 1}, h{b * 4 + 2}, h{b * 4 + 3}) AS band_sig FROM sig"
+    for b in range(dedup.N_BANDS)
+)
+
+
+@query(
+    "exact_dup_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = the reference's group-by-signature classing (A3)
+    generalized to content hashes."""
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query("minhash_signatures", oracle=_MINHASH_SQL)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, shuffle-free on the Spark side
+    (shingle array → per-hash transform → array_min in one projection;
+    the oracle's explode+min is the same multiset minimum)."""
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS ({_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, band_sig)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: near-dup candidates agreeing on ≥1 band."""
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"
+
+_PAD_TOKEN = "rpad(t, 8, '_')"
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN coalesce(list_sum(list_transform(toks, t -> "
+    f"((({poly_hash_sql(_PAD_TOKEN, 8)}) * {a} + {b}) % {MOD} % 2) * 2 - 1)), 0) >= 0 "
+    f"THEN {2**j} ELSE 0 END)"
+    for j, (a, b) in enumerate(hash_family(16, 7))
+)
+
+
+@query(
+    "simhash_16",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM t
+    """,
+)
+def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens (sign-aggregated hashes)."""
+    return dedup.simhash16(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, gram FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      FROM t)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_shared,
+           floor((n_shared / CAST(sa.n_grams + sb.n_grams - n_shared AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / CAST(sa.n_grams + sb.n_grams - n_shared AS DOUBLE) >= 0.03
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs via shared-shingle join."""
+    df = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_a", "doc_b", "n_shared", hround("jaccard", 6).alias("jaccard"))
+
+
+# ----------------------------------------------------------- similarity
+
+_EMB = "embedding::DOUBLE[]"
+_PLANES = similarity.hyperplanes()
+
+
+def _plane_lit(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product({_EMB}, {_plane_lit(p)}) >= 0 THEN {2**j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES)
+)
+
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], qe)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qe, qe))) AS cos_raw
+      FROM embeddings, q WHERE vec_id != 0)
+    SELECT vec_id, floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against vec_id=0 (ANN baseline)."""
+    return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
+
+
+@query(
+    "embedding_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings
+    """,
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection bucketing (the ANN scale path)."""
+    return similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_bucket_pairs",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+           floor((list_dot_product(a.embedding::DOUBLE[], bb.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(bb.embedding::DOUBLE[], bb.embedding::DOUBLE[]))))
+             * 1000000.0 + 0.5) / 1000000.0 AS cos
+    FROM b a JOIN b bb USING (bucket)
+    WHERE a.vec_id < bb.vec_id
+      AND floor((list_dot_product(a.embedding::DOUBLE[], bb.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(bb.embedding::DOUBLE[], bb.embedding::DOUBLE[]))))
+             * 1000000.0 + 0.5) / 1000000.0 >= 0.0
+    """,
+)
+def embedding_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate verification: cosine over same-bucket pairs only."""
+    return similarity.bucket_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.0)
+
+
+# ----------------------------------------------------------------- text
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           floor((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_scores",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio,
+             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+             CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio
+      FROM t)
+    SELECT doc_id,
+           floor(stopword_ratio * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+           floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor(digit_ratio * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
+           floor((1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio * 2, 0.3)
+                  + least(stopword_ratio, 0.2)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM r
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+_LANGS = sorted(text.LANG_MARKERS)
+_LANG_SCORES = ",\n       ".join(
+    f"CAST(len(list_filter(toks, x -> lower(x) IN ({', '.join(repr(m) for m in text.LANG_MARKERS[lang])}))) AS DOUBLE)"
+    f" / greatest(len(toks), 1) AS s_{lang}"
+    for lang in _LANGS
+)
+_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in _LANGS[:-1])
+    + f" ELSE '{_LANGS[-1]}' END"
+)
+
+
+@query(
+    "lang_id_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id,
+       {_LANG_SCORES}
+    FROM t),
+    m AS (SELECT *, greatest({', '.join('s_' + lang for lang in _LANGS)}) AS m FROM s)
+    SELECT doc_id, {_LANG_CASE} AS predicted_lang,
+           floor(m * 1000000.0 + 0.5) / 1000000.0 AS best_score
+    FROM m
+    """,
+)
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (argmax, first-wins ties)."""
+    return text.lang_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "binary_asset_stats",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def binary_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing check: byte length + content hash of an
+    opaque binary column (assets built from documents — the same
+    schema/partitioning media payloads use)."""
+    from rnadam_spark.operators.multimodal import assets_from_documents
+
+    assets = assets_from_documents(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    return assets.select(
+        "asset_id",
+        F.octet_length("data").cast("bigint").alias("n_bytes"),
+        F.md5("data").alias("content_md5"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_sort(list_distinct(list_transform(
+                 list_transform(range(1, greatest(length(text) - 3, 0) + 1),
+                                i -> substring(text, CAST(i AS INT), 4)),
+                 s -> {poly_hash_sql("s", 4)})))[1:4],
+               x -> CAST(x AS VARCHAR)),
+             '_') AS fingerprint
+    FROM documents WHERE length(text) >= 4
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-4 sketch of shingle hashes (rolling-hash fingerprint)."""
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,90 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY.md §2.7) — this is north-star
+surface: the batch queries in ``queries/windows_q.py`` (hourly rollup,
+sessionization) get streaming twins here with watermarks, so the same
+logical aggregation runs incrementally on an unbounded source. Local
+tests drive the parquet file through the streaming engine with a memory
+sink + ``processAllAvailable`` (deterministic, synchronous).
+
+At scale the source would be Kafka/files-on-arrival; everything below
+the source line is unchanged — that's the point of expressing the
+operators declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader has
+# the same limitation as batch, so read nanos as long and convert.
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file stream source wants a *directory* to watch; the driver
+    ships a single parquet file, so stage a symlink dir (testdata is
+    read-only — no copy)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp", "rnadam_stream_src_" + sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``hourly_event_rollup``: tumbling
+    1-hour windows with a 2-hour watermark for late data."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of the batch lag-gap sessionization, using the
+    built-in ``session_window`` (merges events closer than ``gap``)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion against the current
+    (bounded) source and return the materialized result."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

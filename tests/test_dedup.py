@@ -1,0 +1,67 @@
+"""Behavioral tests for dedup operators on synthetic near-duplicates
+(the driver tables have no duplicates, so correctness of the *positive*
+path is pinned here)."""
+
+from pyspark.sql import functions as F
+
+from rnadam_spark.operators import dedup
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+NEAR = BASE.replace("lazy", "sleepy")  # one-token perturbation
+OTHER = "completely different content about spark query engines and columnar execution plans"
+
+
+def _docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(spark):
+    groups = dedup.exact_dup_groups(_docs(spark)).collect()
+    by_count = {r.canonical_id: r.n_dups for r in groups}
+    assert by_count[0] == 2  # docs 0 and 1 identical, canonical = min id
+    assert by_count[2] == 1 and by_count[3] == 1
+
+
+def test_minhash_near_dup_similarity(spark):
+    sigs = {r.doc_id: [r[f"h{j}"] for j in range(dedup.N_HASHES)] for r in dedup.minhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]  # identical docs → identical signatures
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    agree_other = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert agree_near > agree_other  # near-dup agrees on more hashes
+    assert agree_other == 0
+
+
+def test_lsh_candidate_pairs_find_near_dups(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(_docs(spark)).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup shares ≥1 band
+    assert not any(3 in p for p in pairs)
+
+
+def test_lsh_bucket_cap(spark):
+    # a degenerate bucket (all docs identical) is dropped by the cap
+    rows = [(i, BASE) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup.lsh_candidate_pairs(docs, max_bucket=5).count() == 0
+    assert dedup.lsh_candidate_pairs(docs).count() == 45  # 10 choose 2
+
+
+def test_simhash_near_dup_hamming(spark):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(_docs(spark)).collect()}
+    assert sh[0] == sh[1]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[0], sh[2]) < hamming(sh[0], sh[3])
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.01).collect()
+    }
+    assert pairs[(0, 1)][1] == 1.0  # identical docs → J = 1
+    assert 0.5 < pairs[(0, 2)][1] < 1.0  # near-dup high but < 1
+    assert not any({a, b} & {3} for a, b in pairs)

@@ -1,0 +1,54 @@
+"""Streaming twins must agree with their batch counterparts when driven
+over the same (bounded) events data."""
+
+import pytest
+
+from rnadam_spark.queries.windows_q import hourly_event_rollup, sessionize_events
+from rnadam_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, sf_dir):
+    return se.read_events_stream(spark, sf_dir)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir, stream_events):
+    got = se.run_to_memory(
+        se.hourly_rollup_stream(stream_events), "hourly_out", output_mode="append"
+    )
+    stream = {(r.bucket, r.event_type): (r.n, round(r.total_value, 6)) for r in got.collect()}
+    batch = {
+        (r.bucket, r.event_type): (r.n, round(r.total_value, 6))
+        for r in hourly_event_rollup(spark, sf_dir).collect()
+    }
+    # append mode emits only windows past the watermark; every emitted
+    # window must match batch exactly, and coverage must be substantial
+    assert stream
+    for key, val in stream.items():
+        assert batch[key][0] == val[0], key
+    assert len(stream) >= len(batch) - 50  # tail windows may be held back
+
+
+def test_sessionize_stream_matches_batch_session_counts(spark, sf_dir, stream_events):
+    got = se.run_to_memory(
+        se.sessionize_stream(stream_events), "sessions_out", output_mode="append"
+    )
+    stream_counts: dict[int, int] = {}
+    stream_events_total: dict[int, int] = {}
+    for r in got.collect():
+        stream_counts[r.user_id] = stream_counts.get(r.user_id, 0) + 1
+        stream_events_total[r.user_id] = stream_events_total.get(r.user_id, 0) + r.n_events
+    batch_counts: dict[int, int] = {}
+    batch_events_total: dict[int, int] = {}
+    for r in sessionize_events(spark, sf_dir).collect():
+        batch_counts[r.user_id] = batch_counts.get(r.user_id, 0) + 1
+        batch_events_total[r.user_id] = batch_events_total.get(r.user_id, 0) + r.n_events
+    assert stream_counts
+    # users fully past the watermark must agree on session count AND
+    # total events in sessions
+    agree = 0
+    for u, n in stream_counts.items():
+        if stream_events_total[u] == batch_events_total[u]:
+            assert batch_counts[u] == n, u
+            agree += 1
+    assert agree >= len(stream_counts) * 0.8
