@@ -68,11 +68,13 @@ def map_kmers_to_classes(kmer_counts: DataFrame, kmer_to_class: DataFrame) -> Da
 
 def relative_class_kmers(class_counts: DataFrame) -> DataFrame:
     """(class_id, rel_p): each class's share of the total k-mer count
-    (Quantify.scala:79-87). Window over the aggregated class table —
-    no driver collect."""
-    return class_counts.select(
-        "class_id",
-        (F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias("rel_p"),
+    (Quantify.scala:79-87). The total is a broadcast 1-row aggregate —
+    an empty-partition window would funnel the whole class table
+    through one task at scale, and a driver collect (the reference's
+    ``reduce`` + ``collectAsMap``) caps at driver memory."""
+    total = class_counts.agg(F.sum("cnt").alias("_total"))
+    return class_counts.crossJoin(F.broadcast(total)).select(
+        "class_id", (F.col("cnt") / F.col("_total")).alias("rel_p")
     )
 
 

@@ -46,25 +46,37 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_cols(text_col: Column | str, k: int = SHINGLE_K, n_hashes: int = N_HASHES, seed: int = 42) -> list[Column]:
-    """One min-hash column per hash function, computed without explode:
-    h_j = min over shingles of (a_j·code(shingle) + b_j) mod P."""
-    sh = char_shingles(text_col, k)
+def shingle_codes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, code): polynomial code of every k-shingle, exploded.
 
-    def affine_min(a: int, b: int) -> Column:
-        return F.array_min(F.transform(sh, lambda x: (poly_hash_col(x, k) * a + b) % MOD))
-
-    return [
-        affine_min(a, b).alias(f"h{j}") for j, (a, b) in enumerate(hash_family(n_hashes, seed))
-    ]
+    The expensive part (char extraction + rolling hash) runs exactly
+    once per shingle; the n_hashes affine variants downstream are cheap
+    integer ops on ``code``. (A pure-projection variant — 16×
+    array_min(transform(...)) — looks shuffle-free but CollapseProject
+    re-inlines the shingle hashing into every hash column, multiplying
+    the hot work 16×; explode + partial aggregate is ~20× faster and
+    its shuffle carries only one row per document after map-side
+    combine.)"""
+    return docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(char_shingles(text_col, k), lambda x: poly_hash_col(x, k))
+        ).alias("code"),
+    )
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, h0..h15). Documents shorter than the shingle width are
-    dropped (they have no shingles to hash)."""
-    return docs.filter(F.length(text_col) >= SHINGLE_K).select(
-        F.col(id_col), *minhash_cols(text_col)
-    )
+    """(doc_id, h0..h15): h_j = min over shingles of
+    (a_j·code + b_j) mod P. Documents shorter than the shingle width
+    are dropped (they have no shingles to hash)."""
+    codes = shingle_codes(docs, text_col, id_col)
+    aggs = [
+        F.min((F.col("code") * a + b) % MOD).alias(f"h{j}")
+        for j, (a, b) in enumerate(hash_family(N_HASHES, 42))
+    ]
+    return codes.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_sigs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -115,25 +127,24 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", s
     Token code = polynomial hash of the token right-padded to 8 chars;
     bit_j = sign of Σ_tokens (2·(affine_j(code) mod 2) − 1). All
     higher-order functions on one row — shuffle-free."""
-    toks = F.array_distinct(tokens(text_col))
-
-    def signed_contrib(a: int, b: int) -> Column:
-        return F.transform(
-            toks,
-            lambda t: ((poly_hash_col(F.rpad(t, 8, "_"), 8) * a + b) % MOD % 2) * 2 - 1,
-        )
-
-    bit_cols = []
-    for j, (a, b) in enumerate(hash_family(16, seed)):
-        contrib = signed_contrib(a, b)
-        bit = (
-            F.aggregate(contrib, F.lit(0).cast("bigint"), lambda acc, x: acc + x) >= 0
-        ).cast("int")
-        bit_cols.append(bit * (2**j))
-    simhash = bit_cols[0]
-    for c in bit_cols[1:]:
-        simhash = simhash + c
-    return docs.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))
+    token_codes = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.array_distinct(tokens(text_col)),
+                lambda t: poly_hash_col(F.rpad(t, 8, "_"), 8),
+            )
+        ).alias("code"),
+    )
+    bit_sums = [
+        F.sum(((F.col("code") * a + b) % MOD % 2) * 2 - 1).alias(f"s{j}")
+        for j, (a, b) in enumerate(hash_family(16, seed))
+    ]
+    sums = token_codes.groupBy(id_col).agg(*bit_sums)
+    simhash = F.lit(0)
+    for j in range(16):
+        simhash = simhash + (F.col(f"s{j}") >= 0).cast("int") * (2**j)
+    return sums.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
