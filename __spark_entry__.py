@@ -25,8 +25,12 @@ registry.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["kmer_count"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the full EM quantification pipeline (shingle →
+    count → class mapping → iterative EM), the reference's core
+    algorithm end-to-end."""
+    return registry.QUERIES["em_quantify"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -119,8 +119,12 @@ def m_step(alpha: DataFrame, t_len: DataFrame, k: int, rel_kmers: DataFrame) -> 
             (F.col("sum_alpha") / (F.col("t_len") - F.lit(k) + 1)).alias("mu_raw"),
         )
     )
-    w_all = Window.partitionBy()
-    return mus.select("t_id", (F.col("mu_raw") / F.sum("mu_raw").over(w_all)).alias("mu"))
+    # normalize via broadcast 1-row total (an empty-partition window
+    # would funnel all transcripts through one task)
+    total = mus.agg(F.sum("mu_raw").alias("_total"))
+    return mus.crossJoin(F.broadcast(total)).select(
+        "t_id", (F.col("mu_raw") / F.col("_total")).alias("mu")
+    )
 
 
 def join_transcripts(transcripts: DataFrame, mu: DataFrame) -> DataFrame:

@@ -21,7 +21,7 @@ Formula quirks preserved exactly (pinned by TareSuite goldens):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rnadam_spark.functions.shingles import char_shingles
@@ -133,5 +133,7 @@ def calibrate_tx_len_bias(
             F.col("mean") + ((F.col("slope") * F.col("mu") + F.col("intercept")) - F.col("mu"))
         ).alias("mu_cal"),
     )
-    w_all = Window.partitionBy()
-    return cal.select("t_id", (F.col("mu_cal") / F.sum("mu_cal").over(w_all)).alias("mu"))
+    total = cal.agg(F.sum("mu_cal").alias("_total"))
+    return cal.crossJoin(F.broadcast(total)).select(
+        "t_id", (F.col("mu_cal") / F.col("_total")).alias("mu")
+    )

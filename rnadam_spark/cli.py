@@ -1,0 +1,80 @@
+"""CLI parity with the reference's two commands (RiceMain.scala:29-35):
+
+  rnadam-spark index GENOME GENES KMER_LENGTH OUTPUT
+  rnadam-spark quantify READS INDEX GENES KMER_LENGTH OUTPUT
+      [-max_iterations N] [-disable_kmer_calibration]
+      [-disable_length_calibration]
+
+Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
+are parquet datasets with the FIXTURES.md §A schemas. The library API
+(rnadam_spark.algorithms) is the primary surface — this is a thin
+wrapper, as in the reference (SURVEY.md §3 entry point 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from rnadam_spark.session import get_spark
+from rnadam_spark.sources import genomics as gio
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rnadam-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ix = sub.add_parser("index", help="build a k-mer equivalence-class index")
+    ix.add_argument("genome", help="parquet: (contig, sequence)")
+    ix.add_argument("genes", help="parquet: transcripts with nested exons")
+    ix.add_argument("kmer_length", type=int)
+    ix.add_argument("output", help="output prefix (writes _kmers/_classes)")
+
+    q = sub.add_parser("quantify", help="quantify transcript abundances")
+    q.add_argument("reads", help="parquet: (read_id, sequence)")
+    q.add_argument("index", help="index prefix from the index command")
+    q.add_argument("genes", help="parquet: transcripts with nested exons")
+    q.add_argument("kmer_length", type=int)
+    q.add_argument("output", help="output directory for text results")
+    q.add_argument("-max_iterations", type=int, default=50)
+    q.add_argument("-disable_kmer_calibration", action="store_true")
+    q.add_argument("-disable_length_calibration", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = _build_parser().parse_args(argv)
+    spark = get_spark(f"rnadam-{args.command}")
+
+    if args.command == "index":
+        from rnadam_spark.algorithms.index import build_index
+
+        genome = gio.load_genome(spark, args.genome)
+        transcripts = gio.load_transcripts(spark, args.genes)
+        kmer_to_class, class_kmers, class_transcripts = build_index(
+            transcripts, genome, args.kmer_length
+        )
+        gio.save_index(kmer_to_class, class_kmers, args.output)
+        class_transcripts.write.mode("overwrite").parquet(args.output + "_members")
+    else:
+        from rnadam_spark.algorithms.quantify import quantify
+
+        reads = gio.load_reads(spark, args.reads)
+        kmer_to_class, _ = gio.load_index(spark, args.index)
+        class_transcripts = spark.read.parquet(args.index + "_members")
+        transcripts = gio.load_transcripts(spark, args.genes)
+        result = quantify(
+            reads,
+            kmer_to_class,
+            class_transcripts,
+            transcripts,
+            k=args.kmer_length,
+            max_iterations=args.max_iterations,
+            calibrate_kmer_bias=not args.disable_kmer_calibration,
+            calibrate_length_bias=not args.disable_length_calibration,
+        )
+        gio.save_abundances_text(result, args.output)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

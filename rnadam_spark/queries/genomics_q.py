@@ -147,6 +147,58 @@ def class_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("em_quantify")  # iterative — non-SQL-expressible, rows-only check
+def em_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full Sailfish EM pipeline (Quantify.scala:42-127)
+    driven over the documents table — each document doubles as a
+    "transcript" (its text is the reference sequence) and as its own
+    "read", the class structure is derived with the Index semantics
+    (equal-count signatures, content-hash IDs), and 5 EM iterations
+    redistribute class counts into per-document abundances.
+
+    No oracle: the EM loop is iterative (50-deep nested CTEs are not a
+    meaningful DuckDB oracle); its per-step math is pinned by the
+    golden tests in tests/test_quantify.py and the statistical e2e in
+    tests/test_quantify_e2e.py instead.
+    """
+    from rnadam_spark.algorithms.quantify import quantify
+
+    docs = load_table(spark, sf_dir, "documents")
+    reads = docs.select(F.col("doc_id").alias("read_id"), F.col("text").alias("sequence"))
+    kc = kmer_doc_counts(spark, sf_dir)
+    with_class = kc.select(
+        "kmer",
+        F.xxhash64(F.col("doc_id"), F.col("cnt")).alias("class_id"),
+        F.col("doc_id").cast("string").alias("t_id"),
+    )
+    kmer_to_class_df = with_class.select("kmer", "class_id")
+    class_transcripts = with_class.select("class_id", "t_id").distinct()
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("t_id"),
+        F.lit("g").alias("gene_id"),
+        F.lit(True).alias("strand"),
+        F.array(
+            F.struct(
+                F.concat(F.col("doc_id").cast("string"), F.lit("e")).alias("exon_id"),
+                F.lit("c0").alias("contig"),
+                F.lit(0).cast("long").alias("start"),
+                (F.col("n_chars") + 1).cast("long").alias("end"),
+            )
+        ).alias("exons"),
+    )
+    result = quantify(
+        reads,
+        kmer_to_class_df,
+        class_transcripts,
+        transcripts,
+        k=K,
+        max_iterations=5,
+        calibrate_kmer_bias=False,
+        calibrate_length_bias=False,
+    )
+    return result.select("t_id", hround("abundance", 8).alias("abundance"))
+
+
 @query(
     "substring_extract",
     oracle="""

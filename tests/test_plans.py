@@ -1,0 +1,75 @@
+"""Plan-quality regression tests: pushdown, pruning, broadcast choice,
+and shuffle counts are part of each operator's contract (the 100 TB
+design), not an accident of the current optimizer mood."""
+
+import pytest
+
+from rnadam_spark.plans import (
+    count_shuffles,
+    has_broadcast_join,
+    has_pushed_filters,
+    read_schema_columns,
+)
+from rnadam_spark.queries.genomics_q import kmer_count
+from rnadam_spark.queries.relational import (
+    local_supplier_volume,
+    pricing_summary,
+    top_revenue_orders,
+)
+from rnadam_spark.queries.windows_q import fraction_of_group, sessionize_events
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = pricing_summary(spark, sf_dir)
+    # the shipdate predicate must reach the parquet scan
+    assert has_pushed_filters(df, "l_shipdate")
+    cols = read_schema_columns(df, "lineitem")
+    assert "l_quantity" in cols and "l_extendedprice" in cols
+    # untouched columns must be pruned from the scan
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+    # one aggregation shuffle, nothing else
+    assert count_shuffles(df) == 1
+
+
+def test_top_revenue_orders_broadcasts_customer(spark, sf_dir):
+    df = top_revenue_orders(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df, "c_mktsegment")
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_local_supplier_volume_broadcasts_dims(spark, sf_dir):
+    df = local_supplier_volume(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df, "o_orderdate")
+    # region scan prunes to the two columns used
+    assert read_schema_columns(df, "region") <= {"r_regionkey", "r_name"}
+
+
+def test_kmer_count_single_shuffle(spark, sf_dir):
+    df = kmer_count(spark, sf_dir)
+    assert count_shuffles(df) == 1  # the groupBy — shingling is map-side
+    # Catalyst prunes even doc_id (unused after the explode)
+    assert read_schema_columns(df, "documents") == {"text"}
+
+
+def test_fraction_of_group_single_shuffle(spark, sf_dir):
+    # the E-step shape: one hash exchange for the window, no regrouping
+    assert count_shuffles(fraction_of_group(spark, sf_dir)) == 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # lag + cumsum + final rollup all share the user_id partitioning:
+    # Catalyst must not re-exchange between the two windows and the agg
+    df = sessionize_events(spark, sf_dir)
+    assert count_shuffles(df) == 1
+
+
+def test_em_e_step_broadcasts_mu(spark):
+    from rnadam_spark.algorithms.quantify import e_step
+
+    mu = spark.createDataFrame([("a", 0.5), ("b", 0.5)], ["t_id", "mu"])
+    edges = spark.createDataFrame([(1, "a"), (1, "b")], ["class_id", "t_id"])
+    df = e_step(mu, edges)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) == 1  # only the class window
