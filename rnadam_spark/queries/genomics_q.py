@@ -133,17 +133,18 @@ def kmer_to_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 def class_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2→A6→A7→A8: roll counts up to classes, then normalize by the
     global total (Quantify.scala:153-158, 79-87). The global sum is a
-    window over the aggregated (small) class table — no driver collect.
+    broadcast 1-row aggregate — an empty-partition window would funnel
+    every class through one task; this keeps the normalize parallel.
     """
     cls = _classes(spark, sf_dir)
     counted = cls.groupBy("class_id").agg(
         F.sum(F.col("cnt") * F.col("n_kmers")).cast("bigint").alias("class_count")
     )
-    w_all = Window.partitionBy()
-    return counted.select(
+    total = counted.agg(F.sum("class_count").alias("_total"))
+    return counted.crossJoin(F.broadcast(total)).select(
         "class_id",
         "class_count",
-        hround(F.col("class_count") / F.sum("class_count").over(w_all), 8).alias("p"),
+        hround(F.col("class_count") / F.col("_total"), 8).alias("p"),
     )
 
 
@@ -249,6 +250,60 @@ def dinuc_context_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         hround(F.col("cnt") / F.sum("cnt").over(w_doc).cast("double"), 6).alias("frac"),
     )
+
+
+@query(
+    "length_bias_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS t_id,
+             CAST(1 + doc_id % 7 AS DOUBLE) AS w,
+             CAST(n_chars AS DOUBLE) AS t_len
+      FROM documents WHERE n_chars > 0
+    ),
+    mu0 AS (
+      SELECT t_id, t_len, w / (SELECT sum(w) FROM base) AS mu FROM base
+    ),
+    fit AS (
+      SELECT covar_pop(ln(t_len), ln(mu)) / var_pop(ln(t_len)) AS slope,
+             avg(ln(mu)) - (covar_pop(ln(t_len), ln(mu)) / var_pop(ln(t_len))) * avg(ln(t_len)) AS intercept,
+             -ln(CAST(count(*) AS DOUBLE)) AS mean
+      FROM mu0
+    ),
+    cal AS (
+      SELECT t_id, exp(mean + ((slope * mu + intercept) - mu)) AS mu_cal
+      FROM mu0 CROSS JOIN fit
+    )
+    SELECT t_id,
+           floor((mu_cal / (SELECT sum(mu_cal) FROM cal)) * 100000000.0 + 0.5) / 100000000.0 AS mu
+    FROM cal
+    """,
+)
+def length_bias_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+P7 (Tare.scala:150-193): transcript-length bias removal with
+    the OLS of y=log(µ) on x=log(len) computed as closed-form
+    covar_pop/var_pop aggregates — fully distributed, no driver solve —
+    and the reference's exact (quirky) recalibration formula
+    µ' = exp(mean + ((slope·µ + intercept) − µ)).
+
+    Abundance weights are a deterministic synthetic (1 + doc_id % 7) so
+    the fit has nontrivial slope; lengths come from n_chars.
+    """
+    from rnadam_spark.algorithms.tare import calibrate_tx_len_bias
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("t_id"),
+        (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(7))).cast("double").alias("w"),
+        F.col("n_chars").alias("t_len"),
+    )
+    total_w = base.agg(F.sum("w").alias("_tw"))
+    mu0 = base.crossJoin(F.broadcast(total_w)).select(
+        "t_id", (F.col("w") / F.col("_tw")).alias("mu")
+    )
+    t_len = base.select("t_id", "t_len")
+    cal = calibrate_tx_len_bias(mu0, t_len)
+    return cal.select("t_id", hround("mu", 8).alias("mu"))
 
 
 @query(

@@ -342,3 +342,96 @@ def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_suppkey").agg(
         F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n_items")
     )
+
+
+@query(
+    "price_band_range_join",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS band_id
+    ), b AS (
+      SELECT band_id,
+             CAST(900.0 + band_id * 10.0 AS DOUBLE) AS lo,
+             CAST(900.0 + (band_id + 1) * 10.0 AS DOUBLE) AS hi
+      FROM bands
+    )
+    SELECT band_id, lo,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           floor((avg(p_retailprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price
+    FROM part JOIN b ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id, lo
+    """,
+)
+def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: facts against a broadcast interval dim
+    (§2.7 — absent from the reference, whose joins are all single-key
+    equi-joins). The dim side is tiny and explicitly broadcast, so the
+    inequality join is a BroadcastNestedLoopJoin over 10 rows — the
+    scale path for band maps at 100 TB; for large interval dims the
+    IVF-style bucket prefilter in operators/similarity.py applies.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (900.0 + F.col("id") * 10.0).alias("lo"),
+        (900.0 + (F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band_id", "lo")
+        .agg(
+            F.count("*").alias("n_parts"),
+            hround(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "event_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           floor((quantile_cont(value, 0.25)) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+           floor((quantile_cont(value, 0.50)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           floor((quantile_cont(value, 0.75)) * 1000000.0 + 0.5) / 1000000.0 AS p75,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (§2.7 — the approximate
+    variant, percentile_approx/t-digest, is the 100 TB scale path and is
+    tolerance-tested against this exact form in tests/test_approx.py;
+    approx sketches can't hash-match across engines).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        hround(F.percentile("value", 0.25), 6).alias("p25"),
+        hround(F.percentile("value", 0.50), 6).alias("p50"),
+        hround(F.percentile("value", 0.75), 6).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "returns_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (§2.7 grouping sets; complements ROLLUP in
+    revenue_rollup). Spark expands grouping sets before the partial
+    aggregate, so the map-side combine still applies per set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        hround(F.sum("l_extendedprice"), 4).alias("revenue"),
+        F.count("*").alias("n"),
+    )
