@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.shingles import char_shingles
 from rnadam_spark.functions.rounding import hround
+from rnadam_spark.functions.runlength import count_classes, let_, with_value_counts
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
 
@@ -23,8 +24,19 @@ K = 5  # shingle width for the documents-table analogs
 
 
 def _kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.select("doc_id", F.explode(char_shingles("text", K)).alias("kmer"))
+
+
+def _doc_kmer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, kc ARRAY<STRUCT<value,cnt>>) — per-document k-mer counts
+    computed inside the row (functions/runlength.py): both reference
+    groupings (A2 per-(container,kmer) counts, A3 classes) are keyed by
+    container first, so they need no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return with_value_counts(docs.select("doc_id", "text"), char_shingles("text", K), "kc").drop(
+        "text"
+    )
 
 
 # DuckDB can't lateral-join generate_series on a column; unnest(range())
@@ -48,12 +60,16 @@ FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - {K - 1}, 0) +
 def kmer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 (word count over shingles): Quantify.scala:58-60 / adamCountKmers.
 
-    explode(shingles) → groupBy → count: Catalyst plans a partial
-    (map-side) HashAggregate before the shuffle, so the shuffle carries
-    one row per distinct k-mer per task — the same shape reduceByKey
-    gave the reference, with codegen.
+    Per-doc counts are computed inside the row first (zero shuffle),
+    then the cross-document roll-up shuffles one row per distinct
+    (doc, kmer) — strictly less than the raw explode the reference
+    shuffles (Quantify.scala:58-60), with partial aggregation on top.
     """
-    return _kmers(spark, sf_dir).groupBy("kmer").agg(F.count("*").alias("cnt"))
+    kc = _doc_kmer_counts(spark, sf_dir)
+    per_doc = kc.select(F.explode("kc").alias("x")).select(
+        F.col("x.value").alias("kmer"), F.col("x.cnt").alias("cnt")
+    )
+    return per_doc.groupBy("kmer").agg(F.sum("cnt").cast("bigint").alias("cnt"))
 
 
 @query(
@@ -66,8 +82,12 @@ def kmer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmer_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-(container, kmer) counts (Index.scala:90-94's
-    ((t.id, kmer), 1) → reduceByKey, with documents as containers)."""
-    return _kmers(spark, sf_dir).groupBy("doc_id", "kmer").agg(F.count("*").alias("cnt"))
+    ((t.id, kmer), 1) → reduceByKey, with documents as containers) —
+    zero-shuffle: the count is a per-row run-length, not a groupBy."""
+    kc = _doc_kmer_counts(spark, sf_dir)
+    return kc.select("doc_id", F.explode("kc").alias("x")).select(
+        "doc_id", F.col("x.value").alias("kmer"), F.col("x.cnt").alias("cnt")
+    )
 
 
 _KMER_DOC_COUNTS_SQL = f"SELECT doc_id, kmer, count(*) AS cnt FROM ({_KMERS_SQL}) GROUP BY doc_id, kmer"
@@ -85,10 +105,10 @@ GROUP BY doc_id, cnt
 
 
 def _classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kc = kmer_doc_counts(spark, sf_dir)
-    return kc.groupBy("doc_id", "cnt").agg(
-        F.md5(F.array_join(F.sort_array(F.collect_list("kmer")), "|")).alias("class_id"),
-        F.count("*").alias("n_kmers"),
+    kc = _doc_kmer_counts(spark, sf_dir)
+    return (
+        kc.select("doc_id", F.explode(count_classes(F.col("kc"))).alias("cl"))
+        .select("doc_id", "cl.cnt", "cl.class_id", "cl.n_kmers")
     )
 
 
@@ -109,12 +129,30 @@ def equivalence_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kmer_to_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: invert the class index back to kmer → class (Index.scala:104-106)."""
-    kc = kmer_doc_counts(spark, sf_dir)
-    cls = kc.groupBy("doc_id", "cnt").agg(
-        F.md5(F.array_join(F.sort_array(F.collect_list("kmer")), "|")).alias("class_id")
+    """A5: invert the class index back to kmer → class
+    (Index.scala:104-106). The reference's join of k-mer counts against
+    classes (J1 shape) is a per-row lookup here: a k-mer's class is the
+    class whose cnt equals its own — no shuffle, no join.
+    """
+    kc = _doc_kmer_counts(spark, sf_dir)
+    pairs = let_(
+        F.col("kc"),
+        lambda vc: let_(
+            count_classes(vc),
+            lambda classes: F.transform(
+                vc,
+                lambda x: F.struct(
+                    x["value"].alias("kmer"),
+                    F.element_at(F.filter(classes, lambda cl: cl["cnt"] == x["cnt"]), 1)[
+                        "class_id"
+                    ].alias("class_id"),
+                ),
+            ),
+        ),
     )
-    return kc.join(cls, ["doc_id", "cnt"]).select("kmer", "doc_id", "class_id")
+    return kc.select("doc_id", F.explode(pairs).alias("p")).select(
+        "p.kmer", "doc_id", "p.class_id"
+    )
 
 
 @query(
@@ -237,7 +275,7 @@ def dinuc_context_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3–P5: 2-shingles filtered to a valid alphabet, then per-container
     fractional histogram (Tare.scala:88-101's dinucleotide featurization,
     alphabet [a-z] for documents)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     valid = (
         docs.select("doc_id", F.explode(char_shingles("text", 2)).alias("bigram"))
         .filter(F.col("bigram").rlike("^[a-z]{2}$"))

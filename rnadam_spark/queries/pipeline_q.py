@@ -58,7 +58,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature, shuffle-free on the Spark side
     (shingle array → per-hash transform → array_min in one projection;
     the oracle's explode+min is the same multiset minimum)."""
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents", widen=True))
 
 
 @query(
@@ -73,7 +73,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding: near-dup candidates agreeing on ≥1 band."""
-    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents", widen=True))
 
 
 _TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"
@@ -96,7 +96,7 @@ _SIMHASH_BITS = " + ".join(
 )
 def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct tokens (sign-aggregated hashes)."""
-    return dedup.simhash16(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash16(load_table(spark, sf_dir, "documents", widen=True))
 
 
 @query(
@@ -122,7 +122,7 @@ def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs via shared-shingle join."""
-    df = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    df = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents", widen=True))
     return df.select("doc_a", "doc_b", "n_shared", hround("jaccard", 6).alias("jaccard"))
 
 

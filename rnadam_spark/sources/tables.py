@@ -33,11 +33,41 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> DataFrame:
+    """Read one driver table.
+
+    ``widen=True`` requests a round-robin repartition up to the
+    cluster's core count when the scan itself is under-parallel. Use it
+    at call sites whose downstream per-row work is heavy (shingle
+    explode multiplies rows ~300×, MinHash evaluates many hashes per
+    row): a parquet file splits only at row-group boundaries, so a
+    single-row-group file scans as ONE task and every narrow stage
+    chained onto it inherits that. Agg-first queries should NOT widen —
+    the exchange of raw rows costs more than the single-task partial
+    aggregate it replaces. Self-tuning at scale: real multi-row-group
+    inputs already scan with >= cores partitions and skip the exchange.
+    Catalyst still pushes filters/pruning through the repartition to
+    the scan.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        df = _load_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    if widen and os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "1") != "0":
+        target = spark.sparkContext.defaultParallelism
+        key = (path, target)
+        needs = _SCAN_PARALLELISM_CACHE.get(key)
+        if needs is None:
+            # .rdd compiles the physical plan — do it once per table path
+            needs = df.rdd.getNumPartitions() < target
+            _SCAN_PARALLELISM_CACHE[key] = needs
+        if needs:
+            df = df.repartition(target)
+    return df
+
+
+_SCAN_PARALLELISM_CACHE: dict[tuple[str, int], bool] = {}
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
