@@ -60,16 +60,16 @@ FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - {K - 1}, 0) +
 def kmer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 (word count over shingles): Quantify.scala:58-60 / adamCountKmers.
 
-    Per-doc counts are computed inside the row first (zero shuffle),
-    then the cross-document roll-up shuffles one row per distinct
-    (doc, kmer) — strictly less than the raw explode the reference
-    shuffles (Quantify.scala:58-60), with partial aggregation on top.
+    explode(shingles) → groupBy → count, deliberately NOT the per-row
+    run-length path used by the per-document queries: the global key
+    space is bounded (distinct k-mers ≤ alphabet^k), so Catalyst's
+    map-side partial HashAggregate already collapses the shuffle to
+    one row per distinct k-mer per task, and the whole stage is
+    codegen'd — measured faster than the interpreted higher-order-
+    function sort at every scale. Run-length wins only where the
+    grouping key contains the container (see kmer_doc_counts).
     """
-    kc = _doc_kmer_counts(spark, sf_dir)
-    per_doc = kc.select(F.explode("kc").alias("x")).select(
-        F.col("x.value").alias("kmer"), F.col("x.cnt").alias("cnt")
-    )
-    return per_doc.groupBy("kmer").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    return _kmers(spark, sf_dir).groupBy("kmer").agg(F.count("*").alias("cnt"))
 
 
 @query(
