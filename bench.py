@@ -58,6 +58,18 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM/codegen/parquet-footer paths the headline set uses by
+    # running the same queries once at the smallest scale factor; the
+    # measured loop below then reflects steady-state per-query cost
+    # instead of charging one-time session startup to whichever query
+    # happens to run first.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
