@@ -10,7 +10,12 @@ from rnadam_spark.plans import (
     has_pushed_filters,
     read_schema_columns,
 )
-from rnadam_spark.queries.genomics_q import kmer_count
+from rnadam_spark.queries.genomics_q import (
+    equivalence_classes,
+    kmer_count,
+    kmer_doc_counts,
+    kmer_to_class,
+)
 from rnadam_spark.queries.relational import (
     local_supplier_volume,
     pricing_summary,
@@ -51,6 +56,15 @@ def test_kmer_count_single_shuffle(spark, sf_dir):
     assert count_shuffles(df) == 1  # the groupBy — shingling is map-side
     # Catalyst prunes even doc_id (unused after the explode)
     assert read_schema_columns(df, "documents") == {"text"}
+
+
+def test_per_doc_runlength_queries_zero_shuffle(spark, sf_dir):
+    # Container-keyed groupings compute inside the row (run-length over
+    # the sorted shingle array) — no hash/range exchange anywhere. The
+    # widen-scan round-robin repartition is deliberately not counted:
+    # it disappears on real multi-row-group inputs.
+    for q in (kmer_doc_counts, equivalence_classes, kmer_to_class):
+        assert count_shuffles(q(spark, sf_dir)) == 0, q.__name__
 
 
 def test_fraction_of_group_single_shuffle(spark, sf_dir):
