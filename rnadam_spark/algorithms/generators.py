@@ -48,7 +48,7 @@ def _independent(k: int, ts: list[str]) -> bool:
 
 def generate_independent_transcripts(
     k: int, lengths: list[int], seed: int | None = None
-) -> tuple[list[str], list[str], dict[str, int], dict[int, list[str]]]:
+) -> tuple[list[str], list[str], dict[str, str], dict[str, list[str]]]:
     """Returns (sequences, names, kmer→class map, class→transcripts map);
     with independent transcripts each transcript is its own class."""
     rng = random.Random(seed)
@@ -57,8 +57,9 @@ def generate_independent_transcripts(
         if _independent(k, ts) and all(_non_repetitive(k, t) for t in ts):
             break
     names = [str(i) for i in range(len(ts))]
-    class_map = {i: [str(i)] for i in range(len(ts))}
-    kmer_map = {km: i for i, t in enumerate(ts) for km in _kmers(t, k)}
+    # class IDs are strings, matching the engine's md5-content-hash IDs
+    class_map = {str(i): [str(i)] for i in range(len(ts))}
+    kmer_map = {km: str(i) for i, t in enumerate(ts) for km in _kmers(t, k)}
     return ts, names, kmer_map, class_map
 
 
@@ -68,7 +69,7 @@ def generate_transcripts(
     class_multiplicity: list[int],
     class_membership: list[set[int]],
     seed: int | None = None,
-) -> tuple[list[str], list[str], dict[str, int], dict[int, list[str]]]:
+) -> tuple[list[str], list[str], dict[str, str], dict[str, list[str]]]:
     """Transcripts assembled from shared, independent class blocks."""
     assert len(class_membership) == len({frozenset(s) for s in class_membership})
     rng = random.Random(seed)
@@ -79,10 +80,10 @@ def generate_transcripts(
         rng.shuffle(components)
         transcripts.append("".join(blocks[i] for i in components))
     names = [str(i) for i in range(len(class_membership))]
-    t_map: dict[int, list[str]] = {}
+    t_map: dict[str, list[str]] = {}
     for t_idx, member in enumerate(class_membership):
         for c in member:
-            t_map.setdefault(c, []).append(str(t_idx))
+            t_map.setdefault(str(c), []).append(str(t_idx))
     return transcripts, names, kmer_map, t_map
 
 

@@ -19,11 +19,13 @@ QuantifySuite.scala:432-482):
   equal abundance", Index.scala:60-64) — classes are NOT merged across
   transcripts, so a k-mer shared by two transcripts maps to two classes
   and k-mer→class is multi-valued, exactly as in the reference;
-- one departure, on purpose: class IDs come from ``xxhash64`` of
-  (t_id, count) — the reference's ``zipWithUniqueId``
+- one departure, on purpose: class IDs come from ``md5`` of the
+  (t_id, count) signature — the reference's ``zipWithUniqueId``
   (Index.scala:98) is partition-order dependent and therefore
-  nondeterministic across cluster layouts; a content hash gives stable
-  IDs at any scale (SURVEY.md §7 risk register).
+  nondeterministic across cluster layouts; a 128-bit content hash gives
+  stable IDs at any scale (SURVEY.md §7 risk register; 64-bit hashes
+  were rejected: at billions of groups the birthday bound makes silent
+  class merges plausible).
 """
 
 from __future__ import annotations
@@ -67,7 +69,7 @@ def transcript_kmer_counts(sequences: DataFrame, k: int) -> DataFrame:
 
 
 def build_index(
-    transcripts: DataFrame, genome: DataFrame, k: int
+    transcripts: DataFrame, genome: DataFrame, k: int, timers=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (kmer_to_class, class_kmers, class_transcripts).
 
@@ -77,17 +79,26 @@ def build_index(
 
     Plan shape: one shuffle for the (t_id, kmer) count, then the class
     signature is a *window-free* derivation — because a class is keyed
-    by (t_id, cnt), the class ID is computable per-row with xxhash64,
-    no second groupBy needed to number classes. (The reference needed
-    reduceByKey → map → groupByKey → zipWithUniqueId: two extra
-    shuffles plus zipWithUniqueId's partition-count job,
-    Index.scala:94-98.)
+    by (t_id, cnt), the class ID is computable per-row as a hash of
+    that signature, no second groupBy needed to number classes. (The
+    reference needed reduceByKey → map → groupByKey → zipWithUniqueId:
+    two extra shuffles plus zipWithUniqueId's partition-count job,
+    Index.scala:94-98.) The hash is 128-bit md5, matching
+    functions/runlength.count_classes — see the module docstring.
     """
-    counts = transcript_kmer_counts(transcript_sequences(transcripts, genome), k)
+    from rnadam_spark import instrument as ins
+
+    seqs = ins.timed(timers, ins.EXTRACT, transcript_sequences(transcripts, genome))
+    counts = ins.timed(timers, ins.SPLIT_KMERS, transcript_kmer_counts(seqs, k))
     with_class = counts.select(
-        "t_id", "kmer", F.xxhash64(F.col("t_id"), F.col("cnt")).alias("class_id")
+        "t_id",
+        "kmer",
+        F.md5(F.concat_ws(":", F.col("t_id"), F.col("cnt"))).alias("class_id"),
     )
+    with_class = ins.timed(timers, ins.GENERATE_CLASSES, with_class)
     kmer_to_class = with_class.select("kmer", "class_id")
     class_kmers = with_class.select("class_id", "kmer")
     class_transcripts = with_class.select("class_id", "t_id").distinct()
+    if timers is not None:
+        class_transcripts = ins.timed(timers, ins.GENERATE_INDICES, class_transcripts)
     return kmer_to_class, class_kmers, class_transcripts

@@ -143,26 +143,35 @@ def quantify(
     calibrate_kmer_bias: bool = True,
     calibrate_length_bias: bool = True,
     checkpoint_every: int = 5,
+    timers=None,
 ) -> DataFrame:
     """Full pipeline (Quantify.scala:42-127): returns transcripts with
-    an ``abundance`` column (relative abundances, sum 1)."""
+    an ``abundance`` column (relative abundances, sum 1).
+
+    ``timers`` (an ``instrument.StageTimers``) forces + times each
+    stage under the reference's Timers.scala names; ``None`` (the
+    default) keeps the pipeline fully lazy."""
+    from rnadam_spark import instrument as ins
     from rnadam_spark.algorithms import tare
 
-    t_len = transcript_lengths(transcripts)
+    t_len = ins.timed(timers, ins.EXTRACT_LENGTHS, transcript_lengths(transcripts))
 
-    kmer_counts = count_read_kmers(reads, k)
+    kmer_counts = ins.timed(timers, ins.COUNT_KMERS, count_read_kmers(reads, k))
     if calibrate_kmer_bias:
-        kmer_counts = tare.calibrate_kmers(kmer_counts)
+        kmer_counts = ins.timed(timers, ins.TARE_KMERS, tare.calibrate_kmers(kmer_counts))
 
-    class_counts = map_kmers_to_classes(kmer_counts, kmer_to_class).cache()
-    rel_kmers = relative_class_kmers(class_counts)
+    class_counts = ins.timed(
+        timers, ins.COUNT_CLASSES, map_kmers_to_classes(kmer_counts, kmer_to_class).cache()
+    )
+    rel_kmers = ins.timed(timers, ins.NORMALIZING, relative_class_kmers(class_counts))
 
-    # membership edges ⋈ class shares, computed once and reused by every
-    # iteration's E-step input (static across the loop)
+    # the static membership-edge table, cached for reuse by every
+    # iteration's E-step (rel_kmers joins happen inside m_step)
     edges = class_transcripts.cache()
 
     alpha = initialize_em(class_counts, edges)
     mu = m_step(alpha, t_len, k, rel_kmers)
+    mu = ins.timed(timers, ins.INIT_EM, mu)
 
     for i in range(max_iterations):
         # mu is n_transcripts rows: localCheckpoint truncates the whole
@@ -170,10 +179,15 @@ def quantify(
         # its plan depth grew linearly with iterations)
         if (i + 1) % checkpoint_every == 0:
             mu = mu.localCheckpoint(eager=True)
-        alpha = e_step(mu, edges)
-        mu = m_step(alpha, t_len, k, rel_kmers)
+        if timers is None:
+            alpha = e_step(mu, edges)
+            mu = m_step(alpha, t_len, k, rel_kmers)
+        else:
+            with timers.stage(ins.EM_ITER):
+                alpha = ins.timed(timers, ins.E_STAGE, e_step(mu, edges))
+                mu = ins.timed(timers, ins.M_STAGE, m_step(alpha, t_len, k, rel_kmers))
 
     if calibrate_length_bias:
-        mu = tare.calibrate_tx_len_bias(mu, t_len)
+        mu = ins.timed(timers, ins.CAL_LENGTH, tare.calibrate_tx_len_bias(mu, t_len))
 
     return join_transcripts(transcripts, mu)

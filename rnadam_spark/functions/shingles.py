@@ -27,9 +27,13 @@ def char_shingles(col: Column | str, k: int) -> Column:
     ``sliding(k)`` re-expressed declaratively: generate start positions
     ``1..len-k+1`` and substring each. Stays JVM-side (codegen), so at
     100 TB the explode of its output is the only cost — no Python
-    boundary. Strings shorter than ``k`` yield an empty array (matches
-    Scala ``sliding`` semantics of yielding the whole short string is
-    NOT wanted here; the reference only shingles strings ≥ k).
+    boundary. Strings shorter than ``k`` yield an empty array — a
+    deliberate divergence from Scala's ``sliding(k)``, which emits the
+    whole short string as one truncated "k-mer" (Index.scala:88): a
+    truncated k-mer is never a valid index/count key, and the
+    reference's own inputs (transcripts/reads) are always ≥ k, so the
+    branch is unreachable there; here short documents simply produce
+    no shingles.
     """
     c = _c(col)
     n = F.length(c) - F.lit(k - 1)

@@ -5,11 +5,11 @@ is itself a group-by-signature dedup; these operators generalize it to
 the document domain (SURVEY.md §2.7, §7 step 7):
 
 - exact dedup: content-hash groupBy (one shuffle on the hash);
-- MinHash: per-document signature computed entirely inside one
-  projection — shingle array → per-hash transform → array_min — no
-  explode, no shuffle; the only shuffle in the near-dup pipeline is the
-  LSH band self-join;
-- SimHash: sign-aggregated token hashes, same shuffle-free shape;
+- MinHash: shingle codes hashed once via explode, then the 16 affine
+  variants reduced by a map-side partial aggregate — the shuffle
+  carries one row per document after combine (see ``shingle_codes``
+  for why the explode beats a pure-projection variant ~20×);
+- SimHash: the same explode + partial-aggregate shape over token codes;
 - n-gram Jaccard: candidate pairs via shared-shingle equi-join
   (explode → join on shingle → per-pair count), the scale-safe
   alternative to the quadratic all-pairs comparison.
@@ -153,15 +153,34 @@ def ngram_jaccard_pairs(
     threshold: float = 0.03,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared, jaccard): word-n-gram Jaccard similarity
-    for pairs sharing ≥1 n-gram. Join on the shingle (scale-safe: cost
-    ∝ Σ per-shingle df², not |docs|²), then
-    J = shared / (|A| + |B| − shared)."""
+    for pairs sharing ≥1 n-gram. Join on the shingle (cost ∝ Σ
+    per-shingle df², not |docs|²), then J = shared / (|A| + |B| − shared).
+
+    ``max_gram_df`` drops grams whose document frequency exceeds the
+    cap BEFORE the self-join — a stopword-ish gram with df=10⁶ alone
+    contributes 10¹² join rows, so without the cap Σdf² is unbounded
+    at corpus scale (standard suffix/prefix-filtering practice). Pair
+    sizes |A|,|B| keep the full gram counts; only candidate generation
+    is pruned, so a capped run under-counts n_shared for pairs whose
+    overlap was exclusively hot grams (the usual recall trade)."""
     grams = docs.select(
         F.col(id_col), F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    if max_gram_df is not None:
+        from pyspark.sql import Window
+
+        # the df window shares the join's (gram) partitioning — no
+        # extra exchange beyond the one the self-join needs anyway
+        w = Window.partitionBy("gram")
+        grams = (
+            grams.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_gram_df)
+            .drop("_df")
+        )
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (

@@ -70,6 +70,20 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL decode for one format: BMP headers are parseable with the
+    stdlib alone — 'BM' magic, then the BITMAPINFOHEADER carries
+    int32-LE width at byte 18 and height at byte 22 (negative height =
+    top-down row order; dimension is its magnitude). Returns None for
+    non-BMP payloads."""
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return abs(width), abs(height)
+
+
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     """DETERMINISTIC FAKE decoder (no codecs in this container): derives
     pseudo-dimensions from payload bytes. Replace with PIL/ffmpeg when
@@ -78,16 +92,22 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return 16 + h % 64, 16 + (h // 64) % 64
 
 
+def _decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real BMP parse when the payload is BMP; marked fake otherwise."""
+    return _bmp_dims(payload) or _fake_decode_dims(payload)
+
+
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Decode step over ``mapInPandas``: Arrow batches in, decoded
-    metadata out. Uses the real codec when available, else the marked
-    deterministic fake (or raise — see ``strict``)."""
+    metadata out. BMP payloads decode for real (stdlib header parse);
+    other formats use the real codec when available, else the marked
+    deterministic fake."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if HAVE_PIL:  # pragma: no cover
                 raise NotImplementedError("real codec path not wired in this container")
-            dims = pdf["data"].map(_fake_decode_dims)
+            dims = pdf["data"].map(_decode_dims)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

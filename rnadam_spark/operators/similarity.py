@@ -6,17 +6,37 @@ the all-pairs comparison is quadratic, while the bucketed variant costs
 one projection pass + a self-join whose fan-out is bounded by bucket
 occupancy. Hyperplanes are deterministic ±1 patterns (seeded), inlined
 as literals in both the Spark plan and the oracle SQL.
+
+Scale guards (both are load-bearing at 100 TB, not knobs):
+
+- the plane count must GROW with the corpus — with p planes there are
+  only 2^p buckets, so expected occupancy is N/2^p and the candidate
+  self-join costs ~N²/2^p pairs. ``planes_for(n, target_bucket)`` gives
+  the sizing rule: p ≥ log₂(N / target occupancy). A fixed p is only
+  acceptable at a fixed N.
+- even a well-sized p leaves skewed buckets (near-duplicate embedding
+  farms, zero vectors); ``max_bucket`` on ``bucket_near_pairs`` drops
+  those buckets outright — a bucket of n emits n² pairs, so one hot
+  bucket can dominate the whole job. Same guard as
+  ``dedup.lsh_candidate_pairs``.
 """
 
 from __future__ import annotations
 
+import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
 DIM = 64
+
+
+def planes_for(n_vectors: int, target_bucket: int = 64) -> int:
+    """Plane count so expected bucket occupancy ≈ ``target_bucket``:
+    p = ceil(log₂(n / target)). 10⁹ vectors / target 64 → 24 planes."""
+    return max(1, math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket, 1))))
 
 
 def hyperplanes(n: int = N_PLANES, dim: int = DIM, seed: int = 99) -> list[list[int]]:
@@ -70,10 +90,13 @@ def brute_force_topk(
     )
 
 
-def lsh_buckets(embeddings: DataFrame, seed: int = 99, dim: int = DIM) -> DataFrame:
+def lsh_buckets(
+    embeddings: DataFrame, seed: int = 99, dim: int = DIM, n_planes: int = N_PLANES
+) -> DataFrame:
     """(vec_id, bucket): bucket = bit pattern of sign(v · hᵢ). ``dim``
-    must match the embedding width (zip_with null-pads otherwise)."""
-    planes = hyperplanes(dim=dim, seed=seed)
+    must match the embedding width (zip_with null-pads otherwise);
+    ``n_planes`` must be sized for the corpus — see ``planes_for``."""
+    planes = hyperplanes(n=n_planes, dim=dim, seed=seed)
     emb = _as_double("embedding")
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
@@ -84,11 +107,26 @@ def lsh_buckets(embeddings: DataFrame, seed: int = 99, dim: int = DIM) -> DataFr
 
 
 def bucket_near_pairs(
-    embeddings: DataFrame, min_cos: float = 0.0, seed: int = 99, dim: int = DIM
+    embeddings: DataFrame,
+    min_cos: float = 0.0,
+    seed: int = 99,
+    dim: int = DIM,
+    n_planes: int = N_PLANES,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos): cosine for pairs sharing an LSH bucket —
-    the ANN candidate verification step."""
-    with_bucket = lsh_buckets(embeddings, seed, dim).join(embeddings, "vec_id")
+    the ANN candidate verification step. ``max_bucket`` drops buckets
+    larger than the cap before the self-join (a bucket of n emits n²
+    pairs); the windowed count shares the join's (bucket) partitioning,
+    so the guard adds no extra exchange."""
+    with_bucket = lsh_buckets(embeddings, seed, dim, n_planes).join(embeddings, "vec_id")
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        with_bucket = (
+            with_bucket.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     return (

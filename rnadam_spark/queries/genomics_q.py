@@ -11,7 +11,7 @@ genomic pipeline itself (Index/Quantify/Tare over A-fixtures) lives in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rnadam_spark.functions.shingles import char_shingles
@@ -207,7 +207,7 @@ def em_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
     kc = kmer_doc_counts(spark, sf_dir)
     with_class = kc.select(
         "kmer",
-        F.xxhash64(F.col("doc_id"), F.col("cnt")).alias("class_id"),
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("cnt"))).alias("class_id"),
         F.col("doc_id").cast("string").alias("t_id"),
     )
     kmer_to_class_df = with_class.select("kmer", "class_id")
@@ -236,6 +236,86 @@ def em_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
         calibrate_length_bias=False,
     )
     return result.select("t_id", hround("abundance", 8).alias("abundance"))
+
+
+_EM2_ORACLE = f"""
+WITH kdc AS ({_KMER_DOC_COUNTS_SQL}),
+k2c AS (SELECT DISTINCT kmer, md5(CAST(cnt AS VARCHAR)) AS class_id FROM kdc),
+ct AS (SELECT DISTINCT md5(CAST(cnt AS VARCHAR)) AS class_id,
+              CAST(doc_id AS VARCHAR) AS t_id
+       FROM kdc),
+tl AS (SELECT CAST(doc_id AS VARCHAR) AS t_id, CAST(n_chars AS DOUBLE) AS t_len
+       FROM documents),
+kc AS (SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM ({_KMERS_SQL}) GROUP BY kmer),
+cc AS (SELECT class_id, sum(kc.cnt) AS cnt
+       FROM k2c JOIN kc USING (kmer) GROUP BY class_id),
+rel AS (SELECT class_id, cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM cc) AS rel_p FROM cc),
+alpha0 AS (SELECT ct.class_id, ct.t_id,
+                  cc.cnt / CAST(count(*) OVER (PARTITION BY ct.class_id) AS DOUBLE) AS alpha
+           FROM cc JOIN ct USING (class_id)),
+sum1 AS (SELECT t_id, sum(alpha * rel_p) AS sum_alpha
+         FROM alpha0 JOIN rel USING (class_id) GROUP BY t_id),
+raw1 AS (SELECT t_id, sum_alpha / (t_len - {K} + 1) AS mu_raw FROM sum1 JOIN tl USING (t_id)),
+mu1 AS (SELECT t_id, mu_raw / (SELECT sum(mu_raw) FROM raw1) AS mu FROM raw1),
+alpha1 AS (SELECT ct.class_id, ct.t_id,
+                  mu / sum(mu) OVER (PARTITION BY ct.class_id) AS alpha
+           FROM ct JOIN mu1 USING (t_id)),
+sum2 AS (SELECT t_id, sum(alpha * rel_p) AS sum_alpha
+         FROM alpha1 JOIN rel USING (class_id) GROUP BY t_id),
+raw2 AS (SELECT t_id, sum_alpha / (t_len - {K} + 1) AS mu_raw FROM sum2 JOIN tl USING (t_id)),
+mu2 AS (SELECT t_id, mu_raw / (SELECT sum(mu_raw) FROM raw2) AS mu FROM raw2)
+SELECT t_id, floor(mu * 100000000.0 + 0.5) / 100000000.0 AS mu FROM mu2
+"""
+
+
+@query("em_two_steps", oracle=_EM2_ORACLE)
+def em_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EM flagship with a hash-checkable oracle: the production
+    ``quantify()`` driver run for exactly one loop iteration
+    (init → M → E → M, Quantify.scala:90-114 unrolled), which IS
+    DuckDB-expressible as chained CTEs — so the driver's gate verifies
+    the same code path ``em_quantify`` runs for 5 (and production for
+    50) iterations, not a reimplementation.
+
+    Unlike ``em_quantify`` (classes per (doc, cnt) — one member each),
+    classes here are keyed by multiplicity alone, so each equivalence
+    class spans every document sharing that k-mer count and the E-step's
+    fraction-of-group window is genuinely multi-member.
+    """
+    from rnadam_spark.algorithms.quantify import quantify
+
+    docs = load_table(spark, sf_dir, "documents")
+    reads = docs.select(F.col("doc_id").alias("read_id"), F.col("text").alias("sequence"))
+    kc = kmer_doc_counts(spark, sf_dir)
+    class_of = F.md5(F.col("cnt").cast("string"))
+    kmer_to_class_df = kc.select("kmer", class_of.alias("class_id")).distinct()
+    class_transcripts = kc.select(
+        class_of.alias("class_id"), F.col("doc_id").cast("string").alias("t_id")
+    ).distinct()
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("t_id"),
+        F.lit("g").alias("gene_id"),
+        F.lit(True).alias("strand"),
+        F.array(
+            F.struct(
+                F.concat(F.col("doc_id").cast("string"), F.lit("e")).alias("exon_id"),
+                F.lit("c0").alias("contig"),
+                F.lit(0).cast("long").alias("start"),
+                (F.col("n_chars") + 1).cast("long").alias("end"),
+            )
+        ).alias("exons"),
+    )
+    result = quantify(
+        reads,
+        kmer_to_class_df,
+        class_transcripts,
+        transcripts,
+        k=K,
+        max_iterations=1,
+        calibrate_kmer_bias=False,
+        calibrate_length_bias=False,
+    )
+    return result.select("t_id", hround("abundance", 8).alias("mu"))
 
 
 @query(
@@ -274,19 +354,34 @@ def substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dinuc_context_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3–P5: 2-shingles filtered to a valid alphabet, then per-container
     fractional histogram (Tare.scala:88-101's dinucleotide featurization,
-    alphabet [a-z] for documents)."""
+    alphabet [a-z] for documents).
+
+    Zero-shuffle: the histogram is keyed by the container, so both the
+    per-(doc, bigram) count and the per-doc total are functions of one
+    input row — run-length counts over the sorted shingle array
+    (functions/runlength.py), same rewrite as kmer_doc_counts. The old
+    explode → groupBy(doc, bigram) → window(doc) plan paid two
+    exchanges for work the scan can carry for free.
+    """
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    valid = (
-        docs.select("doc_id", F.explode(char_shingles("text", 2)).alias("bigram"))
-        .filter(F.col("bigram").rlike("^[a-z]{2}$"))
+    valid = F.filter(char_shingles("text", 2), lambda x: x.rlike("^[a-z]{2}$"))
+    kc = with_value_counts(docs.select("doc_id", "text"), valid, "kc").drop("text")
+    rows = let_(
+        F.col("kc"),
+        lambda vc: let_(
+            F.aggregate(vc, F.lit(0).cast("long"), lambda acc, x: acc + x["cnt"]),
+            lambda total: F.transform(
+                vc,
+                lambda x: F.struct(
+                    x["value"].alias("bigram"),
+                    x["cnt"].alias("cnt"),
+                    hround(x["cnt"] / total.cast("double"), 6).alias("frac"),
+                ),
+            ),
+        ),
     )
-    counts = valid.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
-    w_doc = Window.partitionBy("doc_id")
-    return counts.select(
-        "doc_id",
-        "bigram",
-        "cnt",
-        hround(F.col("cnt") / F.sum("cnt").over(w_doc).cast("double"), 6).alias("frac"),
+    return kc.select("doc_id", F.explode(rows).alias("r")).select(
+        "doc_id", "r.bigram", "r.cnt", "r.frac"
     )
 
 

@@ -61,19 +61,30 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents", widen=True))
 
 
+LSH_MAX_BUCKET = 100  # scale guard: a bucket of n emits n² pairs
+
+
 @query(
     "lsh_candidate_pairs",
     oracle=f"""
     WITH sig AS ({_MINHASH_SQL}),
-    bands AS ({_BANDS_SQL})
+    bands AS ({_BANDS_SQL}),
+    capped AS (SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= {LSH_MAX_BUCKET})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b USING (band, band_sig)
+    FROM capped a JOIN capped b USING (band, band_sig)
     WHERE a.doc_id < b.doc_id
     """,
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding: near-dup candidates agreeing on ≥1 band."""
-    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents", widen=True))
+    """MinHash-LSH banding: near-dup candidates agreeing on ≥1 band.
+    The registered query runs with the ``max_bucket`` guard ON — a
+    boilerplate band bucket of n docs costs n² pairs, so the uncapped
+    operator does not survive a skewed corpus; the oracle mirrors the
+    cap with a windowed count filter."""
+    return dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents", widen=True), max_bucket=LSH_MAX_BUCKET
+    )
 
 
 _TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"
@@ -99,6 +110,9 @@ def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(load_table(spark, sf_dir, "documents", widen=True))
 
 
+NGRAM_MAX_DF = 100  # scale guard: a gram with df=d contributes d² join rows
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -108,9 +122,11 @@ def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
       FROM t)),
     sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    capped AS (SELECT * FROM g
+               QUALIFY count(*) OVER (PARTITION BY gram) <= {NGRAM_MAX_DF}),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-      FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+      FROM capped a JOIN capped b USING (gram) WHERE a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b, n_shared,
            floor((n_shared / CAST(sa.n_grams + sb.n_grams - n_shared AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
@@ -121,8 +137,12 @@ def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard near-dup pairs via shared-shingle join."""
-    df = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents", widen=True))
+    """Word-trigram Jaccard near-dup pairs via shared-shingle join,
+    with the gram-document-frequency cap ON (stopword-ish grams drive
+    Σdf² without it); the oracle mirrors the cap."""
+    df = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents", widen=True), max_gram_df=NGRAM_MAX_DF
+    )
     return df.select("doc_a", "doc_b", "n_shared", hround("jaccard", 6).alias("jaccard"))
 
 
@@ -172,10 +192,15 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 
+EMB_MAX_BUCKET = 100  # scale guard, same rationale as LSH_MAX_BUCKET
+
+
 @query(
     "embedding_bucket_pairs",
     oracle=f"""
-    WITH b AS (SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket, embedding FROM embeddings)
+    WITH b0 AS (SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket, embedding FROM embeddings),
+    b AS (SELECT * FROM b0
+          QUALIFY count(*) OVER (PARTITION BY bucket) <= {EMB_MAX_BUCKET})
     SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
            floor((list_dot_product(a.embedding::DOUBLE[], bb.embedding::DOUBLE[])
              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -190,8 +215,13 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN candidate verification: cosine over same-bucket pairs only."""
-    return similarity.bucket_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.0)
+    """ANN candidate verification: cosine over same-bucket pairs only,
+    with the bucket-size cap ON (mirrored in the oracle). The plane
+    count stays at 8 for the sf-scale corpus; at real scale it is sized
+    by ``similarity.planes_for`` — see that docstring."""
+    return similarity.bucket_near_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.0, max_bucket=EMB_MAX_BUCKET
+    )
 
 
 # ----------------------------------------------------------------- text

@@ -44,23 +44,34 @@ TRANSCRIPTS = T.StructType(
     ]
 )
 
+# class_id is a 128-bit content hash (md5 hex of the defining
+# (t_id, cnt) signature) — a 64-bit hash's birthday bound stops being
+# negligible at billions of classes, and the reference's zipWithUniqueId
+# LongType IDs (rice.avdl:25) were layout-dependent anyway.
 KMER_TO_CLASS = T.StructType(
     [
         T.StructField("kmer", T.StringType(), False),
-        T.StructField("class_id", T.LongType(), False),
+        T.StructField("class_id", T.StringType(), False),
     ]
 )
 
 CLASS_KMERS = T.StructType(
     [
-        T.StructField("class_id", T.LongType(), False),
+        T.StructField("class_id", T.StringType(), False),
         T.StructField("kmer", T.StringType(), False),
+    ]
+)
+
+CLASS_CONTENTS = T.StructType(
+    [
+        T.StructField("class_id", T.StringType(), False),
+        T.StructField("kmers", T.ArrayType(T.StringType()), False),
     ]
 )
 
 CLASS_TRANSCRIPTS = T.StructType(
     [
-        T.StructField("class_id", T.LongType(), False),
+        T.StructField("class_id", T.StringType(), False),
         T.StructField("t_id", T.StringType(), False),
     ]
 )

@@ -47,6 +47,17 @@ def test_lsh_bucket_cap(spark):
     assert dedup.lsh_candidate_pairs(docs).count() == 45  # 10 choose 2
 
 
+def test_ngram_gram_df_cap(spark):
+    # every doc shares one hot trigram; with the df cap below the
+    # gram's document frequency, the hot gram is pruned from candidate
+    # generation and no pair survives on it alone
+    rows = [(i, f"alpha beta gamma unique{i} token{i} word{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0).count()
+    assert uncapped == 28  # 8 choose 2, all sharing 'alpha beta gamma'
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_gram_df=5).count() == 0
+
+
 def test_simhash_near_dup_hamming(spark):
     sh = {r.doc_id: r.simhash for r in dedup.simhash16(_docs(spark)).collect()}
     assert sh[0] == sh[1]

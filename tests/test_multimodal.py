@@ -20,6 +20,32 @@ def test_decode_assets_stub(spark):
         assert 16 <= got[k].width < 80
 
 
+def _bmp_bytes(width, height):
+    """Minimal valid 24-bit BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER, no pixel data needed for header decode."""
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40, 0, 0, 14 + 40)
+    return header + info
+
+
+def test_decode_assets_real_bmp(spark):
+    # the one REAL codec path: BMP dimensions parsed from the header
+    # (stdlib struct, no image libs); non-BMP still hits the fake
+    rows = [
+        (10, "image", bytearray(_bmp_bytes(640, 480)), {}),
+        (11, "image", bytearray(_bmp_bytes(32, 2048)), {}),
+        # negative height = top-down BMP; dimension is the magnitude
+        (12, "image", bytearray(_bmp_bytes(100, -200)), {}),
+    ]
+    assets = spark.createDataFrame(rows, mm.ASSETS)
+    got = {r.asset_id: (r.width, r.height) for r in mm.decode_assets(assets).collect()}
+    assert got[10] == (640, 480)
+    assert got[11] == (32, 2048)
+    assert got[12] == (100, 200)
+
+
 def test_byte_histogram_features(spark):
     feats = {r.asset_id: r.features for r in mm.byte_histogram_features(_assets(spark)).collect()}
     assert len(feats[1]) == 16

@@ -11,6 +11,7 @@ from rnadam_spark.plans import (
     read_schema_columns,
 )
 from rnadam_spark.queries.genomics_q import (
+    dinuc_context_features,
     equivalence_classes,
     kmer_count,
     kmer_doc_counts,
@@ -63,7 +64,7 @@ def test_per_doc_runlength_queries_zero_shuffle(spark, sf_dir):
     # the sorted shingle array) — no hash/range exchange anywhere. The
     # widen-scan round-robin repartition is deliberately not counted:
     # it disappears on real multi-row-group inputs.
-    for q in (kmer_doc_counts, equivalence_classes, kmer_to_class):
+    for q in (kmer_doc_counts, equivalence_classes, kmer_to_class, dinuc_context_features):
         assert count_shuffles(q(spark, sf_dir)) == 0, q.__name__
 
 

@@ -16,31 +16,31 @@ def approx(a, b, eps=1e-6):
 def test_map_kmers_to_classes(spark):
     # QuantifySuite.scala:49-61
     kmer_to_class = spark.createDataFrame(
-        [("a", 2), ("b", 3), ("c", 2), ("d", 1), ("e", 3)], KMER_TO_CLASS
+        [("a", "2"), ("b", "3"), ("c", "2"), ("d", "1"), ("e", "3")], KMER_TO_CLASS
     )
     kmer_counts = spark.createDataFrame(
         [("d", 80), ("a", 25), ("c", 35), ("b", 37), ("e", 38)], KMER_COUNTS
     )
     got = {r.class_id: r.cnt for r in Q.map_kmers_to_classes(kmer_counts, kmer_to_class).collect()}
-    assert got == {1: 80, 2: 60, 3: 75}
+    assert got == {"1": 80, "2": 60, "3": 75}
 
 
 def test_initialize_em(spark):
     # QuantifySuite.scala:63-98
-    class_counts = spark.createDataFrame([(1, 45), (2, 52), (3, 49)], ["class_id", "cnt"])
+    class_counts = spark.createDataFrame([("1", 45), ("2", 52), ("3", 49)], ["class_id", "cnt"])
     members = (
-        [(1, t) for t in "abcde"]
-        + [(2, t) for t in "abcdefghijklm"]
-        + [(3, t) for t in "abcdefg"]
+        [("1", t) for t in "abcde"]
+        + [("2", t) for t in "abcdefghijklm"]
+        + [("3", t) for t in "abcdefg"]
     )
     class_transcripts = spark.createDataFrame(members, CLASS_TRANSCRIPTS)
     rows = Q.initialize_em(class_counts, class_transcripts).collect()
     by_class = {}
     for r in rows:
         by_class.setdefault(r.class_id, []).append(r.alpha)
-    assert len(by_class[1]) == 5 and all(approx(a, 9.0) for a in by_class[1])
-    assert len(by_class[2]) == 13 and all(approx(a, 4.0) for a in by_class[2])
-    assert len(by_class[3]) == 7 and all(approx(a, 7.0) for a in by_class[3])
+    assert len(by_class["1"]) == 5 and all(approx(a, 9.0) for a in by_class["1"])
+    assert len(by_class["2"]) == 13 and all(approx(a, 4.0) for a in by_class["2"])
+    assert len(by_class["3"]) == 7 and all(approx(a, 7.0) for a in by_class["3"])
 
 
 def test_e_step(spark):
@@ -48,18 +48,18 @@ def test_e_step(spark):
     weights = [("a", 2.0, [1, 3, 5, 6]), ("b", 3.0, [2, 4, 5]), ("c", 4.0, [1, 2, 5, 6, 7]), ("d", 5.0, [1, 2, 3])]
     mu = spark.createDataFrame([(t, m) for t, m, _ in weights], ["t_id", "mu"])
     edges = spark.createDataFrame(
-        [(c, t) for t, _, cs in weights for c in cs], CLASS_TRANSCRIPTS
+        [(str(c), t) for t, _, cs in weights for c in cs], CLASS_TRANSCRIPTS
     )
     rows = Q.e_step(mu, edges).collect()
     got = {(r.class_id, r.t_id): r.alpha for r in rows}
     expected = {
-        (1, "a"): 2 / 11, (1, "c"): 4 / 11, (1, "d"): 5 / 11,
-        (2, "b"): 0.25, (2, "c"): 1 / 3, (2, "d"): 5 / 12,
-        (3, "a"): 2 / 7, (3, "d"): 5 / 7,
-        (4, "b"): 1.0,
-        (5, "a"): 2 / 9, (5, "b"): 1 / 3, (5, "c"): 4 / 9,
-        (6, "a"): 1 / 3, (6, "c"): 2 / 3,
-        (7, "c"): 1.0,
+        ("1", "a"): 2 / 11, ("1", "c"): 4 / 11, ("1", "d"): 5 / 11,
+        ("2", "b"): 0.25, ("2", "c"): 1 / 3, ("2", "d"): 5 / 12,
+        ("3", "a"): 2 / 7, ("3", "d"): 5 / 7,
+        ("4", "b"): 1.0,
+        ("5", "a"): 2 / 9, ("5", "b"): 1 / 3, ("5", "c"): 4 / 9,
+        ("6", "a"): 1 / 3, ("6", "c"): 2 / 3,
+        ("7", "c"): 1.0,
     }
     assert set(got) == set(expected)
     for key, val in expected.items():

@@ -43,3 +43,25 @@ def test_bucket_near_pairs_contains_identical_pair(spark):
         for r in similarity.bucket_near_pairs(_emb(spark), min_cos=-1.0, dim=4).collect()
     }
     assert pairs[(0, 1)] == 1.0
+
+
+def test_bucket_near_pairs_max_bucket_drops_hot_bucket(spark):
+    # an embedding farm (identical vectors) lands in one bucket; the
+    # cap drops that bucket instead of emitting n² pairs
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert similarity.bucket_near_pairs(df, min_cos=-1.0, dim=4).count() == 66
+    assert similarity.bucket_near_pairs(df, min_cos=-1.0, dim=4, max_bucket=6).count() == 0
+
+
+def test_planes_for_sizing_rule():
+    # p ≥ log2(N / target occupancy): the plane count must grow with
+    # the corpus — fixed 8 planes only fits ~16k vectors at target 64
+    assert similarity.planes_for(16_384, 64) == 8
+    assert similarity.planes_for(1_000_000_000, 64) == 24
+    assert similarity.planes_for(100, 64) == 1  # never zero planes
+
+
+def test_lsh_buckets_param_plane_count(spark):
+    got = similarity.lsh_buckets(_emb(spark), dim=4, n_planes=4).collect()
+    assert all(0 <= r.bucket < 16 for r in got)

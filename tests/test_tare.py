@@ -74,6 +74,31 @@ def test_calibrate_tx_len_bias_golden(spark):
         assert abs(got[t] - 0.25) < 1e-6, got
 
 
+def test_calibrate_tx_len_bias_sampled_fit(spark):
+    # M3 (Tare.scala:152-156): sampling_rate < 1 subsamples the FIT
+    # input (the rescale still covers every transcript). Points are
+    # exactly collinear in log-space (µ ∝ len), so any non-degenerate
+    # subsample recovers the same line; tolerance loosened for the
+    # sample-size noise in the closed-form moments.
+    n = 101
+    rng = random.Random(113402062015)
+    lengths = [rng.randrange(1, 11) for _ in range(n)]
+    total = sum(lengths)
+    mu = spark.createDataFrame(
+        [(str(i), lengths[i] / total) for i in range(n)], ["t_id", "mu"]
+    )
+    t_len = spark.createDataFrame(
+        [(str(i), lengths[i]) for i in range(n)], ["t_id", "t_len"]
+    )
+    got = {
+        r.t_id: r.mu
+        for r in tare.calibrate_tx_len_bias(mu, t_len, sampling_rate=0.5).collect()
+    }
+    assert len(got) == n  # every transcript rescaled, not just the sample
+    for i in range(n):
+        assert abs(got[str(i)] - 1.0 / n) < 0.02
+
+
 @pytest.mark.parametrize("n", [11, 101])
 def test_calibrate_tx_len_bias_random(spark, n):
     # TareSuite.scala:120-147 shape: abundance ∝ length → uniform 1/n
