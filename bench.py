@@ -1,11 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "stages": {"index": {...}, "quantify": {...}},
+"sf": ...}.
 
 Each query is forced end-to-end with a noop sink (full materialization,
 no driver collect). A warmup action amortizes JVM/codegen startup out
-of the measurements.
+of the measurements. The ``stages`` blocks time the index build and the
+EM flagship stage-by-stage under the reference's Timers.scala names
+(BASELINE.md: per-stage timings so regressions are attributable).
 """
 
 from __future__ import annotations
@@ -40,7 +43,66 @@ HEADLINE = [
     "embedding_topk",
     "embedding_bucket_pairs",
     "quality_scores",
+    # the iterative reference workloads (VERDICT r1 #8): EM flagship +
+    # the distributed OLS length calibration
+    "em_quantify",
+    "length_bias_calibration",
 ]
+
+
+def _stage_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Per-stage timings for the index build and the EM flagship over
+    the documents tables (each document doubles as genome contig +
+    transcript, as in the em_quantify query)."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.algorithms.index import build_index
+    from rnadam_spark.algorithms.quantify import quantify
+    from rnadam_spark.instrument import StageTimers, force
+    from rnadam_spark.sources.tables import load_table
+
+    k = 5
+    docs = load_table(spark, sf_dir, "documents", widen=True).filter(F.col("n_chars") >= k)
+    genome = docs.select(
+        F.col("doc_id").cast("string").alias("contig"), F.col("text").alias("sequence")
+    )
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("t_id"),
+        F.lit("g").alias("gene_id"),
+        F.lit(True).alias("strand"),
+        F.array(
+            F.struct(
+                F.concat(F.col("doc_id").cast("string"), F.lit("e")).alias("exon_id"),
+                F.col("doc_id").cast("string").alias("contig"),
+                F.lit(0).cast("long").alias("start"),
+                (F.col("n_chars") + 1).cast("long").alias("end"),
+            )
+        ).alias("exons"),
+    )
+    reads = docs.select(F.col("doc_id").alias("read_id"), F.col("text").alias("sequence"))
+
+    idx_timers = StageTimers()
+    kmer_to_class, class_kmers, class_transcripts = build_index(
+        transcripts, genome, k, timers=idx_timers
+    )
+    force(kmer_to_class)
+
+    q_timers = StageTimers()
+    # kmer calibration stays off: the document alphabet has no valid
+    # ACGT dinucleotide contexts (featurize would raise, by contract)
+    result = quantify(
+        reads,
+        kmer_to_class,
+        class_transcripts,
+        transcripts,
+        k=k,
+        max_iterations=5,
+        calibrate_kmer_bias=False,
+        calibrate_length_bias=True,
+        timers=q_timers,
+    )
+    force(result.select("t_id", "abundance"))
+    return {"index": idx_timers.as_dict(), "quantify": q_timers.as_dict()}
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -78,6 +140,8 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    stages = _stage_blocks(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -86,6 +150,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stages": stages,
                 "sf": _sf_from_dir(sf_dir),
             }
         )

@@ -63,12 +63,17 @@ def force(df: DataFrame) -> None:
 
 
 def timed(timers: StageTimers | None, name: str, df: DataFrame) -> DataFrame:
-    """Under instrumentation: cache ``df``, force it under ``name``'s
-    timer, return the cached frame (downstream reads the cache, so the
-    next stage's time excludes this one). Without: identity."""
+    """Under instrumentation: materialize ``df`` under ``name``'s timer
+    via ``localCheckpoint(eager=True)`` and return the checkpointed
+    frame — downstream stages read the stored partitions, so each
+    number is that stage's marginal cost. Checkpoint (not cache) on
+    purpose: caching keeps the full child plan inside every
+    InMemoryRelation, and across an iterative loop the nested plan
+    strings grow multiplicatively (observed: 16 GB OOM in
+    generateTreeString by EM iteration 3); the checkpoint truncates
+    lineage outright. Without timers: identity, fully lazy."""
     if timers is None:
         return df
-    df = df.cache()
     with timers.stage(name):
-        force(df)
+        df = df.localCheckpoint(eager=True)
     return df

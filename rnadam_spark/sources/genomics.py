@@ -39,9 +39,19 @@ def load_genome(spark: SparkSession, path: str) -> DataFrame:
 def save_index(kmer_to_class: DataFrame, class_kmers: DataFrame, out: str) -> None:
     """S5: persist the bidirectional index as two parquet datasets,
     mirroring the reference's ``<out>_kmers`` / ``<out>_classes`` pair
-    (cli/Index.scala:77-93)."""
+    (cli/Index.scala:77-93), plus ``<out>_contents`` in the declared
+    nested ClassContents shape (rice.avdl:23-31:
+    ``{equivalenceClass, array<string> kmers}``) — the flat form is the
+    join/agg surface; the nested form is schema parity at the edge only
+    (collect_list + sort_array, SURVEY.md §1.4)."""
     kmer_to_class.write.mode("overwrite").parquet(out + "_kmers")
     class_kmers.write.mode("overwrite").parquet(out + "_classes")
+    (
+        class_kmers.groupBy("class_id")
+        .agg(F.sort_array(F.collect_list("kmer")).alias("kmers"))
+        .write.mode("overwrite")
+        .parquet(out + "_contents")
+    )
 
 
 def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

@@ -59,8 +59,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False)
         key = (path, target)
         needs = _SCAN_PARALLELISM_CACHE.get(key)
         if needs is None:
-            # .rdd compiles the physical plan — do it once per table path
-            needs = df.rdd.getNumPartitions() < target
+            est = _estimated_scan_tasks(spark, df)
+            needs = est is not None and est < target
             _SCAN_PARALLELISM_CACHE[key] = needs
         if needs:
             df = df.repartition(target)
@@ -68,6 +68,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False)
 
 
 _SCAN_PARALLELISM_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def _conf_bytes(spark: SparkSession, name: str, default: int) -> int:
+    try:
+        raw = spark.conf.get(name, str(default))
+        return int(str(raw).lower().rstrip("b"))
+    except ValueError:
+        return default
+
+
+def _estimated_scan_tasks(spark: SparkSession, df: DataFrame) -> int | None:
+    """Estimate the scan's task count from file metadata alone,
+    replicating FilePartition.maxSplitBytes — no RDD conversion, no
+    physical-plan compile (driver-side listing + os.stat only)."""
+    import math
+
+    sizes = []
+    for uri in df.inputFiles():
+        p = uri[len("file:") :] if uri.startswith("file:") else uri
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            return None  # non-local FS: fall back to "already parallel"
+    if not sizes:
+        return 0
+    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    total = sum(s + open_cost for s in sizes)
+    max_split = max(
+        1, min(max_part, max(open_cost, total // spark.sparkContext.defaultParallelism))
+    )
+    # files split into <= max_split chunks, then chunks (+ open cost)
+    # pack into partitions — the packing bound caps the chunk count
+    chunks = sum(math.ceil(s / max_split) for s in sizes if s) or len(sizes)
+    return min(chunks, math.ceil(total / max_split))
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -74,6 +74,55 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+USER_STATS = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_USER_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def user_running_stats_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total), re-emitted on every microbatch
+    that touches the user. This is the escape hatch for stateful logic
+    the built-in window/session aggregates can't express (the reference
+    has no streaming at all — north-star surface, SURVEY.md §2.7).
+
+    Scale notes: state is one tiny tuple per user key, partitioned by
+    the groupBy hash — memory ∝ distinct users per executor, not events;
+    Arrow batches keep the Python boundary amortized. A production
+    deployment would add a state timeout (GroupStateTimeout) to expire
+    idle users; the bounded test source keeps NoTimeout."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS,
+        stateStructType=_USER_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming DataFrame to completion against the current
     (bounded) source and return the materialized result."""

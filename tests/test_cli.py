@@ -7,13 +7,13 @@ from rnadam_spark import cli
 from rnadam_spark.algorithms import generators as gen
 from rnadam_spark.schemas import GENOME, READS, TRANSCRIPTS
 
+T_LEN = [400, 300, 350]
 
-def test_cli_index_then_quantify(spark, tmp_path):
-    # lay the generated transcripts end-to-end on one contig; the
-    # genome is their concatenation, exons address slices of it
-    t_len = [400, 300, 350]
-    abundances = [0.5, 0.3, 0.2]
-    seqs, names, _, _ = gen.generate_independent_transcripts(15, t_len, seed=77)
+
+def _write_fixtures(spark, tmp_path, abundances, n_reads=4000, seed_t=77, seed_r=88):
+    """Generate transcripts laid end-to-end on one contig + reads drawn
+    with the given abundances; write genome/genes/reads parquet."""
+    seqs, names, _, _ = gen.generate_independent_transcripts(15, T_LEN, seed=seed_t)
     genome_seq = "".join(seqs)
     offsets = []
     pos = 0
@@ -36,29 +36,17 @@ def test_cli_index_then_quantify(spark, tmp_path):
         ],
         TRANSCRIPTS,
     )
-    reads = gen.generate_reads(seqs, abundances, 4000, 50, seed=88)
+    reads = gen.generate_reads(seqs, abundances, n_reads, 50, seed=seed_r)
     reads_df = spark.createDataFrame(list(enumerate(reads)), READS)
 
-    genome_p = str(tmp_path / "genome.parquet")
-    genes_p = str(tmp_path / "genes.parquet")
-    reads_p = str(tmp_path / "reads.parquet")
-    genome_df.write.parquet(genome_p)
-    transcripts_df.write.parquet(genes_p)
-    reads_df.write.parquet(reads_p)
+    paths = {n: str(tmp_path / f"{n}.parquet") for n in ("genome", "genes", "reads")}
+    genome_df.write.parquet(paths["genome"])
+    transcripts_df.write.parquet(paths["genes"])
+    reads_df.write.parquet(paths["reads"])
+    return names, paths
 
-    index_prefix = str(tmp_path / "index")
-    cli.main(["index", genome_p, genes_p, "15", index_prefix])
-    assert glob.glob(index_prefix + "_kmers/*.parquet")
-    assert glob.glob(index_prefix + "_classes/*.parquet")
 
-    out = str(tmp_path / "result")
-    cli.main(
-        [
-            "quantify", reads_p, index_prefix, genes_p, "15", out,
-            "-max_iterations", "15",
-            "-disable_kmer_calibration", "-disable_length_calibration",
-        ]
-    )
+def _read_result(out):
     lines = []
     for f in glob.glob(out + "/part-*"):
         with open(f) as fh:
@@ -67,8 +55,66 @@ def test_cli_index_then_quantify(spark, tmp_path):
     for line in lines:
         t_id, ab = line.split(", ")
         got[t_id] = float(ab)
+    return got
+
+
+def test_cli_index_then_quantify(spark, tmp_path):
+    abundances = [0.5, 0.3, 0.2]
+    names, paths = _write_fixtures(spark, tmp_path, abundances)
+
+    index_prefix = str(tmp_path / "index")
+    cli.main(["index", paths["genome"], paths["genes"], "15", index_prefix])
+    assert glob.glob(index_prefix + "_kmers/*.parquet")
+    assert glob.glob(index_prefix + "_classes/*.parquet")
+
+    # nested ClassContents edge output matches the declared Avro IDL
+    # shape (rice.avdl:23-31): (class_id, sorted array<string> kmers)
+    contents = spark.read.parquet(index_prefix + "_contents")
+    assert [(f.name, f.dataType.simpleString()) for f in contents.schema.fields] == [
+        ("class_id", "string"),
+        ("kmers", "array<string>"),
+    ]
+    sample = contents.limit(5).collect()
+    assert sample and all(r.kmers == sorted(r.kmers) for r in sample)
+
+    out = str(tmp_path / "result")
+    cli.main(
+        [
+            "quantify", paths["reads"], index_prefix, paths["genes"], "15", out,
+            "-max_iterations", "15",
+            "-disable_kmer_calibration", "-disable_length_calibration",
+        ]
+    )
+    got = _read_result(out)
     assert len(got) == 3
     # width−1 length rule makes t_len = len−1 (the reference's own e2e
     # setup has the same off-by-one, QuantifySuite.scala:400-407)
     for i, expected in enumerate(abundances):
         assert abs(got[names[i]] - expected) <= 0.05, (got, expected)
+
+
+def test_cli_full_calibration_pipeline(spark, tmp_path):
+    # The reference's DEFAULT quantify runs with BOTH calibrations ON
+    # (cli/Quantify.scala:57-65); this is the P6+M1 ∘ P7+M2 composition
+    # no unit test exercises. Reads ∝ length (pure length bias,
+    # QuantifySuite.scala:589-630): with calibration the pipeline must
+    # recover ~uniform abundances.
+    total = sum(T_LEN)
+    biased = [x / total for x in T_LEN]
+    names, paths = _write_fixtures(spark, tmp_path, biased)
+
+    index_prefix = str(tmp_path / "index")
+    cli.main(["index", paths["genome"], paths["genes"], "15", index_prefix])
+
+    out = str(tmp_path / "result")
+    # no -disable_* flags: the reference's default configuration
+    cli.main(
+        [
+            "quantify", paths["reads"], index_prefix, paths["genes"], "15", out,
+            "-max_iterations", "15",
+        ]
+    )
+    got = _read_result(out)
+    assert len(got) == 3
+    for name in names:
+        assert abs(got[name] - 1.0 / 3) <= 0.05, got

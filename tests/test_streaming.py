@@ -29,6 +29,32 @@ def test_hourly_rollup_stream_matches_batch(spark, sf_dir, stream_events):
     assert len(stream) >= len(batch) - 50  # tail windows may be held back
 
 
+def test_user_running_stats_stateful_matches_batch(spark, sf_dir, stream_events):
+    # custom stateful operator (applyInPandasWithState): after draining
+    # the bounded source, the latest per-user snapshot must equal the
+    # batch groupBy totals exactly
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.sources.tables import load_table
+
+    got = se.run_to_memory(
+        se.user_running_stats_stream(stream_events), "user_stats_out", output_mode="update"
+    )
+    latest: dict[int, tuple[int, float]] = {}
+    for r in got.collect():  # update mode: later snapshots supersede
+        prev = latest.get(r.user_id)
+        if prev is None or r.n_events >= prev[0]:
+            latest[r.user_id] = (r.n_events, round(r.total_value, 6))
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("total"))
+        .collect()
+    }
+    assert latest == batch
+
+
 def test_sessionize_stream_matches_batch_session_counts(spark, sf_dir, stream_events):
     got = se.run_to_memory(
         se.sessionize_stream(stream_events), "sessions_out", output_mode="append"
