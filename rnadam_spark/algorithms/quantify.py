@@ -154,7 +154,11 @@ def quantify(
     from rnadam_spark import instrument as ins
     from rnadam_spark.algorithms import tare
 
-    t_len = ins.timed(timers, ins.EXTRACT_LENGTHS, transcript_lengths(transcripts))
+    # static across the loop and broadcast every iteration — cache so
+    # each broadcast exchange reads the materialized rows instead of
+    # re-deriving from the source scan
+    t_len = transcript_lengths(transcripts).cache()
+    t_len = ins.timed(timers, ins.EXTRACT_LENGTHS, t_len)
 
     kmer_counts = ins.timed(timers, ins.COUNT_KMERS, count_read_kmers(reads, k))
     if calibrate_kmer_bias:
@@ -164,7 +168,8 @@ def quantify(
     if timers is None:  # timed() caches; avoid double-cache under timers
         class_counts = class_counts.cache()
     class_counts = ins.timed(timers, ins.COUNT_CLASSES, class_counts)
-    rel_kmers = ins.timed(timers, ins.NORMALIZING, relative_class_kmers(class_counts))
+    rel_kmers = relative_class_kmers(class_counts).cache()  # static, broadcast per iteration
+    rel_kmers = ins.timed(timers, ins.NORMALIZING, rel_kmers)
 
     # the static membership-edge table, cached for reuse by every
     # iteration's E-step (rel_kmers joins happen inside m_step)

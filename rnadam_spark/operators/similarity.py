@@ -106,6 +106,81 @@ def lsh_buckets(
     return embeddings.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
+def _centroid_scores(emb: Column, centroids: list[list[int]]) -> Column:
+    """ARRAY<STRUCT<s,cid>> of dot products against every centroid; the
+    array_max of this is the argmax cell (struct ordering compares s
+    first, then cid — ties break to the larger cid, mirrored in the
+    oracle SQL's ORDER BY s DESC, cid DESC)."""
+    return F.array(
+        *[
+            F.struct(
+                dot(emb, F.array(*[F.lit(float(v)) for v in c])).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_cells(
+    embeddings: DataFrame, n_centroids: int = 16, seed: int = 1234, dim: int = DIM
+) -> DataFrame:
+    """(vec_id, cell): IVF coarse quantization — assign each vector to
+    its nearest centroid. Centroids are deterministic ±1 patterns (equal
+    norms, so dot-argmax ≡ cosine-argmax); assignment is a per-row
+    projection against broadcast literals — zero shuffle, scan-speed.
+    At scale the corpus is written partitioned/bucketed BY cell so a
+    probe reads only its cells' files."""
+    cents = hyperplanes(n=n_centroids, dim=dim, seed=seed)
+    cell = F.array_max(_centroid_scores(_as_double("embedding"), cents))["cid"]
+    return embeddings.select("vec_id", cell.cast("bigint").alias("cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 1234,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, cos): approximate top-k — score only vectors whose IVF
+    cell is among the query's ``n_probe`` nearest cells (the standard
+    IVF trade: ~n_probe/n_centroids of the corpus scored instead of all
+    of it; recall grows with n_probe). Complements the LSH-bucket path:
+    IVF gives tunable recall at query time, LSH gives join-free
+    all-pairs candidate generation."""
+    cents = hyperplanes(n=n_centroids, dim=dim, seed=seed)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double("embedding").alias("q_emb")
+    )
+    probes = (
+        q.select(F.explode(_centroid_scores(F.col("q_emb"), cents)).alias("sc"))
+        .orderBy(F.col("sc.s").desc(), F.col("sc.cid").desc())
+        .limit(n_probe)
+        .select(F.col("sc.cid").cast("bigint").alias("cell"))
+    )
+    cell = F.array_max(_centroid_scores(_as_double("embedding"), cents))["cid"]
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("cell", cell.cast("bigint"))
+        .join(F.broadcast(probes), "cell")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine(_as_double("embedding"), F.col("q_emb")).alias("cos_raw"),
+        )
+    )
+    return (
+        scored.select(
+            "vec_id", (F.floor(F.col("cos_raw") * 1e6 + F.lit(0.5)) / 1e6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def bucket_near_pairs(
     embeddings: DataFrame,
     min_cos: float = 0.0,

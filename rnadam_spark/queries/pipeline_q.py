@@ -224,6 +224,65 @@ def embedding_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTS = similarity.hyperplanes(n=16, dim=64, seed=1234)
+_CENTS_VALUES = ", ".join(
+    f"({cid}, {_plane_lit(c)}::DOUBLE[])" for cid, c in enumerate(_IVF_CENTS)
+)
+
+_IVF_CELLS_SQL = f"""
+WITH cents(cid, cvec) AS (VALUES {_CENTS_VALUES}),
+emb AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(e, cvec) DESC, cid DESC) AS rn
+  FROM emb CROSS JOIN cents)
+SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM ranked WHERE rn = 1
+"""
+
+
+@query("ivf_cells", oracle=_IVF_CELLS_SQL)
+def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: per-row argmax against broadcast
+    centroid literals — zero shuffle (the oracle's cross-join + window
+    formulation computes the same argmax)."""
+    return similarity.ivf_cells(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ivf_topk",
+    oracle=f"""
+    WITH cents(cid, cvec) AS (VALUES {_CENTS_VALUES}),
+    emb AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_dot_product(e, cvec) DESC, cid DESC) AS rn
+        FROM emb CROSS JOIN cents) WHERE rn = 1),
+    probes AS (
+      SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY list_dot_product(qe, cvec) DESC, cid DESC) AS rn
+        FROM cents CROSS JOIN q) WHERE rn <= 4),
+    scored AS (
+      SELECT emb.vec_id,
+             list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos_raw
+      FROM emb
+      JOIN cells USING (vec_id)
+      CROSS JOIN q
+      WHERE cells.cid IN (SELECT cid FROM probes) AND emb.vec_id != 0)
+    SELECT vec_id, floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 20
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k against vec_id=0 (4 of 16 cells
+    scored — the tunable-recall scale path beside LSH bucketing)."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
+
+
 # ----------------------------------------------------------------- text
 
 

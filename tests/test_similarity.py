@@ -54,6 +54,27 @@ def test_bucket_near_pairs_max_bucket_drops_hot_bucket(spark):
     assert similarity.bucket_near_pairs(df, min_cos=-1.0, dim=4, max_bucket=6).count() == 0
 
 
+def test_ivf_cells_deterministic_and_identical_share_cell(spark):
+    df = _emb(spark)
+    c1 = {r.vec_id: r.cell for r in similarity.ivf_cells(df, dim=4).collect()}
+    c2 = {r.vec_id: r.cell for r in similarity.ivf_cells(df.repartition(3), dim=4).collect()}
+    assert c1 == c2  # layout-independent assignment
+    assert c1[0] == c1[1]  # identical vectors share a cell
+
+
+def test_ivf_topk_finds_neighbors_in_probed_cells(spark):
+    # the identical vector shares the query's cell, so it is always in
+    # the probe set and must rank first with cos = 1
+    got = similarity.ivf_topk(_emb(spark), 0, k=4, n_centroids=8, n_probe=8, dim=4).collect()
+    # n_probe = n_centroids → exhaustive: must equal brute force
+    brute = similarity.brute_force_topk(_emb(spark), 0, 4).collect()
+    assert [(r.vec_id, r.cos) for r in got] == [(r.vec_id, r.cos) for r in brute]
+    probed = similarity.ivf_topk(_emb(spark), 0, k=4, n_centroids=8, n_probe=2, dim=4).collect()
+    assert probed[0].vec_id == 1 and probed[0].cos == 1.0
+    # probing fewer cells can only shrink the candidate set
+    assert len(probed) <= len(got)
+
+
 def test_planes_for_sizing_rule():
     # p ≥ log2(N / target occupancy): the plane count must grow with
     # the corpus — fixed 8 planes only fits ~16k vectors at target 64
