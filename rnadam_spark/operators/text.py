@@ -39,6 +39,30 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# GPT-2-style pre-tokenizer pattern: contractions, space-prefixed
+# letter/number runs, punctuation runs, whitespace fallback. Both Java
+# regex (Spark) and RE2 (DuckDB) support \p{L}/\p{N} with leftmost-first
+# alternation, so the two engines tokenize identically.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bpe_tokens, bytes_per_token): token counting with a
+    BPE-ish pre-tokenizer regex (the training-data budgeting stat —
+    whitespace tokens don't count; a real tokenizer would split the
+    pre-tokens further, so this is a stable lower bound). One
+    projection, scan-speed."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    n_bpe = F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$")))
+    return docs.select(
+        F.col(id_col),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        hround(
+            F.length(text_col).cast("double") / F.greatest(n_bpe, F.lit(1)).cast("double"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
 def _ratio(matched: Column, total: Column) -> Column:
     return matched.cast("double") / F.greatest(total, F.lit(1)).cast("double")
 

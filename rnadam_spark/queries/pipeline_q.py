@@ -301,6 +301,29 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
 
+_BPE_SQL_PATTERN = text.BPE_PATTERN.replace("'", "''")
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                      regexp_extract_all(text, '{_BPE_SQL_PATTERN}') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, n_chars,
+                 len(list_filter(toks, x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe
+          FROM t)
+    SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           floor((CAST(n_chars AS DOUBLE) / greatest(n_bpe, 1)) * 1000000.0 + 0.5) / 1000000.0 AS bytes_per_token
+    FROM c
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish-regex token counting (GPT-2 pre-tokenizer pattern) — the
+    training-data budgeting stat beside whitespace token_stats."""
+    return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "quality_scores",
     oracle=rf"""
