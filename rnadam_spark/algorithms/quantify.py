@@ -78,28 +78,50 @@ def relative_class_kmers(class_counts: DataFrame) -> DataFrame:
     )
 
 
-def initialize_em(class_counts: DataFrame, class_transcripts: DataFrame) -> DataFrame:
+def initialize_em(
+    class_counts: DataFrame, class_transcripts: DataFrame, skew_safe: bool = False
+) -> DataFrame:
     """alpha₀ (class_id, t_id, alpha): split each class count equally
-    across its member transcripts (A11, Quantify.scala:175-184)."""
-    w = Window.partitionBy("class_id")
-    return (
-        class_counts.join(class_transcripts, "class_id")
-        .select(
-            "class_id",
-            "t_id",
-            (F.col("cnt").cast("double") / F.count("*").over(w)).alias("alpha"),
+    across its member transcripts (A11, Quantify.scala:175-184).
+    ``skew_safe`` swaps the per-class count window for groupBy +
+    broadcast join — same rationale as ``e_step``."""
+    joined = class_counts.join(class_transcripts, "class_id")
+    if skew_safe:
+        sizes = class_transcripts.groupBy("class_id").agg(F.count("*").alias("_n"))
+        return joined.join(F.broadcast(sizes), "class_id").select(
+            "class_id", "t_id", (F.col("cnt").cast("double") / F.col("_n")).alias("alpha")
         )
+    w = Window.partitionBy("class_id")
+    return joined.select(
+        "class_id",
+        "t_id",
+        (F.col("cnt").cast("double") / F.count("*").over(w)).alias("alpha"),
     )
 
 
-def e_step(mu: DataFrame, class_transcripts: DataFrame) -> DataFrame:
+def e_step(mu: DataFrame, class_transcripts: DataFrame, skew_safe: bool = False) -> DataFrame:
     """E-step (A9, Quantify.scala:200-212): α(j,i) = µ̂_i / Σ_{t∈s_j} µ̂_t.
 
-    One broadcast join + one window — the reference's double shuffle
-    (flatMap → groupByKey) collapses into a single partition-by-class
-    window aggregate."""
+    Default: one broadcast join + one window — the reference's double
+    shuffle (flatMap → groupByKey) collapses into a single
+    partition-by-class window aggregate. Measured fastest at bench
+    scale, but ``Window.partitionBy(class_id)`` places a whole class in
+    ONE task — a mega-class (a handful of classes holding most edges,
+    plausible when classes key on k-mer multiplicity) funnels there.
+
+    ``skew_safe=True`` computes the class sums as groupBy + broadcast
+    join instead: sum() partial-aggregates map-side, so a hot class
+    contributes one row per input partition to the exchange regardless
+    of its size. Same α bit-for-bit (one double addition order may
+    differ; both paths pass the same goldens)."""
+    edges = class_transcripts.join(F.broadcast(mu), "t_id")
+    if skew_safe:
+        class_sums = edges.groupBy("class_id").agg(F.sum("mu").alias("_mu_sum"))
+        return edges.join(F.broadcast(class_sums), "class_id").select(
+            "class_id", "t_id", (F.col("mu") / F.col("_mu_sum")).alias("alpha")
+        )
     w = Window.partitionBy("class_id")
-    return class_transcripts.join(F.broadcast(mu), "t_id").select(
+    return edges.select(
         "class_id", "t_id", (F.col("mu") / F.sum("mu").over(w)).alias("alpha")
     )
 
@@ -144,6 +166,7 @@ def quantify(
     calibrate_length_bias: bool = True,
     checkpoint_every: int = 1,
     timers=None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Full pipeline (Quantify.scala:42-127): returns transcripts with
     an ``abundance`` column (relative abundances, sum 1).
@@ -175,7 +198,7 @@ def quantify(
     # iteration's E-step (rel_kmers joins happen inside m_step)
     edges = class_transcripts.cache()
 
-    alpha = initialize_em(class_counts, edges)
+    alpha = initialize_em(class_counts, edges, skew_safe=skew_safe)
     mu = m_step(alpha, t_len, k, rel_kmers)
     mu = ins.timed(timers, ins.INIT_EM, mu)
 
@@ -190,11 +213,11 @@ def quantify(
         if (i + 1) % checkpoint_every == 0:
             mu = mu.localCheckpoint(eager=True)
         if timers is None:
-            alpha = e_step(mu, edges)
+            alpha = e_step(mu, edges, skew_safe=skew_safe)
             mu = m_step(alpha, t_len, k, rel_kmers)
         else:
             with timers.stage(ins.EM_ITER):
-                alpha = ins.timed(timers, ins.E_STAGE, e_step(mu, edges))
+                alpha = ins.timed(timers, ins.E_STAGE, e_step(mu, edges, skew_safe=skew_safe))
                 mu = ins.timed(timers, ins.M_STAGE, m_step(alpha, t_len, k, rel_kmers))
 
     if calibrate_length_bias:

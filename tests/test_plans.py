@@ -68,6 +68,18 @@ def test_per_doc_runlength_queries_zero_shuffle(spark, sf_dir):
         assert count_shuffles(q(spark, sf_dir)) == 0, q.__name__
 
 
+def test_ivf_queries_zero_shuffle(spark, sf_dir):
+    # IVF cell assignment is a per-row argmax against centroid literals;
+    # the probed top-k adds only broadcasts + TakeOrdered — no exchange
+    from rnadam_spark.queries.pipeline_q import bpe_token_stats, ivf_cells, ivf_topk
+
+    assert count_shuffles(ivf_cells(spark, sf_dir)) == 0
+    df = ivf_topk(spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert has_broadcast_join(df)
+    assert count_shuffles(bpe_token_stats(spark, sf_dir)) == 0
+
+
 def test_fraction_of_group_single_shuffle(spark, sf_dir):
     # the E-step shape: one hash exchange for the window, no regrouping
     assert count_shuffles(fraction_of_group(spark, sf_dir)) == 1
