@@ -6,6 +6,7 @@ that reproduces the exact same portable hash arithmetic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_sql
 from rnadam_spark.functions.rounding import hround
@@ -324,9 +325,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "quality_scores",
-    oracle=rf"""
+_QUALITY_SQL = rf"""
     WITH t AS (
       SELECT doc_id, text, {_TOKS_SQL} AS toks,
              length(text) AS n_chars,
@@ -347,8 +346,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio * 2, 0.3)
                   + least(stopword_ratio, 0.2)) * 1000000.0 + 0.5) / 1000000.0 AS quality
     FROM r
-    """,
-)
+    """
+
+
+@query("quality_scores", oracle=_QUALITY_SQL)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_scores(load_table(spark, sf_dir, "documents"))
 
@@ -366,9 +367,7 @@ _LANG_CASE = (
 )
 
 
-@query(
-    "lang_id_scores",
-    oracle=f"""
+_LANG_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     s AS (SELECT doc_id,
        {_LANG_SCORES}
@@ -377,11 +376,48 @@ _LANG_CASE = (
     SELECT doc_id, {_LANG_CASE} AS predicted_lang,
            floor(m * 1000000.0 + 0.5) / 1000000.0 AS best_score
     FROM m
-    """,
-)
+    """
+
+
+@query("lang_id_scores", oracle=_LANG_SQL)
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic (argmax, first-wins ties)."""
     return text.lang_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "curated_documents",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    lng AS ({_LANG_SQL}),
+    canon AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+              FROM documents GROUP BY md5(text))
+    SELECT q.doc_id, q.quality, lng.predicted_lang, canon.n_dups
+    FROM q
+    JOIN lng ON q.doc_id = lng.doc_id
+    JOIN canon ON q.doc_id = canon.doc_id
+    WHERE q.quality >= 0.9 AND lng.predicted_lang = 'en'
+    """,
+)
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite a training-data user actually runs: exact-dedup to
+    canonical docs ∘ quality filter ∘ language filter, in one plan.
+    Every stage is a per-row projection except the dedup groupBy; the
+    quality/lang joins are doc_id-equi and co-partition with it. The
+    filter on rounded quality uses the identical rounded value on both
+    engines, so the predicate cannot disagree at the boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    lng = text.lang_scores(docs).select("doc_id", "predicted_lang")
+    canon = dedup.exact_dup_groups(docs).select(
+        F.col("canonical_id").alias("doc_id"), "n_dups"
+    )
+    return (
+        q.join(lng, "doc_id")
+        .join(canon, "doc_id")
+        .filter((F.col("quality") >= 0.9) & (F.col("predicted_lang") == "en"))
+        .select("doc_id", "quality", "predicted_lang", "n_dups")
+    )
 
 
 @query(
