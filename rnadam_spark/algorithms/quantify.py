@@ -126,11 +126,30 @@ def e_step(mu: DataFrame, class_transcripts: DataFrame, skew_safe: bool = False)
     )
 
 
-def m_step(alpha: DataFrame, t_len: DataFrame, k: int, rel_kmers: DataFrame) -> DataFrame:
+def normalize_mu(mus: DataFrame, col: str = "mu") -> DataFrame:
+    """µ̂ = µ / Σµ via broadcast 1-row total (an empty-partition window
+    would funnel all transcripts through one task)."""
+    total = mus.agg(F.sum(col).alias("_total"))
+    return mus.crossJoin(F.broadcast(total)).select(
+        "t_id", (F.col(col) / F.col("_total")).alias("mu")
+    )
+
+
+def m_step(
+    alpha: DataFrame, t_len: DataFrame, k: int, rel_kmers: DataFrame, normalize: bool = True
+) -> DataFrame:
     """M-step (A10, Quantify.scala:238-275): µ_i = Σ_j α(j,i)·k_j / l̂_i,
     then normalize µ̂_i = µ_i / Σ µ. ``rel_kmers`` and ``t_len`` ride
     broadcast joins (the reference broadcast tLen and closed over a
-    collected rel-kmers map)."""
+    collected rel-kmers map).
+
+    ``normalize=False`` skips the per-step global rescale: the E-step's
+    fraction-of-group is scale-invariant, so inside the EM loop the
+    normalization is mathematically inert — the reference normalized
+    every step (Quantify.scala:261-275), which costs a second
+    materialization of the µ subtree (the total's aggregate) plus a
+    broadcast per iteration. The loop normalizes once at the end; the
+    unit goldens pin the normalized single-step form."""
     mus = (
         alpha.join(F.broadcast(rel_kmers), "class_id")
         .groupBy("t_id")
@@ -141,12 +160,9 @@ def m_step(alpha: DataFrame, t_len: DataFrame, k: int, rel_kmers: DataFrame) -> 
             (F.col("sum_alpha") / (F.col("t_len") - F.lit(k) + 1)).alias("mu_raw"),
         )
     )
-    # normalize via broadcast 1-row total (an empty-partition window
-    # would funnel all transcripts through one task)
-    total = mus.agg(F.sum("mu_raw").alias("_total"))
-    return mus.crossJoin(F.broadcast(total)).select(
-        "t_id", (F.col("mu_raw") / F.col("_total")).alias("mu")
-    )
+    if not normalize:
+        return mus.withColumnRenamed("mu_raw", "mu")
+    return normalize_mu(mus, "mu_raw")
 
 
 def join_transcripts(transcripts: DataFrame, mu: DataFrame) -> DataFrame:
@@ -199,7 +215,7 @@ def quantify(
     edges = class_transcripts.cache()
 
     alpha = initialize_em(class_counts, edges, skew_safe=skew_safe)
-    mu = m_step(alpha, t_len, k, rel_kmers)
+    mu = m_step(alpha, t_len, k, rel_kmers, normalize=False)
     mu = ins.timed(timers, ins.INIT_EM, mu)
 
     for i in range(max_iterations):
@@ -214,11 +230,17 @@ def quantify(
             mu = mu.localCheckpoint(eager=True)
         if timers is None:
             alpha = e_step(mu, edges, skew_safe=skew_safe)
-            mu = m_step(alpha, t_len, k, rel_kmers)
+            mu = m_step(alpha, t_len, k, rel_kmers, normalize=False)
         else:
             with timers.stage(ins.EM_ITER):
                 alpha = ins.timed(timers, ins.E_STAGE, e_step(mu, edges, skew_safe=skew_safe))
-                mu = ins.timed(timers, ins.M_STAGE, m_step(alpha, t_len, k, rel_kmers))
+                mu = ins.timed(
+                    timers, ins.M_STAGE, m_step(alpha, t_len, k, rel_kmers, normalize=False)
+                )
+
+    # one global rescale replaces the reference's per-iteration ones —
+    # scale cancels inside the loop (see m_step docstring)
+    mu = normalize_mu(mu)
 
     if calibrate_length_bias:
         mu = ins.timed(timers, ins.CAL_LENGTH, tare.calibrate_tx_len_bias(mu, t_len))
