@@ -64,10 +64,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_MAX_BUCKET = 100  # scale guard: a bucket of n emits n² pairs
 
-
-@query(
-    "lsh_candidate_pairs",
-    oracle=f"""
+_LSH_PAIRS_SQL = f"""
     WITH sig AS ({_MINHASH_SQL}),
     bands AS ({_BANDS_SQL}),
     capped AS (SELECT * FROM bands
@@ -75,8 +72,10 @@ LSH_MAX_BUCKET = 100  # scale guard: a bucket of n emits n² pairs
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM capped a JOIN capped b USING (band, band_sig)
     WHERE a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("lsh_candidate_pairs", oracle=_LSH_PAIRS_SQL)
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding: near-dup candidates agreeing on ≥1 band.
     The registered query runs with the ``max_bucket`` guard ON — a
@@ -86,6 +85,38 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(
         load_table(spark, sf_dir, "documents", widen=True), max_bucket=LSH_MAX_BUCKET
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    sym AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs
+            UNION
+            SELECT doc_b AS node, doc_a AS nbr FROM pairs),
+    walk(node, lbl) AS (
+      SELECT node, node FROM sym
+      UNION
+      SELECT s.node, w.lbl FROM sym s JOIN walk w ON s.nbr = w.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the LSH candidate pairs: connected
+    components of the pair graph via alternating large-star/small-star
+    rounds (operators/clustering.py — O(log n) rounds, edge-set state
+    localCheckpointed per round). ``component`` is the min doc_id of the
+    component, i.e. the canonical-duplicate id. The oracle walks the
+    same graph with a recursive CTE (min label over reachability) —
+    feasible at oracle scale, while the star rounds are the 100 TB path."""
+    from rnadam_spark.operators import clustering
+
+    pairs = dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents", widen=True), max_bucket=LSH_MAX_BUCKET
+    )
+    cc = clustering.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "component")
 
 
 _TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"
