@@ -133,6 +133,10 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
+    # drop caches the warmup queries left behind (the EM queries cache
+    # their static tables) so measured queries start from a clean store
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -17,11 +17,12 @@ State tables (all flat):
   alpha              (class_id, t_id, alpha)   — E-state
   mu                 (t_id, mu)                — M-state (n_transcripts rows)
 
-Scale design (100 TB): the per-iteration joins put the small
-per-transcript ``mu`` table on the broadcast side, so each EM iteration
-is exactly two shuffles of the edge table — the window by class_id and
-the groupBy t_id — independent of iteration count; membership edges are
-joined with ``rel_kmers`` once up front and cached.
+Scale design (100 TB): the membership edges are enriched with BOTH
+static dimensions (``rel_kmers``, ``t_len``) once up front and cached,
+so each EM iteration is exactly one broadcast (the tiny per-transcript
+``mu`` table) plus two shuffles of the edge table — the window by
+class_id and the groupBy t_id — independent of iteration count, with no
+dimension joins inside the loop.
 """
 
 from __future__ import annotations
@@ -78,23 +79,37 @@ def relative_class_kmers(class_counts: DataFrame) -> DataFrame:
     )
 
 
+def _extra_cols(class_transcripts: DataFrame) -> list[str]:
+    """Static dimension columns riding on an enriched edge table (the
+    EM loop pre-joins ``rel_p``/``t_len`` into the cached edges once, so
+    per-iteration plans carry them as passthrough columns instead of
+    re-broadcasting the dimension tables every iteration)."""
+    return [c for c in class_transcripts.columns if c not in ("class_id", "t_id")]
+
+
 def initialize_em(
     class_counts: DataFrame, class_transcripts: DataFrame, skew_safe: bool = False
 ) -> DataFrame:
     """alpha₀ (class_id, t_id, alpha): split each class count equally
     across its member transcripts (A11, Quantify.scala:175-184).
     ``skew_safe`` swaps the per-class count window for groupBy +
-    broadcast join — same rationale as ``e_step``."""
+    broadcast join — same rationale as ``e_step``. Extra columns on
+    ``class_transcripts`` pass through."""
+    extra = _extra_cols(class_transcripts)
     joined = class_counts.join(class_transcripts, "class_id")
     if skew_safe:
         sizes = class_transcripts.groupBy("class_id").agg(F.count("*").alias("_n"))
         return joined.join(F.broadcast(sizes), "class_id").select(
-            "class_id", "t_id", (F.col("cnt").cast("double") / F.col("_n")).alias("alpha")
+            "class_id",
+            "t_id",
+            *extra,
+            (F.col("cnt").cast("double") / F.col("_n")).alias("alpha"),
         )
     w = Window.partitionBy("class_id")
     return joined.select(
         "class_id",
         "t_id",
+        *extra,
         (F.col("cnt").cast("double") / F.count("*").over(w)).alias("alpha"),
     )
 
@@ -113,16 +128,20 @@ def e_step(mu: DataFrame, class_transcripts: DataFrame, skew_safe: bool = False)
     join instead: sum() partial-aggregates map-side, so a hot class
     contributes one row per input partition to the exchange regardless
     of its size. Same α bit-for-bit (one double addition order may
-    differ; both paths pass the same goldens)."""
-    edges = class_transcripts.join(F.broadcast(mu), "t_id")
+    differ; both paths pass the same goldens).
+
+    Extra columns on ``class_transcripts`` pass through (the EM loop's
+    enriched edge table)."""
+    extra = _extra_cols(class_transcripts)
+    edges = class_transcripts.join(F.broadcast(mu.select("t_id", "mu")), "t_id")
     if skew_safe:
         class_sums = edges.groupBy("class_id").agg(F.sum("mu").alias("_mu_sum"))
         return edges.join(F.broadcast(class_sums), "class_id").select(
-            "class_id", "t_id", (F.col("mu") / F.col("_mu_sum")).alias("alpha")
+            "class_id", "t_id", *extra, (F.col("mu") / F.col("_mu_sum")).alias("alpha")
         )
     w = Window.partitionBy("class_id")
     return edges.select(
-        "class_id", "t_id", (F.col("mu") / F.sum("mu").over(w)).alias("alpha")
+        "class_id", "t_id", *extra, (F.col("mu") / F.sum("mu").over(w)).alias("alpha")
     )
 
 
@@ -136,12 +155,20 @@ def normalize_mu(mus: DataFrame, col: str = "mu") -> DataFrame:
 
 
 def m_step(
-    alpha: DataFrame, t_len: DataFrame, k: int, rel_kmers: DataFrame, normalize: bool = True
+    alpha: DataFrame,
+    t_len: DataFrame | None,
+    k: int,
+    rel_kmers: DataFrame | None,
+    normalize: bool = True,
 ) -> DataFrame:
     """M-step (A10, Quantify.scala:238-275): µ_i = Σ_j α(j,i)·k_j / l̂_i,
-    then normalize µ̂_i = µ_i / Σ µ. ``rel_kmers`` and ``t_len`` ride
-    broadcast joins (the reference broadcast tLen and closed over a
-    collected rel-kmers map).
+    then normalize µ̂_i = µ_i / Σ µ. With ``rel_kmers``/``t_len`` given,
+    they ride broadcast joins (the reference broadcast tLen and closed
+    over a collected rel-kmers map); passing ``None`` means ``alpha``
+    already carries ``rel_p``/``t_len`` columns — the EM loop pre-joins
+    both static dimensions into its cached edge table once, so the
+    per-iteration plan has NO dimension joins at all (one groupBy; the
+    only broadcast in the loop is the tiny µ table in the E-step).
 
     ``normalize=False`` skips the per-step global rescale: the E-step's
     fraction-of-group is scale-invariant, so inside the EM loop the
@@ -150,15 +177,22 @@ def m_step(
     materialization of the µ subtree (the total's aggregate) plus a
     broadcast per iteration. The loop normalizes once at the end; the
     unit goldens pin the normalized single-step form."""
-    mus = (
-        alpha.join(F.broadcast(rel_kmers), "class_id")
-        .groupBy("t_id")
-        .agg(F.sum(F.col("alpha") * F.col("rel_p")).alias("sum_alpha"))
-        .join(F.broadcast(t_len), "t_id")
-        .select(
-            "t_id",
-            (F.col("sum_alpha") / (F.col("t_len") - F.lit(k) + 1)).alias("mu_raw"),
+    x = alpha if rel_kmers is None else alpha.join(F.broadcast(rel_kmers), "class_id")
+    if t_len is None:
+        # t_len is functionally dependent on t_id; grouping on both
+        # keeps it available without a join or first()
+        g = x.groupBy("t_id", "t_len").agg(
+            F.sum(F.col("alpha") * F.col("rel_p")).alias("sum_alpha")
         )
+    else:
+        g = (
+            x.groupBy("t_id")
+            .agg(F.sum(F.col("alpha") * F.col("rel_p")).alias("sum_alpha"))
+            .join(F.broadcast(t_len), "t_id")
+        )
+    mus = g.select(
+        "t_id",
+        (F.col("sum_alpha") / (F.col("t_len") - F.lit(k) + 1)).alias("mu_raw"),
     )
     if not normalize:
         return mus.withColumnRenamed("mu_raw", "mu")
@@ -210,12 +244,21 @@ def quantify(
     rel_kmers = relative_class_kmers(class_counts).cache()  # static, broadcast per iteration
     rel_kmers = ins.timed(timers, ins.NORMALIZING, rel_kmers)
 
-    # the static membership-edge table, cached for reuse by every
-    # iteration's E-step (rel_kmers joins happen inside m_step)
-    edges = class_transcripts.cache()
+    # the static membership-edge table, enriched ONCE with both static
+    # dimensions (class share rel_p, transcript length) and cached: the
+    # per-iteration plans then carry rel_p/t_len as passthrough columns,
+    # so each EM iteration is one broadcast (tiny µ) + two shuffles of
+    # the edge table — no dimension re-broadcasts inside the loop.
+    # Classes absent from class_counts drop here; their α rows carried
+    # zero weight into the M-step's rel_p join anyway.
+    edges = (
+        class_transcripts.join(F.broadcast(rel_kmers), "class_id")
+        .join(F.broadcast(t_len), "t_id")
+        .cache()
+    )
 
     alpha = initialize_em(class_counts, edges, skew_safe=skew_safe)
-    mu = m_step(alpha, t_len, k, rel_kmers, normalize=False)
+    mu = m_step(alpha, None, k, None, normalize=False)
     mu = ins.timed(timers, ins.INIT_EM, mu)
 
     for i in range(max_iterations):
@@ -230,12 +273,12 @@ def quantify(
             mu = mu.localCheckpoint(eager=True)
         if timers is None:
             alpha = e_step(mu, edges, skew_safe=skew_safe)
-            mu = m_step(alpha, t_len, k, rel_kmers, normalize=False)
+            mu = m_step(alpha, None, k, None, normalize=False)
         else:
             with timers.stage(ins.EM_ITER):
                 alpha = ins.timed(timers, ins.E_STAGE, e_step(mu, edges, skew_safe=skew_safe))
                 mu = ins.timed(
-                    timers, ins.M_STAGE, m_step(alpha, t_len, k, rel_kmers, normalize=False)
+                    timers, ins.M_STAGE, m_step(alpha, None, k, None, normalize=False)
                 )
 
     # one global rescale replaces the reference's per-iteration ones —

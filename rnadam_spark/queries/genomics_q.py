@@ -202,14 +202,19 @@ def em_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from rnadam_spark.algorithms.quantify import quantify
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widened: the k-mer count explodes ~200 shingles per row, and a
+    # single-row-group parquet file otherwise scans as ONE task
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     reads = docs.select(F.col("doc_id").alias("read_id"), F.col("text").alias("sequence"))
     kc = kmer_doc_counts(spark, sf_dir)
+    # cached: both the kmer→class map and the membership edges derive
+    # from this one table — without the cache the per-document
+    # run-length subtree (the expensive part) executes twice
     with_class = kc.select(
         "kmer",
         F.md5(F.concat_ws(":", F.col("doc_id"), F.col("cnt"))).alias("class_id"),
         F.col("doc_id").cast("string").alias("t_id"),
-    )
+    ).cache()
     kmer_to_class_df = with_class.select("kmer", "class_id")
     class_transcripts = with_class.select("class_id", "t_id").distinct()
     transcripts = docs.select(
@@ -284,9 +289,10 @@ def em_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from rnadam_spark.algorithms.quantify import quantify
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     reads = docs.select(F.col("doc_id").alias("read_id"), F.col("text").alias("sequence"))
-    kc = kmer_doc_counts(spark, sf_dir)
+    # cached for the same two-consumer reason as em_quantify's with_class
+    kc = kmer_doc_counts(spark, sf_dir).cache()
     class_of = F.md5(F.col("cnt").cast("string"))
     kmer_to_class_df = kc.select("kmer", class_of.alias("class_id")).distinct()
     class_transcripts = kc.select(
