@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_sql
 from rnadam_spark.functions.rounding import hround
-from rnadam_spark.operators import dedup, similarity, text
+from rnadam_spark.operators import dedup, sampling, similarity, text
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
 
@@ -449,6 +449,88 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality") >= 0.9) & (F.col("predicted_lang") == "en"))
         .select("doc_id", "quality", "predicted_lang", "n_dups")
     )
+
+
+# ------------------------------------------------------------- sampling
+
+SAMPLE_SEED = 17
+SAMPLE_FRACTION = 0.1
+_LANG_FRACTIONS = {"en": 0.5, "zh": 0.2, "de": 1.0}
+_LANG_DEFAULT = 0.05
+
+
+@query(
+    "hash_sampled_docs",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {sampling.sample_code_sql("doc_id", SAMPLE_SEED)} < {int(SAMPLE_FRACTION * MOD)}
+    """,
+)
+def hash_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by key hash — reproducible on
+    any partitioning/engine (df.sample's seeded RNG is not), zero
+    shuffle, filter pushes to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", SAMPLE_FRACTION, SAMPLE_SEED).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_STRATA_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{v}' THEN {int(f * MOD)}"
+        for v, f in sorted(_LANG_FRACTIONS.items(), reverse=True)
+    )
+    + f" ELSE {int(_LANG_DEFAULT * MOD)} END"
+)
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {sampling.sample_code_sql("doc_id", SAMPLE_SEED)} < {_STRATA_CASE}
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep-rates (the downsample-the-crawl, keep-the-
+    curated-text shape) — one deterministic pass, thresholds as a CASE
+    over the stratum column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "lang", _LANG_FRACTIONS, "doc_id", _LANG_DEFAULT, SAMPLE_SEED
+    ).select("doc_id", "lang")
+
+
+QUALITY_TOP_FRACTION = 0.25
+
+
+@query(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    j AS (SELECT q.doc_id, d.source, q.quality
+          FROM q JOIN documents d ON q.doc_id = d.doc_id)
+    SELECT doc_id, source, quality FROM (
+      SELECT j.*, percent_rank() OVER (PARTITION BY source
+                                       ORDER BY quality DESC, doc_id) AS pr
+      FROM j)
+    WHERE pr <= {QUALITY_TOP_FRACTION}
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 25% of documents per source by quality score — the
+    per-group quantile cut of a curation pipeline. Exact rank form
+    (deterministic via doc_id tie-break); the skew-safe
+    percentile_approx + broadcast-threshold variant is
+    ``sampling.top_fraction_per_group_approx`` (tested against this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    j = q.join(docs.select("doc_id", "source"), "doc_id")
+    return sampling.top_fraction_per_group(
+        j, "source", "quality", QUALITY_TOP_FRACTION, "doc_id"
+    ).select("doc_id", "source", "quality")
 
 
 @query(
