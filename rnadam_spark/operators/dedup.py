@@ -170,6 +170,63 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", s
     return sums.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup candidates by SimHash Hamming
+    distance — completes the SimHash path the way LSH banding completes
+    MinHash. The 16-bit signature splits into 4 bands of 4 bits; by
+    pigeonhole, any pair within Hamming distance ≤ 3 agrees exactly on
+    ≥ 1 band, so the band equi-join finds ALL such pairs (plus some
+    farther ones, filtered by the exact bit_count(xor) check). Join
+    cost ∝ Σ per-(band, value) occupancy², never |docs|²; ``max_bucket``
+    drops degenerate bands (same guard as ``lsh_candidate_pairs`` —
+    e.g. near-empty documents piling into one signature)."""
+    n_bands, band_bits = 4, 4
+    sigs = simhash16(docs, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                ((F.col("simhash") / F.lit(2 ** (band_bits * b))).cast("bigint")
+                 % F.lit(2**band_bits)).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(id_col, "simhash", F.explode(bands).alias("bv")).select(
+        id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_val")
+        banded = (
+            banded.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

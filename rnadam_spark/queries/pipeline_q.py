@@ -130,16 +130,51 @@ _SIMHASH_BITS = " + ".join(
 )
 
 
-@query(
-    "simhash_16",
-    oracle=f"""
+_SIMHASH_SQL = f"""
     WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)
     SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM t
-    """,
-)
+    """
+
+
+@query("simhash_16", oracle=_SIMHASH_SQL)
 def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct tokens (sign-aggregated hashes)."""
     return dedup.simhash16(load_table(spark, sf_dir, "documents", widen=True))
+
+
+SIMHASH_MAX_BUCKET = 100
+SIMHASH_MAX_DISTANCE = 3
+
+_SIMHASH_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash // {16**b}) % 16 AS band_val FROM sig"
+    for b in range(4)
+)
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_SQL}),
+    banded AS ({_SIMHASH_BANDS_SQL}),
+    capped AS (SELECT * FROM banded
+               QUALIFY count(*) OVER (PARTITION BY band, band_val) <= {SIMHASH_MAX_BUCKET})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM capped a JOIN capped b USING (band, band_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3, candidates by
+    4×4-bit band pigeonhole (exact recall for d ≤ 3), verified with
+    bit_count(xor); band buckets capped — same scale guard as the
+    MinHash-LSH path."""
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents", widen=True),
+        max_distance=SIMHASH_MAX_DISTANCE,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
 
 
 NGRAM_MAX_DF = 100  # scale guard: a gram with df=d contributes d² join rows

@@ -68,6 +68,25 @@ def test_simhash_near_dup_hamming(spark):
     assert hamming(sh[0], sh[2]) < hamming(sh[0], sh[3])
 
 
+def test_simhash_hamming_pairs(spark):
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(_docs(spark)).collect()
+    }
+    assert got[(0, 1)] == 0  # identical docs: distance 0
+    # OTHER is far from everything — never within distance 3
+    assert not any(3 in p for p in got)
+    # every reported pair respects the distance bound
+    assert all(d <= 3 for d in got.values())
+
+
+def test_simhash_hamming_bucket_cap(spark):
+    rows = [(i, BASE) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup.simhash_hamming_pairs(docs).count() == 45
+    assert dedup.simhash_hamming_pairs(docs, max_bucket=5).count() == 0
+
+
 def test_ngram_jaccard(spark):
     pairs = {
         (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
