@@ -123,6 +123,23 @@ def user_running_stats_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each event_id wins,
+    duplicates arriving within the watermark horizon are dropped —
+    the incremental twin of the batch ``exact_dup_groups`` canonical
+    selection (at-least-once sources like Kafka re-deliver; this is the
+    standard exactly-once-ification layer).
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and EXPIRES
+    each key once the watermark passes its event time — state is
+    bounded by the horizon's key cardinality, not the stream's lifetime
+    (plain ``dropDuplicates`` on an unbounded stream grows state
+    forever; that's the 100 TB failure mode this avoids)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming DataFrame to completion against the current
     (bounded) source and return the materialized result."""

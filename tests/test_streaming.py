@@ -55,6 +55,24 @@ def test_user_running_stats_stateful_matches_batch(spark, sf_dir, stream_events)
     assert latest == batch
 
 
+def test_dedup_events_stream_drops_redeliveries(spark, sf_dir):
+    # simulate an at-least-once source by unioning the stream with a
+    # second read of itself: every event arrives twice; the watermarked
+    # dedup must emit each event_id exactly once (= the batch count)
+    from rnadam_spark.sources.tables import load_table
+
+    doubled = se.read_events_stream(spark, sf_dir).union(
+        se.read_events_stream(spark, sf_dir)
+    )
+    got = se.run_to_memory(
+        se.dedup_events_stream(doubled), "dedup_out", output_mode="append"
+    )
+    n = got.count()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n == n_batch
+    assert got.select("event_id").distinct().count() == n_batch
+
+
 def test_sessionize_stream_matches_batch_session_counts(spark, sf_dir, stream_events):
     got = se.run_to_memory(
         se.sessionize_stream(stream_events), "sessions_out", output_mode="append"
