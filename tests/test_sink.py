@@ -1,0 +1,52 @@
+"""Partitioned sink + compaction (sources/sink.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from rnadam_spark.sources import sink
+from rnadam_spark.sources.tables import load_table
+
+
+def test_write_partitioned_layout_and_file_caps(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "curated")
+    sink.write_partitioned(
+        docs, out, partition_by=["lang"], sort_by=["source", "doc_id"],
+        max_records_per_file=50,
+    )
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    batch_langs = {f"lang={r.lang}" for r in docs.select("lang").distinct().collect()}
+    assert langs == batch_langs
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every data file respects the record cap
+    per_file = back.groupBy(F.input_file_name().alias("f")).count().collect()
+    assert per_file and all(r["count"] <= 50 for r in per_file)
+
+    # partition pruning: a lang filter must scan only that directory
+    files = {
+        os.path.dirname(r.f)
+        for r in back.filter(F.col("lang") == "en")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert all("lang=en" in d for d in files)
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(frag)  # 64 tiny files
+    n_before = len(sink._data_files(frag))
+    assert n_before >= 64
+
+    out = str(tmp_path / "compacted")
+    total = sum(os.path.getsize(f) for f in sink._data_files(frag))
+    n_target = sink.compact(spark, frag, out, target_file_bytes=total // 4)
+    n_after = len(sink._data_files(out))
+    assert n_target == 4
+    assert n_after <= 8  # repartition(4) writes at most a few files
+    assert spark.read.parquet(out).count() == docs.count()
