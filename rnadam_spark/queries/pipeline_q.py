@@ -486,6 +486,37 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_budget_rollup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                      regexp_extract_all(text, '{_BPE_SQL_PATTERN}') AS toks
+               FROM documents),
+    c AS (SELECT doc_id,
+                 CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^\\s+$'))) AS BIGINT) AS n_bpe
+          FROM t)
+    SELECT d.source, d.lang,
+           CAST(sum(c.n_bpe) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY ROLLUP (d.source, d.lang)
+    """,
+)
+def token_budget_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'how much training data do I have' report: BPE-ish token
+    totals per (source, lang), per source, and grand total in one
+    ROLLUP pass — Spark expands the grouping sets before the partial
+    aggregate, so the map-side combine applies per set and the single
+    shuffle carries only aggregated rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = text.bpe_token_stats(docs).select("doc_id", "n_bpe_tokens")
+    j = bpe.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    return j.rollup("source", "lang").agg(
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 # ------------------------------------------------------------- sampling
 
 SAMPLE_SEED = 17
