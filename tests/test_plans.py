@@ -92,6 +92,46 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     assert count_shuffles(df) == 1
 
 
+def test_hash_sample_zero_shuffle_and_pruned_scan(spark, sf_dir):
+    # deterministic sampling is a pure filter: no exchange, and the
+    # hash-key filter evaluates at the scan (not pushed INTO parquet —
+    # it's an expression — but no extra stage either)
+    from rnadam_spark.queries.pipeline_q import hash_sampled_docs, stratified_sample_by_lang
+
+    df = hash_sampled_docs(spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert read_schema_columns(df, "documents") == {"doc_id", "lang", "source"}
+    assert count_shuffles(stratified_sample_by_lang(spark, sf_dir)) == 0
+
+
+def test_quantile_filter_approx_broadcasts_thresholds(spark):
+    from rnadam_spark.operators.sampling import top_fraction_per_group_approx
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(100)], "doc_id BIGINT, src STRING, q DOUBLE"
+    )
+    out = top_fraction_per_group_approx(df, "src", "q", 0.25)
+    # the per-group thresholds ride a broadcast join — a hot group
+    # partial-aggregates into the sketch instead of funneling one task
+    assert has_broadcast_join(out)
+
+
+def test_em_loop_iteration_single_broadcast(spark):
+    # the enriched-edges design: an iteration's plan broadcasts only mu;
+    # rel_p/t_len are passthrough columns, never re-joined
+    from rnadam_spark.algorithms.quantify import e_step, m_step
+
+    mu = spark.createDataFrame([("a", 0.5), ("b", 0.5)], ["t_id", "mu"])
+    edges = spark.createDataFrame(
+        [(1, "a", 0.6, 100.0), (1, "b", 0.4, 50.0)],
+        ["class_id", "t_id", "rel_p", "t_len"],
+    )
+    out = m_step(e_step(mu, edges), None, 5, None, normalize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
+    assert count_shuffles(out) == 2  # class window + t_id groupBy
+
+
 def test_em_e_step_broadcasts_mu(spark):
     from rnadam_spark.algorithms.quantify import e_step
 
