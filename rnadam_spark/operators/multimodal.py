@@ -86,27 +86,44 @@ def _bmp_dims(payload: bytes) -> tuple[int, int] | None:
 
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     """DETERMINISTIC FAKE decoder (no codecs in this container): derives
-    pseudo-dimensions from payload bytes. Replace with PIL/ffmpeg when
-    available — the Spark-side contract is identical."""
+    pseudo-dimensions from payload bytes. Used only when neither the
+    stdlib BMP parse nor PIL can decode — the Spark-side contract is
+    identical."""
     h = sum(payload[:16]) if payload else 0
     return 16 + h % 64, 16 + (h // 64) % 64
 
 
+def _pil_dims(payload: bytes) -> tuple[int, int] | None:
+    """Real decode via PIL when the codec library is present (PNG/JPEG/
+    GIF/...); None when PIL is absent or the payload isn't an image it
+    recognizes."""
+    if not HAVE_PIL:
+        return None
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return int(im.width), int(im.height)
+    except Exception:
+        return None
+
+
 def _decode_dims(payload: bytes) -> tuple[int, int]:
-    """Real BMP parse when the payload is BMP; marked fake otherwise."""
-    return _bmp_dims(payload) or _fake_decode_dims(payload)
+    """Real decode first (stdlib BMP parse, then PIL if installed);
+    clearly-marked deterministic fake only as the last resort."""
+    return _bmp_dims(payload) or _pil_dims(payload) or _fake_decode_dims(payload)
 
 
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Decode step over ``mapInPandas``: Arrow batches in, decoded
     metadata out. BMP payloads decode for real (stdlib header parse);
-    other formats use the real codec when available, else the marked
-    deterministic fake."""
+    other formats decode via PIL when it is installed, else fall back
+    to the marked deterministic fake."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real codec path not wired in this container")
             dims = pdf["data"].map(_decode_dims)
             yield pd.DataFrame(
                 {
