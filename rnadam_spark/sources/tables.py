@@ -106,19 +106,25 @@ def _estimated_scan_tasks(spark: SparkSession, df: DataFrame) -> int | None:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as Parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. Read nanos as raw INT64
-    (legacy conf) and truncate to a microsecond timestamp — the same
-    truncation DuckDB applies, so oracle comparisons agree. The conf is
-    session-wide but only affects TIMESTAMP(NANOS) columns, which no
-    other table has."""
+    """Normalize ``ts`` to a session-TZ TIMESTAMP whatever the parquet
+    physical type is — the driver has shipped this column as both
+    TIMESTAMP(NANOS) (vectorized reader rejects it; read as raw INT64
+    via the legacy conf and truncate to micros) and plain
+    timestamp[us] without UTC adjustment (Spark 4 infers
+    TIMESTAMP_NTZ, which unix_micros/window() reject). The session
+    timezone is pinned to UTC (session.py), so casting NTZ → TIMESTAMP
+    reinterprets the naive value as UTC — exactly what DuckDB's
+    ``epoch_us(ts)`` does, keeping oracle comparisons bit-identical."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

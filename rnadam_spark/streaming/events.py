@@ -20,18 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader has
-# the same limitation as batch, so read nanos as long and convert.
-EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(spark: SparkSession, path: str) -> T.StructType:
+    """The file stream source requires an explicit schema; probe the
+    parquet footer with a batch read so the declared ``ts`` type matches
+    whatever the driver shipped (TIMESTAMP(NANOS) read as raw INT64 via
+    the legacy conf, or plain timestamp[us] that Spark 4 infers as
+    TIMESTAMP_NTZ — see sources.tables._load_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,9 +43,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = _events_stream_schema(spark, src)
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    dt = dict(raw.dtypes).get("ts")
+    if dt == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # session TZ is pinned UTC: the cast reinterprets naive as UTC,
+        # matching the batch loader and the DuckDB oracle
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
