@@ -23,6 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from rnadam_spark.registry import QUERIES, load_all
 from rnadam_spark.session import get_spark
 
+
+def _bench_queries() -> dict:
+    """Registered queries plus benchmark-only shapes that were retired
+    from the 50-entry correctness gate but stay timed here (their
+    semantics remain pinned: fraction_of_group via em_two_steps' alpha1
+    CTE, simhash_16 inside simhash_hamming_pairs' oracle)."""
+    from rnadam_spark.queries.pipeline_q import simhash_16
+    from rnadam_spark.queries.windows_q import fraction_of_group
+
+    return {**QUERIES, "fraction_of_group": fraction_of_group, "simhash_16": simhash_16}
+
 # Headline set: the reference's hot path (k-mer count → classes), the
 # EM building blocks, representative relational shapes, and the
 # training-data pipeline operators.
@@ -116,6 +127,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
+    queries = _bench_queries()
     spark = get_spark("rnadam-bench")
 
     # warmup: JVM + parquet footer caches
@@ -129,7 +141,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+                queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass  # warmup must never fail the bench
 
@@ -139,7 +151,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = queries[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

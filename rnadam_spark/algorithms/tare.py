@@ -92,12 +92,26 @@ def calibrate_kmers(kmer_counts: DataFrame) -> DataFrame:
     predicted = model.transform(
         feats.select("kmer", "cnt", "label", array_to_vector("features").alias("features"))
     )
-    out = predicted.crossJoin(F.broadcast(stats)).select(
+    out = recalibrate_counts(predicted, stats)
+    feats.unpersist()
+    return out
+
+
+def recalibrate_counts(predicted: DataFrame, stats: DataFrame) -> DataFrame:
+    """P6 recalibration arithmetic (Tare.scala:125-130), factored out so
+    the driver gate can hash-verify it with a synthetic ``prediction``
+    column standing in for the model output (queries/genomics_q.py's
+    ``kmer_bias_calibration``):
+
+        count' = ⌊exp(mean + (label − prediction))⌋
+
+    ``predicted`` needs (kmer, label, prediction); ``stats`` is the
+    1-row (mean) aggregate, broadcast — the recalibration stays a pure
+    projection, no shuffle."""
+    return predicted.crossJoin(F.broadcast(stats)).select(
         "kmer",
         F.exp(F.col("mean") + (F.col("label") - F.col("prediction"))).cast("long").alias("cnt"),
     )
-    feats.unpersist()
-    return out
 
 
 def calibrate_tx_len_bias(

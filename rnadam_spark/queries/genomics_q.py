@@ -72,18 +72,15 @@ def kmer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmers(spark, sf_dir).groupBy("kmer").agg(F.count("*").alias("cnt"))
 
 
-@query(
-    "kmer_doc_counts",
-    oracle=f"""
-    SELECT doc_id, kmer, CAST(count(*) AS BIGINT) AS cnt
-    FROM ({_KMERS_SQL})
-    GROUP BY doc_id, kmer
-    """,
-)
 def kmer_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-(container, kmer) counts (Index.scala:90-94's
     ((t.id, kmer), 1) → reduceByKey, with documents as containers) —
-    zero-shuffle: the count is a per-row run-length, not a groupBy."""
+    zero-shuffle: the count is a per-row run-length, not a groupBy.
+
+    Not registered: same code path and row grain as ``kmer_to_class``
+    (both explode ``_doc_kmer_counts``; hash-verified there), retired
+    from the registry so all registered queries fit the driver's
+    50-entry correctness gate."""
     kc = _doc_kmer_counts(spark, sf_dir)
     return kc.select("doc_id", F.explode("kc").alias("x")).select(
         "doc_id", F.col("x.value").alias("kmer"), F.col("x.cnt").alias("cnt")
@@ -443,6 +440,47 @@ def length_bias_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_len = base.select("t_id", "t_len")
     cal = calibrate_tx_len_bias(mu0, t_len)
     return cal.select("t_id", hround("mu", 8).alias("mu"))
+
+
+@query(
+    "kmer_bias_calibration",
+    oracle=f"""
+    WITH kc AS (
+      SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM ({_KMERS_SQL}) GROUP BY kmer
+    ),
+    stats AS (
+      SELECT ln(sum(cnt) / CAST(count(*) AS DOUBLE)) AS mean FROM kc
+    ),
+    pred AS (
+      SELECT kmer, ln(CAST(cnt AS DOUBLE)) AS label,
+             0.5 * ln(CAST(cnt AS DOUBLE)) AS prediction
+      FROM kc
+    )
+    SELECT kmer, CAST(floor(exp(mean + (label - prediction))) AS BIGINT) AS cnt
+    FROM pred CROSS JOIN stats
+    """,
+)
+def kmer_bias_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (Tare.scala:125-130): the k-mer bias recalibration
+    count' = ⌊exp(mean + (label − prediction))⌋, hash-verified through
+    the production ``recalibrate_counts`` path (algorithms/tare.py).
+
+    The ML model's ``prediction`` column is replaced by a deterministic
+    synthetic (0.5·label) — the same trick ``em_two_steps`` uses to
+    oracle the EM loop: the regression solver isn't bit-reproducible
+    across engines, but the recalibration arithmetic it feeds is, so
+    that arithmetic gets its own green gate row while the solver keeps
+    its directional pytest coverage (tests/test_tare.py).
+    """
+    from rnadam_spark.algorithms.tare import recalibrate_counts
+
+    kc = kmer_count(spark, sf_dir)
+    stats = kc.agg(F.count("*").alias("n"), F.sum("cnt").alias("total_mult")).select(
+        F.log(F.col("total_mult") / F.col("n")).alias("mean")
+    )
+    label = F.log(F.col("cnt").cast("double"))
+    predicted = kc.select("kmer", label.alias("label"), (F.lit(0.5) * label).alias("prediction"))
+    return recalibrate_counts(predicted, stats)
 
 
 @query(

@@ -136,9 +136,12 @@ _SIMHASH_SQL = f"""
     """
 
 
-@query("simhash_16", oracle=_SIMHASH_SQL)
 def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over distinct tokens (sign-aggregated hashes)."""
+    """16-bit SimHash over distinct tokens (sign-aggregated hashes).
+
+    Not registered: ``simhash_hamming_pairs`` recomputes these
+    signatures inside its own oracle (same ``_SIMHASH_SQL`` CTE), so
+    the signature math stays hash-verified without its own gate slot."""
     return dedup.simhash16(load_table(spark, sf_dir, "documents", widen=True))
 
 
@@ -248,14 +251,12 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
 
 
-@query(
-    "embedding_lsh_buckets",
-    oracle=f"""
-    SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings
-    """,
-)
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection bucketing (the ANN scale path)."""
+    """Sign-random-projection bucketing (the ANN scale path).
+
+    Not registered: ``embedding_bucket_pairs`` derives its candidate
+    buckets from the identical ``_BUCKET_SQL`` expression, keeping the
+    bucketing hash-verified without its own gate slot."""
     return similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -308,11 +309,14 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM ranked WHERE rn = 1
 """
 
 
-@query("ivf_cells", oracle=_IVF_CELLS_SQL)
 def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: per-row argmax against broadcast
     centroid literals — zero shuffle (the oracle's cross-join + window
-    formulation computes the same argmax)."""
+    formulation computes the same argmax).
+
+    Not registered: ``ivf_topk`` embeds the same cell-assignment CTE in
+    its oracle, so the quantizer stays hash-verified without its own
+    gate slot (plan contract pinned by tests/test_plans.py)."""
     return similarity.ivf_cells(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -353,18 +357,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------- text
 
 
-@query(
-    "token_stats",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-           floor((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
-    FROM t
-    """,
-)
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token stats. Not registered: ``bpe_token_stats``
+    covers the token-counting operator in the gate (same operator
+    family, operators/text.py), and the whitespace tokenizer itself is
+    exercised by every registered SimHash/Jaccard/quality query."""
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
 
@@ -577,25 +574,34 @@ QUALITY_TOP_FRACTION = 0.25
     oracle=f"""
     WITH q AS ({_QUALITY_SQL}),
     j AS (SELECT q.doc_id, d.source, q.quality
-          FROM q JOIN documents d ON q.doc_id = d.doc_id)
-    SELECT doc_id, source, quality FROM (
-      SELECT j.*, percent_rank() OVER (PARTITION BY source
-                                       ORDER BY quality DESC, doc_id) AS pr
-      FROM j)
-    WHERE pr <= {QUALITY_TOP_FRACTION}
+          FROM q JOIN documents d ON q.doc_id = d.doc_id),
+    thr AS (SELECT source, quantile_cont(quality, {1.0 - QUALITY_TOP_FRACTION}) AS _thr
+            FROM j GROUP BY source)
+    SELECT j.doc_id, j.source, j.quality
+    FROM j JOIN thr ON j.source = thr.source
+    WHERE j.quality >= thr._thr
     """,
 )
 def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep the top 25% of documents per source by quality score — the
-    per-group quantile cut of a curation pipeline. Exact rank form
-    (deterministic via doc_id tie-break); the skew-safe
-    percentile_approx + broadcast-threshold variant is
-    ``sampling.top_fraction_per_group_approx`` (tested against this)."""
+    """Keep the best-quality ≈25% of documents per source — the
+    per-group quantile cut of a curation pipeline, in the skew-safe
+    broadcast-threshold form (VERDICT r2 #2): groupBy percentile
+    threshold → broadcast join → filter. No per-group window anywhere
+    in the plan (the old percent_rank form funneled each source's whole
+    document set through ONE task — a 100 TB scale-killer; plan
+    contract pinned in tests/test_plans.py). The registered threshold
+    is the exact ``percentile`` aggregate so the DuckDB oracle
+    (``quantile_cont``, same p·(n−1) interpolation) hash-matches; the
+    boundary-set is engine-stable because both engines' thresholds lie
+    in the same closed interval of 6dp-rounded quality values.
+    Production at high-cardinality scores swaps one expression for the
+    ``percentile_approx`` sketch (``top_fraction_per_group_approx``,
+    tested equivalent at matching accuracy in tests/test_sampling.py)."""
     docs = load_table(spark, sf_dir, "documents")
     q = text.quality_scores(docs).select("doc_id", "quality")
     j = q.join(docs.select("doc_id", "source"), "doc_id")
-    return sampling.top_fraction_per_group(
-        j, "source", "quality", QUALITY_TOP_FRACTION, "doc_id"
+    return sampling.top_fraction_per_group_threshold(
+        j, "source", "quality", QUALITY_TOP_FRACTION
     ).select("doc_id", "source", "quality")
 
 
