@@ -89,6 +89,22 @@ def top_fraction_per_group(
     )
 
 
+def _top_fraction_by_threshold(
+    df: DataFrame, group: str, score: str, threshold: Column
+) -> DataFrame:
+    """Shared skew-safe plan shape: per-group score threshold as a
+    partial-aggregating groupBy (a hot group contributes one aggregate
+    buffer per partition, never one task — no per-group window
+    anywhere), broadcast back onto the scan and filtered. Boundary ties
+    all survive (no tie-break)."""
+    thresholds = df.groupBy(group).agg(threshold.alias("_thr"))
+    return (
+        df.join(F.broadcast(thresholds), group)
+        .filter(F.col(score) >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def top_fraction_per_group_approx(
     df: DataFrame,
     group: str,
@@ -96,16 +112,27 @@ def top_fraction_per_group_approx(
     fraction: float,
     accuracy: int = 10_000,
 ) -> DataFrame:
-    """Skew-safe variant: per-group score threshold via
-    ``percentile_approx`` (partial-aggregates map-side — a hot group
-    contributes one sketch per partition, never one task), broadcast
-    back and filtered. Keeps ~``fraction`` per group within sketch
-    accuracy; boundary ties all survive (no tie-break)."""
-    thresholds = df.groupBy(group).agg(
-        F.percentile_approx(score, 1.0 - fraction, accuracy).alias("_thr")
+    """Skew-safe quantile filter, sketch threshold: ``percentile_approx``
+    buffers a fixed-size KLL-style sketch per (partition, group) —
+    memory O(accuracy) regardless of group size. Keeps ~``fraction``
+    per group within sketch accuracy. The 100 TB default."""
+    return _top_fraction_by_threshold(
+        df, group, score, F.percentile_approx(score, 1.0 - fraction, accuracy)
     )
-    return (
-        df.join(F.broadcast(thresholds), group)
-        .filter(F.col(score) >= F.col("_thr"))
-        .drop("_thr")
+
+
+def top_fraction_per_group_threshold(
+    df: DataFrame, group: str, score: str, fraction: float
+) -> DataFrame:
+    """Skew-safe quantile filter, exact threshold: same broadcast-
+    threshold plan as the approx variant but with the exact interpolated
+    ``percentile`` aggregate — still no per-group window (the aggregate
+    partial-merges a value→count map per partition; memory ∝ distinct
+    scores, which rounded quality scores bound). Exact and
+    engine-portable (DuckDB's ``quantile_cont`` computes the same
+    position p·(n−1) interpolation), so this is the hash-verified form;
+    swap the one aggregate expression for ``percentile_approx`` when
+    scores are high-cardinality continuous."""
+    return _top_fraction_by_threshold(
+        df, group, score, F.expr(f"percentile({score}, {1.0 - fraction})")
     )

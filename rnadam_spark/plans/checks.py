@@ -52,6 +52,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan_string(df)
 
 
+def has_window(df: DataFrame) -> bool:
+    """True if the physical plan contains a Window operator — the
+    one-task-per-group funnel that skew-safe rewrites must avoid."""
+    return re.search(r"\bWindow\b", plan_string(df, "simple")) is not None
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of hash/range exchange operators (shuffle boundaries),
     excluding broadcast exchanges."""

@@ -116,6 +116,19 @@ def test_quantile_filter_approx_broadcasts_thresholds(spark):
     assert has_broadcast_join(out)
 
 
+def test_quality_quantile_filter_registered_path_no_window(spark, sf_dir):
+    # the REGISTERED curation cut must be the skew-safe form: groupBy
+    # threshold + broadcast join, with no Window operator anywhere on
+    # the plan (VERDICT r2 #2 — the percent_rank form funneled each
+    # source through one task)
+    from rnadam_spark.plans import has_window
+    from rnadam_spark.queries.pipeline_q import quality_quantile_filter
+
+    df = quality_quantile_filter(spark, sf_dir)
+    assert not has_window(df)
+    assert has_broadcast_join(df)
+
+
 def test_em_loop_iteration_single_broadcast(spark):
     # the enriched-edges design: an iteration's plan broadcasts only mu;
     # rel_p/t_len are passthrough columns, never re-joined

@@ -52,6 +52,29 @@ def test_top_fraction_golden(spark):
     assert _keys(got.select("doc_id")) == {8, 7}
 
 
+def test_top_fraction_threshold_golden(spark):
+    # scores 1..8 in one group: the exact 75th-percentile threshold is
+    # 1 + 0.75*7 = 6.25, so score >= 6.25 keeps {7, 8}
+    rows = [(i, "g", float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, score DOUBLE")
+    got = sampling.top_fraction_per_group_threshold(df, "src", "score", 0.25)
+    assert _keys(got.select("doc_id")) == {8, 7}
+
+
+def test_top_fraction_threshold_matches_rank_form(spark):
+    # the broadcast-threshold form keeps the same set as the percent_rank
+    # form up to boundary ties (which the threshold form keeps entirely)
+    rows = [(i, f"s{i % 4}", float((i * 37) % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, score DOUBLE")
+    rank = _keys(
+        sampling.top_fraction_per_group(df, "src", "score", 0.25, "doc_id").select("doc_id")
+    )
+    thr = _keys(
+        sampling.top_fraction_per_group_threshold(df, "src", "score", 0.25).select("doc_id")
+    )
+    assert len(thr ^ rank) <= 0.02 * len(thr | rank) + 8  # boundary rows only
+
+
 def test_top_fraction_approx_matches_exact(spark):
     rows = [(i, f"s{i % 4}", float((i * 37) % 1000)) for i in range(4000)]
     df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, score DOUBLE")
