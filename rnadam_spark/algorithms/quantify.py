@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rnadam_spark.functions.shingles import char_shingles
+from rnadam_spark.lineage import truncate_lineage
 
 
 def count_read_kmers(reads: DataFrame, k: int) -> DataFrame:
@@ -217,13 +218,20 @@ def quantify(
     checkpoint_every: int = 1,
     timers=None,
     skew_safe: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full pipeline (Quantify.scala:42-127): returns transcripts with
     an ``abundance`` column (relative abundances, sum 1).
 
     ``timers`` (an ``instrument.StageTimers``) forces + times each
     stage under the reference's Timers.scala names; ``None`` (the
-    default) keeps the pipeline fully lazy."""
+    default) keeps the pipeline fully lazy.
+
+    ``checkpoint_dir``: when set, per-iteration lineage truncation uses
+    reliable ``checkpoint()`` into that fault-tolerant directory instead
+    of ``localCheckpoint`` — executor loss mid-loop then recovers by
+    re-reading checkpointed state instead of failing the job (see
+    rnadam_spark.lineage)."""
     from rnadam_spark import instrument as ins
     from rnadam_spark.algorithms import tare
 
@@ -262,15 +270,15 @@ def quantify(
     mu = ins.timed(timers, ins.INIT_EM, mu)
 
     for i in range(max_iterations):
-        # mu is n_transcripts rows: localCheckpoint truncates the whole
-        # EM lineage at negligible cost (the reference never truncated —
-        # its plan depth grew linearly with iterations). Every iteration
-        # by default: each broadcast exchange materializes its child
-        # subtree independently, so an unbounded lineage re-executes all
-        # prior iterations per broadcast — measured 45.9s vs 8.3s for
-        # the 5-iteration flagship at sf0.1 with checkpoint_every 5 vs 1.
+        # mu is n_transcripts rows: truncating the whole EM lineage here
+        # is near-free (the reference never truncated — its plan depth
+        # grew linearly with iterations). Every iteration by default:
+        # each broadcast exchange materializes its child subtree
+        # independently, so an unbounded lineage re-executes all prior
+        # iterations per broadcast — measured 45.9s vs 8.3s for the
+        # 5-iteration flagship at sf0.1 with checkpoint_every 5 vs 1.
         if (i + 1) % checkpoint_every == 0:
-            mu = mu.localCheckpoint(eager=True)
+            mu = truncate_lineage(mu, checkpoint_dir)
         if timers is None:
             alpha = e_step(mu, edges, skew_safe=skew_safe)
             mu = m_step(alpha, None, k, None, normalize=False)

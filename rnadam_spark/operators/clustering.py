@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rnadam_spark.lineage import truncate_lineage
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every larger neighbor v to
@@ -67,7 +69,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 50
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component): connected components of the undirected pair
     graph; ``component`` is the smallest node id in the component (the
@@ -77,11 +83,20 @@ def connected_components(
 
     Runs star rounds to a fixpoint (edge-set checksum stable), bounded
     by ``max_rounds`` as a runaway guard; O(log n) rounds suffice, so 50
-    covers any feasible component size."""
+    covers any feasible component size.
+
+    ``checkpoint_dir``: per-round truncation switches from
+    ``localCheckpoint`` to reliable ``checkpoint`` into that directory
+    (survives executor loss — the 100 TB form; see rnadam_spark.lineage).
+    Here the checkpointed state is the full edge set, so the per-round
+    cost is a write+read of the edges — accept it when rounds are long
+    enough that losing them to a preempted executor costs more."""
     edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     prev: tuple | None = None
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).distinct().localCheckpoint(eager=True)
+        edges = truncate_lineage(
+            _small_star(_large_star(edges)).distinct(), checkpoint_dir
+        )
         # cheap fixpoint probe: count + key sums + order-insensitive hash
         # sum — collision across rounds would need two distinct edge sets
         # agreeing on all four aggregates. Decimal sums: bigint sums of

@@ -48,3 +48,27 @@ def test_converges_within_log_rounds(spark):
     pairs = [(i, i + 1) for i in range(1, 64)]
     got = _cc(spark, pairs, max_rounds=10)
     assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # same components with reliable checkpointing into a directory
+    from rnadam_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    import os
+
+    assert any(os.scandir(tmp_path / "cc_ckpt"))

@@ -99,3 +99,37 @@ def test_quantify_length_bias_calibration(spark):
     got = {r.t_id: r.abundance for r in result.select("t_id", "abundance").collect()}
     for i in range(6):
         assert abs(got[str(i)] - 1.0 / 6) <= 0.05, (i, got[str(i)])
+
+
+def test_quantify_reliable_checkpoint_matches_local(spark, tmp_path):
+    # checkpoint_dir switches lineage truncation from localCheckpoint to
+    # reliable checkpoint() (survives executor loss on a real cluster);
+    # the numbers must be identical — truncation is not allowed to touch
+    # the arithmetic
+    t_len = [500, 300, 200]
+    abundances = [0.5, 0.3, 0.2]
+    transcripts, names, kmer_map, class_map = gen.generate_independent_transcripts(
+        20, t_len, seed=77
+    )
+    reads = gen.generate_reads(transcripts, abundances, 2000, 75, seed=88)
+    reads_df, kmer_df, class_df, t_df = _dataframes(
+        spark, transcripts, names, kmer_map, class_map, reads
+    )
+    kwargs = dict(
+        k=20, max_iterations=5, calibrate_kmer_bias=False, calibrate_length_bias=False
+    )
+    local = quantify(reads_df, kmer_df, class_df, t_df, **kwargs)
+    reliable = quantify(
+        reads_df, kmer_df, class_df, t_df, checkpoint_dir=str(tmp_path / "ckpt"), **kwargs
+    )
+    got_local = {r.t_id: r.abundance for r in local.select("t_id", "abundance").collect()}
+    got_reliable = {
+        r.t_id: r.abundance for r in reliable.select("t_id", "abundance").collect()
+    }
+    assert got_local == got_reliable
+    for i, expected in enumerate(abundances):
+        assert abs(got_reliable[str(i)] - expected) <= 0.05
+    # the reliable run actually wrote checkpoint state
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))
