@@ -20,9 +20,13 @@ parquet directories.
 
 from __future__ import annotations
 
-import os
+import posixpath
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def write_partitioned(
@@ -47,14 +51,21 @@ def write_partitioned(
     )
 
 
-def _data_files(path: str) -> list[str]:
-    files = []
-    for root, _dirs, names in os.walk(path):
-        files.extend(
-            os.path.join(root, n)
-            for n in names
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
-        )
+def _data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(absolute file path, bytes) for every parquet data file under
+    ``path``, listed through the Hadoop FileSystem API — the same
+    listing works on local FS, HDFS, and object stores (os.walk only
+    ever saw the local disk)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    files: list[tuple[str, int]] = []
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            files.append((status.getPath().toUri().getPath(), status.getLen()))
     return files
 
 
@@ -64,15 +75,89 @@ def compact(
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
-    """Rewrite a parquet dataset into ≈``target_file_bytes`` files;
-    returns the file count written. Sizing reads only driver-side file
-    metadata (os.stat over the listing — no data scan, no RDD
-    materialization), then one round-robin repartition spreads rows
-    evenly across the target count. Partition columns of a Hive layout
-    are re-materialized by the read, so compacting a partitioned
-    dataset flattens it — compact per-partition-directory to keep the
-    layout."""
-    total = sum(os.path.getsize(f) for f in _data_files(path))
+    """Rewrite an UNPARTITIONED parquet dataset into
+    ≈``target_file_bytes`` files; returns the file count written.
+    Sizing reads only file metadata (one FileSystem listing — no data
+    scan), then one round-robin repartition spreads rows evenly across
+    the target count. For Hive-partitioned datasets use
+    :func:`compact_partitioned`, which keeps the directory layout."""
+    total = sum(size for _f, size in _data_files(spark, path))
     n_files = max(1, round(total / target_file_bytes))
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def _partition_spec(root: str, file_path: str) -> tuple[tuple[str, str | None], ...]:
+    """Parse the Hive ``k=v`` directory segments between ``root`` and a
+    data file into ((col, value), ...); unquotes percent-escapes and
+    maps the Hive null sentinel to None."""
+    rel = posixpath.relpath(posixpath.dirname(file_path), root)
+    spec: list[tuple[str, str | None]] = []
+    for seg in rel.split("/"):
+        if seg in (".", ""):
+            continue
+        k, _, v = seg.partition("=")
+        v = unquote(v)
+        spec.append((k, None if v == HIVE_NULL else v))
+    return tuple(spec)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[tuple, int]:
+    """Compact a Hive-partitioned parquet dataset WITHOUT flattening it:
+    the output reproduces the ``k=v`` directory tree with each partition
+    rewritten into ≈``target_file_bytes`` files. Returns
+    {partition values: target file count}.
+
+    One distributed job, not a per-directory loop: per-partition target
+    counts come from the FileSystem listing (metadata only), ride a
+    broadcast join back onto the scan, and a deterministic hash salt
+    bounded by each partition's own count spreads rows so one shuffle
+    yields ≈n_i same-partition files per partition — a hot partition
+    gets more tasks, a tiny one exactly one, and no partition's rewrite
+    serializes behind another's (the per-directory-loop alternative
+    runs P sequential jobs and leaves the cluster idle on the small
+    ones)."""
+    root = spark._jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    sizes: dict[tuple, int] = {}
+    for f, size in _data_files(spark, path):
+        spec = _partition_spec(root, f)
+        sizes[spec] = sizes.get(spec, 0) + size
+    if not sizes:
+        return {}
+    part_cols = [k for k, _v in next(iter(sizes))]
+    counts = {
+        tuple(v for _k, v in spec): max(1, round(size / target_file_bytes))
+        for spec, size in sizes.items()
+    }
+
+    df = spark.read.parquet(path)
+    data_cols = [c for c in df.columns if c not in part_cols]
+    counts_df = spark.createDataFrame(
+        [(*vals, n) for vals, n in counts.items()],
+        ", ".join([f"`{c}` string" for c in part_cols] + ["`_n_files` int"]),
+    )
+    # join on string-normalized partition values (directory names are
+    # strings; the scan re-infers typed columns) with the null sentinel
+    # standing in for NULL partitions on both sides
+    renamed = counts_df.withColumnsRenamed({c: f"_p_{c}" for c in part_cols})
+    cond = [
+        F.coalesce(df[c].cast("string"), F.lit(HIVE_NULL))
+        == F.coalesce(F.col(f"_p_{c}"), F.lit(HIVE_NULL))
+        for c in part_cols
+    ]
+    salt = F.pmod(F.xxhash64(*data_cols), F.col("_n_files")) if data_cols else F.lit(0)
+    salted = df.join(F.broadcast(renamed), cond).withColumn("_salt", salt)
+    total_files = sum(counts.values())
+    (
+        salted.repartition(total_files, *part_cols, F.col("_salt"))
+        .drop("_salt", "_n_files", *[f"_p_{c}" for c in part_cols])
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(out_path)
+    )
+    return counts
