@@ -116,6 +116,42 @@ def _stage_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     return {"index": idx_timers.as_dict(), "quantify": q_timers.as_dict()}
 
 
+def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Per-round A/B timings of plan-strategy alternatives (VERDICT r2
+    #7/#8): each variant forced through the noop sink after a cache
+    clear, so the numbers are comparable run-to-run and the measured
+    winner — not a stale commit-message claim — justifies the default.
+    """
+    from rnadam_spark.operators import dedup
+    from rnadam_spark.queries.genomics_q import em_quantify
+    from rnadam_spark.queries.pipeline_q import LSH_MAX_BUCKET
+    from rnadam_spark.sources.tables import load_table
+
+    def timed(make_df) -> float:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        make_df().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return {
+        "lsh_candidate_pairs": {
+            "inrow_capped": timed(
+                lambda: dedup.lsh_candidate_pairs(docs, max_bucket=LSH_MAX_BUCKET)
+            ),
+            "selfjoin_capped": timed(
+                lambda: dedup.lsh_candidate_pairs(
+                    docs, max_bucket=LSH_MAX_BUCKET, strategy="selfjoin"
+                )
+            ),
+        },
+        "em_quantify": {
+            "window": timed(lambda: em_quantify(spark, sf_dir)),
+            "skew_safe": timed(lambda: em_quantify(spark, sf_dir, skew_safe=True)),
+        },
+    }
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -157,6 +193,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     stages = _stage_blocks(spark, sf_dir)
+    ab = _ab_blocks(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -167,6 +204,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stages": stages,
+                "ab": ab,
                 "sf": _sf_from_dir(sf_dir),
             }
         )

@@ -131,6 +131,14 @@ def e_step(mu: DataFrame, class_transcripts: DataFrame, skew_safe: bool = False)
     of its size. Same α bit-for-bit (one double addition order may
     differ; both paths pass the same goldens).
 
+    Measured A/B (bench.py ``ab`` block, re-run per round): at sf0.1
+    with no mega-class the window form wins (9.6s vs 11.7s for the
+    5-iteration flagship — skew_safe pays an extra aggregate + exchange
+    per iteration), so it stays the default; the crossover is a class
+    whose edge count dwarfs a single task (≈ rows-per-task at the
+    configured shuffle width), where the window funnels and skew_safe
+    keeps scaling — flip it on when class sizes are unbounded.
+
     Extra columns on ``class_transcripts`` pass through (the EM loop's
     enriched edge table)."""
     extra = _extra_cols(class_transcripts)

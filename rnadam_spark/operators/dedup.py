@@ -98,22 +98,33 @@ def lsh_band_sigs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, max_bucket: int | None = None, strategy: str | None = None
+) -> DataFrame:
     """(doc_a, doc_b): near-duplicate candidates — pairs agreeing on at
     least one full band. ``max_bucket`` drops degenerate buckets (every
     pair in a bucket of n costs n², so a boilerplate bucket of 10⁶ docs
     would emit 10¹² pairs; capping is the standard scale guard).
 
-    With the cap set, pairs are generated INSIDE each bucket row
-    (groupBy band → collect members → in-row pair expansion): the
-    MinHash subtree runs once and the only data shuffle is the bucket
-    groupBy — measured ~15% faster than the band self-join at sf0.1,
-    and the gap widens with input size since the self-join computes the
-    signature subtree twice. The in-row expansion is safe exactly
-    because the cap bounds members per row; the uncapped path keeps the
-    streaming self-join, which tolerates unbounded buckets."""
+    ``strategy`` picks how bucket pairs are expanded (default: "inrow"
+    when capped, "selfjoin" uncapped — the in-row expansion REQUIRES
+    the cap, since it materializes a bucket's member list in one row):
+
+    - "inrow": groupBy band → collect members → in-row pair expansion.
+      The MinHash subtree runs once and the only data shuffle is the
+      bucket groupBy — measured faster than the self-join at sf0.1
+      (A/B timings re-measured per round in bench.py's ``ab`` block),
+      and the gap widens with input size since the self-join computes
+      the signature subtree twice.
+    - "selfjoin": streaming band equi-self-join; tolerates unbounded
+      buckets, with the cap (when set) applied as a bucket-size
+      semi-filter first so both strategies emit identical pairs."""
     bands = lsh_band_sigs(minhash_signatures(docs))
-    if max_bucket is not None:
+    if strategy is None:
+        strategy = "inrow" if max_bucket is not None else "selfjoin"
+    if strategy == "inrow":
+        if max_bucket is None:
+            raise ValueError("in-row pair expansion requires max_bucket")
         g = (
             bands.groupBy("band", "band_sig")
             .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
@@ -134,6 +145,16 @@ def lsh_candidate_pairs(docs: DataFrame, max_bucket: int | None = None) -> DataF
             )
         )
         return g.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b").distinct()
+    if strategy != "selfjoin":
+        raise ValueError(f"unknown pair strategy: {strategy!r}")
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_n"))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+            .drop("_n")
+        )
+        bands = bands.join(ok, ["band", "band_sig"])
     a = bands.alias("a")
     b = bands.alias("b")
     return (

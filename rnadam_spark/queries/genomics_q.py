@@ -184,7 +184,7 @@ def class_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("em_quantify")  # iterative — non-SQL-expressible, rows-only check
-def em_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> DataFrame:
     """Flagship: the full Sailfish EM pipeline (Quantify.scala:42-127)
     driven over the documents table — each document doubles as a
     "transcript" (its text is the reference sequence) and as its own
@@ -236,6 +236,7 @@ def em_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iterations=5,
         calibrate_kmer_bias=False,
         calibrate_length_bias=False,
+        skew_safe=skew_safe,
     )
     return result.select("t_id", hround("abundance", 8).alias("abundance"))
 

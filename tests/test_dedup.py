@@ -47,6 +47,21 @@ def test_lsh_bucket_cap(spark):
     assert dedup.lsh_candidate_pairs(docs).count() == 45  # 10 choose 2
 
 
+def test_lsh_pair_strategies_agree(spark):
+    # both expansion strategies emit the identical capped pair set
+    rows = [(i, BASE) for i in range(4)] + [(10 + i, BASE + f" extra{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    inrow = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(docs, max_bucket=6, strategy="inrow").collect()
+    }
+    selfjoin = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(docs, max_bucket=6, strategy="selfjoin").collect()
+    }
+    assert inrow == selfjoin and inrow
+
+
 def test_ngram_gram_df_cap(spark):
     # every doc shares one hot trigram; with the df cap below the
     # gram's document frequency, the hot gram is pruned from candidate
