@@ -158,13 +158,96 @@ def byte_histogram_features(assets: DataFrame, n_bins: int = 16) -> DataFrame:
     return assets.mapInPandas(featurize, FEATURES)
 
 
+FRAMES = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("frame_data", T.BinaryType(), True),
+    ]
+)
+
+
 def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame-sampling stub for video assets: emits deterministic byte
-    offsets (real implementation would emit decoded frames as binary)."""
+    """Frame sampling for video assets: slice the payload into
+    ``n_frames`` equal byte ranges and emit each slice as its own
+    binary row — the real Spark-side shape of container-level frame
+    extraction (one input row fans out to n small binary rows, all in
+    JVM expressions, no Python). A real codec would replace the
+    equal-byte slicing with keyframe offsets; the downstream contract
+    (per-frame rows carrying ``frame_data``) is identical, so decode /
+    featurize compose directly on the output."""
     video = assets.filter(F.col("kind") == "video")
-    n = F.octet_length("data")
-    offsets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_frames - 1)),
-        lambda i: (n * i / F.lit(n_frames)).cast("long"),
+    exploded = video.select(
+        "asset_id",
+        "data",
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_i"),
     )
-    return video.select("asset_id", F.explode(offsets).alias("frame_offset"))
+    start = (F.octet_length("data") * F.col("frame_i") / n_frames).cast("long")
+    end = (F.octet_length("data") * (F.col("frame_i") + 1) / n_frames).cast("long")
+    return exploded.select(
+        "asset_id",
+        F.col("frame_i").cast("int").alias("frame_idx"),
+        start.alias("frame_offset"),
+        F.col("data")
+        .substr((start + 1).cast("int"), (end - start).cast("int"))
+        .alias("frame_data"),
+    )
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize step over ``mapInPandas``: PIL resizes decodable payloads
+    for real (re-encoded as PNG); everything else gets the
+    clearly-marked deterministic fake (an evenly-strided byte
+    subsample padded/truncated to width·height bytes — stable across
+    partitionings, wrong as pixels, right as plumbing). Output schema,
+    batch iteration, and memory shape (one Arrow batch of payloads per
+    task) match the real pipeline either way."""
+
+    target_len = width * height
+
+    def fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return bytes(target_len)
+        stride = max(1, len(payload) // target_len)
+        out = payload[::stride][:target_len]
+        return out + bytes(target_len - len(out))
+
+    def pil_resize(payload: bytes) -> bytes | None:
+        if not HAVE_PIL:
+            return None
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                buf = io.BytesIO()
+                im.resize((width, height)).save(buf, format="PNG")
+                return buf.getvalue()
+        except Exception:
+            return None
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf["data"].map(lambda p: pil_resize(p) or fake_resize(p))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "data": data,
+                }
+            )
+
+    return assets.mapInPandas(resize, RESIZED)

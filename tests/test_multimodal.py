@@ -54,9 +54,35 @@ def test_byte_histogram_features(spark):
 
 
 def test_sample_frames_video_only(spark):
-    rows = mm.sample_frames(_assets(spark), n_frames=4).collect()
+    rows = sorted(mm.sample_frames(_assets(spark), n_frames=4).collect(), key=lambda r: r.frame_idx)
     assert {r.asset_id for r in rows} == {2}
     assert [r.frame_offset for r in rows] == [0, 25, 50, 75]
+    # frame slices carry the actual bytes and reassemble to the payload
+    payload = b"\x00\x01\x02\x03" * 25
+    assert all(len(bytes(r.frame_data)) == 25 for r in rows)
+    assert b"".join(bytes(r.frame_data) for r in rows) == payload
+
+
+def test_sample_frames_uneven_split_covers_payload(spark):
+    # 10 bytes into 3 frames: offsets 0/3/6, lengths 3/3/4 — slices
+    # partition the payload exactly, no gaps or overlaps
+    rows = [(5, "video", bytearray(b"0123456789"), {})]
+    assets = spark.createDataFrame(rows, mm.ASSETS)
+    frames = sorted(mm.sample_frames(assets, n_frames=3).collect(), key=lambda r: r.frame_idx)
+    assert b"".join(bytes(r.frame_data) for r in frames) == b"0123456789"
+
+
+def test_resize_assets_fake_path_deterministic(spark):
+    out = {r.asset_id: r for r in mm.resize_assets(_assets(spark), width=8, height=4).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r.width, r.height) == (8, 4)
+        assert len(bytes(r.data)) == 32  # fake path pads/truncates to w*h
+    again = {
+        r.asset_id: bytes(r.data)
+        for r in mm.resize_assets(_assets(spark).repartition(3), width=8, height=4).collect()
+    }
+    assert {k: bytes(v.data) for k, v in out.items()} == again  # layout-invariant
 
 
 def test_assets_from_documents_schema(spark):
