@@ -72,3 +72,34 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "cc_ckpt"))
+
+
+def test_random_graph_matches_union_find(spark):
+    # seeded random graph, cross-checked against a driver-side
+    # union-find oracle — the distributed star rounds must produce the
+    # identical min-label components on arbitrary topology (mix of
+    # chains, cliques, singleton pairs, hubs)
+    import random
+
+    rng = random.Random(20260813)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    expected = {v: find(v) for v in touched}
+
+    got = _cc(spark, edges)
+    assert got == expected
