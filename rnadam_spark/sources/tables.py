@@ -118,6 +118,11 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→TIMESTAMP cast below reinterprets in the SESSION timezone;
+    # our own session factory pins UTC, but the driver's correctness
+    # harness runs these queries in ITS session — pin there too so the
+    # epoch arithmetic stays oracle-identical wherever we run
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
