@@ -121,6 +121,93 @@ def lang_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# PII patterns ordered so more specific shapes win before generic digit
+# runs (emails before hostnames; the phone pattern requires separators
+# so it can't swallow arbitrary integers)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("PHONE", r"\+?\d[\d\- ()]{7,}\d"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text, n_redactions): training-data PII scrub — emails,
+    IPv4s, and phone-shaped digit runs replaced with ``<TYPE>`` tokens,
+    with a per-document redaction count for audit/drop thresholds.
+    Chained ``regexp_replace`` projections: scan-speed, shuffle-free,
+    deterministic — the curation step that must run BEFORE dedup (a
+    redacted near-dup pair should still collide)."""
+    cleaned = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, f"<{name}>")
+    n_red = F.aggregate(
+        F.array(*[F.regexp_count(text_col, F.lit(p)) for _n, p in PII_PATTERNS]),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        F.col(id_col), cleaned.alias(text_col), n_red.cast("bigint").alias("n_redactions")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_chars: int = 2048,
+    overlap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_chars): split long documents
+    into ≤``max_chars`` chunks whose starts step by
+    ``max_chars − overlap`` (context-window packing for training).
+    Pure JVM expressions (sequence → substring → posexplode): one input
+    row fans out to its chunk rows at scan speed — the classic
+    row-explosion shape that must never round-trip through Python at
+    100 TB. Empty documents yield one empty chunk so no doc silently
+    disappears from the corpus."""
+    if overlap >= max_chars:
+        raise ValueError("overlap must be smaller than max_chars")
+    stride = max_chars - overlap
+    n = F.length(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.col(text_col).substr(s + 1, F.lit(max_chars)))
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.length("chunk_text").cast("bigint").alias("n_chars"),
+    )
+
+
+def vocabulary(
+    docs: DataFrame, top_k: int | None = None, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, tf, df): corpus vocabulary with term and document
+    frequencies — the stats behind stopword lists, tokenizer training,
+    and contamination checks. One explode + one groupBy: tf partial-
+    aggregates map-side; df counts each document once via the
+    per-document run-length counts (functions/runlength.py — the same
+    in-row kernel the k-mer queries use; no count(distinct) expansion).
+    ``top_k`` returns the most frequent tokens via TakeOrdered (no
+    global sort)."""
+    from rnadam_spark.functions.runlength import with_value_counts
+
+    per_doc = (
+        with_value_counts(docs.select(F.col(id_col), F.col(text_col)), tokens(text_col), "kc")
+        .select(F.explode("kc").alias("tc"))
+        .select(F.col("tc.value").alias("token"), F.col("tc.cnt").alias("tf_doc"))
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("tf_doc").alias("tf"), F.count("*").cast("bigint").alias("df")
+    )
+    if top_k is not None:
+        return vocab.orderBy(F.col("tf").desc(), "token").limit(top_k)
+    return vocab
+
+
 def fingerprints(
     docs: DataFrame, k: int = 4, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,85 @@
+"""PII redaction, document chunking, vocabulary (operators/text.py) —
+the curation steps between raw scrape and training shards."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from rnadam_spark.operators import text
+
+
+def test_redact_pii_golden(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@example.org or call +1 (555) 123-4567."),
+        (2, "server 10.0.255.3 responded; no pii here otherwise"),
+        (3, "clean text with a number 42 that must survive"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert "<EMAIL>" in got[1].text and "<PHONE>" in got[1].text
+    assert "jane" not in got[1].text and "555" not in got[1].text
+    assert got[1].n_redactions == 2
+    assert got[2].text == "server <IP> responded; no pii here otherwise"
+    assert got[2].n_redactions == 1
+    assert got[3].text == rows[2][1] and got[3].n_redactions == 0
+
+
+def test_redact_pii_partitioning_invariant(spark, sf_dir):
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = {r.doc_id: (r.text, r.n_redactions) for r in text.redact_pii(docs).collect()}
+    b = {
+        r.doc_id: (r.text, r.n_redactions)
+        for r in text.redact_pii(docs.repartition(7)).collect()
+    }
+    assert a == b and a
+
+
+def test_chunk_documents_reassembles(spark):
+    body = "".join(chr(97 + (i % 26)) for i in range(1000))
+    df = spark.createDataFrame([(1, body), (2, "short"), (3, "")], ["doc_id", "text"])
+    chunks = text.chunk_documents(df, max_chars=256, overlap=32)
+    rows = sorted(chunks.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stripping the 32-char overlap from every chunk after the first
+    # reassembles the original exactly — no gaps, no duplication
+    stride = 256 - 32
+    rebuilt = by_doc[1][0].chunk_text + "".join(c.chunk_text[32:] for c in by_doc[1][1:])
+    assert rebuilt == body
+    assert all(c.n_chars <= 256 for c in by_doc[1])
+    # consecutive chunks agree on the overlap region
+    for prev, nxt in zip(by_doc[1], by_doc[1][1:]):
+        assert prev.chunk_text[stride:] == nxt.chunk_text[:32]
+    # short and empty docs still appear, as a single chunk
+    assert [c.chunk_text for c in by_doc[2]] == ["short"]
+    assert [c.chunk_text for c in by_doc[3]] == [""]
+
+
+def test_vocabulary_matches_counter(spark, sf_dir):
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    local_tf: Counter = Counter()
+    local_df: Counter = Counter()
+    for r in docs.collect():
+        toks = [t for t in r.text.split() if t]
+        local_tf.update(toks)
+        local_df.update(set(toks))
+    got = {r.token: (r.tf, r.df) for r in text.vocabulary(docs).collect()}
+    assert got == {t: (local_tf[t], local_df[t]) for t in local_tf}
+
+    top = text.vocabulary(docs, top_k=10).collect()
+    expected_top = sorted(local_tf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.token, r.tf) for r in top] == expected_top
+
+
+def test_vocabulary_plan_shapes(spark, sf_dir):
+    # one groupBy shuffle; the per-doc counts are in-row (run-length)
+    from rnadam_spark.plans import count_shuffles
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert count_shuffles(text.vocabulary(docs)) == 1
