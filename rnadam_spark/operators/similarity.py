@@ -123,17 +123,79 @@ def _centroid_scores(emb: Column, centroids: list[list[int]]) -> Column:
 
 
 def ivf_cells(
-    embeddings: DataFrame, n_centroids: int = 16, seed: int = 1234, dim: int = DIM
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 1234,
+    dim: int = DIM,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, cell): IVF coarse quantization — assign each vector to
-    its nearest centroid. Centroids are deterministic ±1 patterns (equal
-    norms, so dot-argmax ≡ cosine-argmax); assignment is a per-row
-    projection against broadcast literals — zero shuffle, scan-speed.
-    At scale the corpus is written partitioned/bucketed BY cell so a
-    probe reads only its cells' files."""
-    cents = hyperplanes(n=n_centroids, dim=dim, seed=seed)
+    its nearest centroid. Default centroids are deterministic ±1
+    patterns (equal norms, so dot-argmax ≡ cosine-argmax); pass
+    ``centroids`` (e.g. from :func:`kmeans_centroids`) for trained
+    cells. Assignment is a per-row projection against broadcast
+    literals — zero shuffle, scan-speed. At scale the corpus is written
+    partitioned/bucketed BY cell so a probe reads only its cells'
+    files."""
+    cents = centroids if centroids is not None else hyperplanes(n=n_centroids, dim=dim, seed=seed)
     cell = F.array_max(_centroid_scores(_as_double("embedding"), cents))["cid"]
     return embeddings.select("vec_id", cell.cast("bigint").alias("cell"))
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iterations: int = 5,
+    dim: int = DIM,
+) -> list[list[float]]:
+    """Train IVF centroids with Lloyd's iterations, DataFrame-native.
+
+    Init is a deterministic hash-sample: the ``k`` vectors with the
+    smallest ``xxhash64(vec_id)`` (one TakeOrdered job — partitioning-
+    independent, so training is reproducible on any layout). Each
+    iteration then costs:
+
+    - assignment: per-row dot-argmax against the current centroids as
+      broadcast literals (the exact ``ivf_cells`` expression) — zero
+      shuffle;
+    - update: ``posexplode`` the assigned vectors to (cell, dim, value)
+      and average per (cell, dim) — ONE shuffle whose final state is
+      k·dim scalars. Those come back to the driver to become the next
+      iteration's literals: driver state is bounded by k·dim regardless
+      of corpus size (the same loop-state shape Spark MLlib's KMeans
+      uses — centroids are genuinely small dimension data, not a
+      collect() of the corpus).
+
+    Empty cells keep their previous centroid. Returns the centroid list
+    for ``ivf_cells(..., centroids=...)`` / ``ivf_topk``. Means (not
+    normalized) — pair with dot-argmax assignment on roughly
+    unit-normalized embeddings, or normalize downstream."""
+    init = (
+        embeddings.select(_as_double("embedding").alias("e"), F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "e")
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[float]] = [list(r.e) for r in init]
+    for _ in range(max_iterations):
+        cell = F.array_max(_centroid_scores(_as_double("embedding"), cents))["cid"]
+        assigned = embeddings.select(cell.alias("cell"), _as_double("embedding").alias("e"))
+        means = (
+            assigned.select("cell", F.posexplode("e").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep position
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.d] = r.m
+        for cid, dims in by_cell.items():
+            new_cents[cid] = [dims[i] for i in range(len(dims))]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
 
 
 def ivf_topk(
@@ -144,14 +206,16 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 1234,
     dim: int = DIM,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, cos): approximate top-k — score only vectors whose IVF
     cell is among the query's ``n_probe`` nearest cells (the standard
     IVF trade: ~n_probe/n_centroids of the corpus scored instead of all
     of it; recall grows with n_probe). Complements the LSH-bucket path:
     IVF gives tunable recall at query time, LSH gives join-free
-    all-pairs candidate generation."""
-    cents = hyperplanes(n=n_centroids, dim=dim, seed=seed)
+    all-pairs candidate generation. ``centroids`` (e.g. from
+    :func:`kmeans_centroids`) replaces the default ±1 patterns."""
+    cents = centroids if centroids is not None else hyperplanes(n=n_centroids, dim=dim, seed=seed)
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         _as_double("embedding").alias("q_emb")
     )

@@ -86,3 +86,51 @@ def test_planes_for_sizing_rule():
 def test_lsh_buckets_param_plane_count(spark):
     got = similarity.lsh_buckets(_emb(spark), dim=4, n_planes=4).collect()
     assert all(0 <= r.bucket < 16 for r in got)
+
+
+def test_kmeans_centroids_recover_blobs(spark):
+    # three tight, well-separated 4-d blobs: Lloyd iterations from a
+    # deterministic hash-sample init must place one centroid near each
+    # true mean, and trained cells must beat the default +/-1 patterns
+    # at grouping the blobs
+    import random
+
+    rng = random.Random(5)
+    true_means = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    for b, m in enumerate(true_means):
+        for i in range(40):
+            rows.append(
+                (b * 100 + i, [v + rng.uniform(-0.5, 0.5) for v in m])
+            )
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    cents = similarity.kmeans_centroids(df, k=3, max_iterations=8, dim=4)
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    # each true mean has a trained centroid within the blob radius
+    for m in true_means:
+        best = min(sum((a - b) ** 2 for a, b in zip(c, m)) ** 0.5 for c in cents)
+        assert best < 1.0, (m, cents)
+
+    # assignment with trained centroids groups each blob into one cell
+    cells = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_cells(df, centroids=cents, dim=4).collect()
+    }
+    for b in range(3):
+        blob_cells = {cells[b * 100 + i] for i in range(40)}
+        assert len(blob_cells) == 1, (b, blob_cells)
+    assert len({cells[0], cells[100], cells[200]}) == 3  # distinct cells
+
+
+def test_kmeans_centroids_partitioning_invariant(spark):
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), 0.0, 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    a = similarity.kmeans_centroids(df, k=4, max_iterations=3, dim=4)
+    b = similarity.kmeans_centroids(df.repartition(7), k=4, max_iterations=3, dim=4)
+    # init is hash-deterministic and assignments are argmax over exact
+    # literals; only the mean's float summation order can vary with the
+    # layout, so centroids agree to ~1e-9 rather than bit-exactly
+    assert len(a) == len(b)
+    for ca, cb in zip(a, b):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb)), (ca, cb)
