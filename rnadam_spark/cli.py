@@ -3,12 +3,18 @@
   rnadam-spark index GENOME GENES KMER_LENGTH OUTPUT
   rnadam-spark quantify READS INDEX GENES KMER_LENGTH OUTPUT
       [-max_iterations N] [-disable_kmer_calibration]
-      [-disable_length_calibration]
+      [-disable_length_calibration] [-checkpoint_dir DIR]
+
+plus the north-star curation command over a documents table:
+
+  rnadam-spark curate DOCUMENTS OUTPUT [-quality_min X]
+      [-chunk_chars N] [-chunk_overlap N] [-partition_by COL]
 
 Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
 are parquet datasets with the FIXTURES.md §A schemas. The library API
-(rnadam_spark.algorithms) is the primary surface — this is a thin
-wrapper, as in the reference (SURVEY.md §3 entry point 3).
+(rnadam_spark.algorithms / rnadam_spark.operators) is the primary
+surface — this is a thin wrapper, as in the reference (SURVEY.md §3
+entry point 3).
 """
 
 from __future__ import annotations
@@ -39,14 +45,58 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("-max_iterations", type=int, default=50)
     q.add_argument("-disable_kmer_calibration", action="store_true")
     q.add_argument("-disable_length_calibration", action="store_true")
+    q.add_argument(
+        "-checkpoint_dir",
+        default=None,
+        help="fault-tolerant dir for reliable EM checkpointing (default: localCheckpoint)",
+    )
+
+    c = sub.add_parser("curate", help="PII-scrub, quality-filter, dedup, chunk, shard")
+    c.add_argument("documents", help="parquet: (doc_id, text, lang, source, n_chars)")
+    c.add_argument("output", help="output directory (Hive-partitioned parquet)")
+    c.add_argument("-quality_min", type=float, default=0.9)
+    c.add_argument("-chunk_chars", type=int, default=0, help="0 = no chunking")
+    c.add_argument("-chunk_overlap", type=int, default=128)
+    c.add_argument("-partition_by", default="lang")
     return p
+
+
+def _run_curate(spark, args) -> None:
+    """The composite curation pipeline as ONE lazy plan: PII scrub →
+    quality threshold → exact-dedup canonical selection → optional
+    token-budget chunking → partitioned sink. Everything up to the
+    dedup groupBy is a projection; the dedup join is doc_id-equi on the
+    canonical ids (broadcastable when the survivor set is small)."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import dedup, text
+    from rnadam_spark.sources.sink import write_partitioned
+
+    docs = spark.read.parquet(args.documents)
+    scrubbed = text.redact_pii(docs).join(docs.drop("text"), "doc_id")
+    quality = text.quality_scores(scrubbed).select("doc_id", "quality")
+    kept = scrubbed.join(quality, "doc_id").filter(F.col("quality") >= args.quality_min)
+    canon = dedup.exact_dup_groups(kept).select(
+        F.col("canonical_id").alias("doc_id"), "n_dups"
+    )
+    curated = kept.join(canon, "doc_id")
+    if args.chunk_chars:
+        chunks = text.chunk_documents(
+            curated, max_chars=args.chunk_chars, overlap=args.chunk_overlap
+        )
+        curated = chunks.join(curated.drop("text", "n_chars"), "doc_id").withColumnRenamed(
+            "chunk_text", "text"
+        )
+    write_partitioned(curated, args.output, partition_by=[args.partition_by])
 
 
 def main(argv: list[str] | None = None) -> None:
     args = _build_parser().parse_args(argv)
     spark = get_spark(f"rnadam-{args.command}")
 
-    if args.command == "index":
+    if args.command == "curate":
+        _run_curate(spark, args)
+    elif args.command == "index":
         from rnadam_spark.algorithms.index import build_index
 
         genome = gio.load_genome(spark, args.genome)
@@ -72,6 +122,7 @@ def main(argv: list[str] | None = None) -> None:
             max_iterations=args.max_iterations,
             calibrate_kmer_bias=not args.disable_kmer_calibration,
             calibrate_length_bias=not args.disable_length_calibration,
+            checkpoint_dir=args.checkpoint_dir,
         )
         gio.save_abundances_text(result, args.output)
 

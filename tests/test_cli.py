@@ -118,3 +118,46 @@ def test_cli_full_calibration_pipeline(spark, tmp_path):
     assert len(got) == 3
     for name in names:
         assert abs(got[name] - 1.0 / 3) <= 0.05, got
+
+
+def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
+    # the curation command over the real documents table: PII scrub +
+    # quality cut + exact-dedup canonicals + chunking, sharded by lang
+    import os
+
+    out = str(tmp_path / "curated_cli")
+    cli.main(
+        [
+            "curate",
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            "-quality_min", "0.9",
+            "-chunk_chars", "512",
+            "-chunk_overlap", "64",
+        ]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    cols = set(back.columns)
+    assert {"doc_id", "chunk_idx", "text", "quality", "n_dups", "lang"} <= cols
+    from pyspark.sql import functions as F
+
+    assert back.agg(F.min("quality")).collect()[0][0] >= 0.9
+    assert back.agg(F.max(F.length("text"))).collect()[0][0] <= 512
+    # Hive layout on lang
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+
+    # without chunking: surviving documents are exactly deduped — no
+    # two rows share identical scrubbed text
+    out2 = str(tmp_path / "curated_cli_nochunk")
+    cli.main(
+        [
+            "curate",
+            os.path.join(sf_dir, "documents.parquet"),
+            out2,
+            "-quality_min", "0.9",
+        ]
+    )
+    flat = spark.read.parquet(out2)
+    assert flat.count() == flat.dropDuplicates(["text"]).count()
+    assert flat.count() > 0
