@@ -133,3 +133,39 @@ def test_quantify_reliable_checkpoint_matches_local(spark, tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "ckpt"))
+
+
+def test_quantify_skew_safe_matches_window_on_mega_class(spark):
+    # the skew crossover shape: one equivalence class spans EVERY
+    # transcript (the hot key that funnels the window form into one
+    # task at scale) — both E-step formulations must produce the same
+    # abundances to float tolerance
+    t_len = [500, 300, 200, 400]
+    abundances = [0.4, 0.3, 0.1, 0.2]
+    transcripts, names, kmer_map, class_map = gen.generate_independent_transcripts(
+        20, t_len, seed=21
+    )
+    reads = gen.generate_reads(transcripts, abundances, 3000, 75, seed=22)
+    # collapse most k-mers into one mega-class spanning every
+    # transcript + keep singleton classes so group sizes are skewed
+    # (class ids are strings, matching the engine's content-hash ids)
+    mega_kmer_map = {
+        km: "mega" if int(cls) % 3 == 0 else cls for km, cls in kmer_map.items()
+    }
+    mega_class_map: dict = {"mega": list(names)}
+    for c, ts in class_map.items():
+        if int(c) % 3 != 0:
+            mega_class_map[c] = ts
+    reads_df, kmer_df, class_df, t_df = _dataframes(
+        spark, transcripts, names, mega_kmer_map, mega_class_map, reads
+    )
+    kwargs = dict(
+        k=20, max_iterations=5, calibrate_kmer_bias=False, calibrate_length_bias=False
+    )
+    window = quantify(reads_df, kmer_df, class_df, t_df, skew_safe=False, **kwargs)
+    safe = quantify(reads_df, kmer_df, class_df, t_df, skew_safe=True, **kwargs)
+    got_w = {r.t_id: r.abundance for r in window.select("t_id", "abundance").collect()}
+    got_s = {r.t_id: r.abundance for r in safe.select("t_id", "abundance").collect()}
+    assert set(got_w) == set(got_s) and got_w
+    for t in got_w:
+        assert abs(got_w[t] - got_s[t]) < 1e-9, (t, got_w[t], got_s[t])

@@ -134,3 +134,30 @@ def test_kmeans_centroids_partitioning_invariant(spark):
     assert len(a) == len(b)
     for ca, cb in zip(a, b):
         assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb)), (ca, cb)
+
+
+def test_ivf_topk_trained_recall_on_clustered_corpus(spark):
+    # on clustered data the whole point of TRAINING centroids shows up
+    # as recall: the query's true neighbors live in its blob, k-means
+    # centroids align cells with blobs, so probing the top cell(s)
+    # recovers the brute-force top-k exactly
+    import random
+
+    rng = random.Random(11)
+    means = [[20.0 * (b == i) for i in range(4)] for b in range(4)]
+    rows = []
+    for b, m in enumerate(means):
+        for i in range(50):
+            rows.append((b * 1000 + i, [v + rng.uniform(-1.0, 1.0) for v in m]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    cents = similarity.kmeans_centroids(df, k=4, max_iterations=6, dim=4)
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, 0, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            df, 0, 10, n_centroids=4, n_probe=1, dim=4, centroids=cents
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall == 1.0, (recall, exact, approx)
