@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import poly_hash_col
 from rnadam_spark.functions.rounding import hround
-from rnadam_spark.functions.shingles import char_shingles, tokens
+from rnadam_spark.functions.shingles import char_shingles, token_ngrams, tokens
 
 # tiny built-in stopword lists for the language-ID heuristic; real
 # pipelines would load per-language frequency tables
@@ -206,6 +206,52 @@ def vocabulary(
     if top_k is not None:
         return vocab.orderBy(F.col("tf").desc(), "token").limit(top_k)
     return vocab
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(doc_id, n_grams, n_contaminated, contamination): fraction of a
+    document's distinct word ``n``-grams that appear anywhere in the
+    benchmark corpus — the standard pre-training decontamination stat
+    (13-gram overlap is the conventional window). Drop or flag
+    documents above a threshold before training so eval numbers stay
+    meaningful.
+
+    Shape: benchmark grams distinct once, then a left join from the
+    exploded document grams. ``broadcast_benchmark`` (default) pins the
+    join broadcast — eval suites are tiny next to a 100 TB corpus, so
+    the scan side never shuffles; disable it for corpus-vs-corpus
+    overlap, where sort-merge on the gram is the right plan. Documents
+    shorter than ``n`` tokens score 0 (kept via explode_outer — a doc
+    must never silently vanish from an audit)."""
+    bench_grams = (
+        benchmark.select(F.explode(token_ngrams(bench_text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(token_ngrams(text_col, n))).alias("gram"),
+    )
+    joined = doc_grams.join(bench_grams, "gram", "left")
+    n_grams = F.count("gram")
+    n_hit = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return joined.groupBy(id_col).agg(
+        n_grams.cast("bigint").alias("n_grams"),
+        n_hit.cast("bigint").alias("n_contaminated"),
+        hround(
+            n_hit.cast("double") / F.greatest(n_grams, F.lit(1)).cast("double"), 6
+        ).alias("contamination"),
+    )
 
 
 def fingerprints(

@@ -83,3 +83,38 @@ def test_vocabulary_plan_shapes(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     assert count_shuffles(text.vocabulary(docs)) == 1
+
+
+def test_contamination_scores_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # fully inside benchmark
+            (2, "alpha beta epsilon zeta"),     # partial overlap
+            (3, "nothing shared here at all"),  # clean
+            (4, "too short"),                   # fewer tokens than n
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["bench_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
+        for r in text.contamination_scores(docs, bench, n=3).collect()
+    }
+    # doc 1: grams {a b g, b g d} both in bench -> 1.0
+    assert got[1] == (2, 2, 1.0)
+    # doc 2: grams {a b e, b e z}; bench has neither -> 0.0... but
+    # "alpha beta gamma" is a bench gram, doc2's first gram is
+    # "alpha beta epsilon" — no hits
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (3, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)  # kept, scored zero — never dropped
+
+
+def test_contamination_broadcast_plan(spark):
+    from rnadam_spark.plans import has_broadcast_join
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(1, "a b c")], ["bench_id", "text"])
+    assert has_broadcast_join(text.contamination_scores(docs, bench, n=3))
