@@ -261,15 +261,19 @@ def quantify(
     rel_kmers = ins.timed(timers, ins.NORMALIZING, rel_kmers)
 
     # the static membership-edge table, enriched ONCE with both static
-    # dimensions (class share rel_p, transcript length) and cached: the
-    # per-iteration plans then carry rel_p/t_len as passthrough columns,
-    # so each EM iteration is one broadcast (tiny µ) + two shuffles of
-    # the edge table — no dimension re-broadcasts inside the loop.
-    # Classes absent from class_counts drop here; their α rows carried
-    # zero weight into the M-step's rel_p join anyway.
+    # dimensions (class share rel_p, transcript length), PRE-PARTITIONED
+    # on class_id, and cached. The repartition is paid once at cache
+    # time and every iteration's E-step window then reuses the cached
+    # hashpartitioning(class_id) — its plan is broadcast-join + local
+    # sort + window with NO exchange (verified in tests/test_plans.py),
+    # so each EM iteration moves the edge table over the network exactly
+    # once (the M-step groupBy) instead of twice. Classes absent from
+    # class_counts drop here; their α rows carried zero weight into the
+    # M-step's rel_p join anyway.
     edges = (
         class_transcripts.join(F.broadcast(rel_kmers), "class_id")
         .join(F.broadcast(t_len), "t_id")
+        .repartition("class_id")
         .cache()
     )
 

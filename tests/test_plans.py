@@ -153,3 +153,29 @@ def test_em_e_step_broadcasts_mu(spark):
     df = e_step(mu, edges)
     assert has_broadcast_join(df)
     assert count_shuffles(df) == 1  # only the class window
+
+
+def test_em_e_step_reuses_cached_edge_partitioning(spark):
+    # the loop's edge prep (repartition by class_id + cache): the
+    # E-step window must reuse the cached hashpartitioning — broadcast
+    # join + local sort + window, ZERO exchanges beyond the ones
+    # already inside the cached subtree's printed plan
+    from rnadam_spark.algorithms.quantify import e_step
+
+    mu = spark.createDataFrame([("a", 0.5), ("b", 0.5)], ["t_id", "mu"])
+    edges = (
+        spark.createDataFrame(
+            [(1, "a", 0.6, 100.0), (1, "b", 0.4, 50.0)],
+            ["class_id", "t_id", "rel_p", "t_len"],
+        )
+        .repartition("class_id")
+        .cache()
+    )
+    try:
+        edges.count()
+        base = count_shuffles(edges)  # the cache-time repartition exchange(s)
+        df = e_step(mu, edges)
+        assert has_broadcast_join(df)
+        assert count_shuffles(df) == base  # the window added none
+    finally:
+        edges.unpersist()
