@@ -30,19 +30,35 @@ def _events_stream_schema(spark: SparkSession, path: str) -> T.StructType:
     return spark.read.parquet(path).schema
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stage_dir(sf_dir: str, name: str) -> str:
     """The file stream source wants a *directory* to watch; the driver
-    ships a single parquet file, so stage a symlink dir (testdata is
+    ships single parquet files, so stage a symlink dir (testdata is
     read-only — no copy)."""
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{name}.parquet")
     stage = os.path.join(
-        "/tmp", "rnadam_stream_src_" + sf_dir.strip("/").replace("/", "_")
+        "/tmp", f"rnadam_stream_src_{name}_" + sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
+    link = os.path.join(stage, f"{name}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
+    return stage
 
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Any driver table as a file-stream source (schema probed from the
+    parquet footer — streams require a declared schema). Batch-authored
+    stateless operators (PII scrub, quality scoring, lang-ID, chunking)
+    compose on the result unchanged: that is the point of writing them
+    as declarative projections."""
+    stage = _stage_dir(sf_dir, name)
+    schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = _stage_dir(sf_dir, "events")
     schema = _events_stream_schema(spark, src)
     raw = spark.readStream.schema(schema).format("parquet").load(stage)
     dt = dict(raw.dtypes).get("ts")

@@ -96,3 +96,32 @@ def test_sessionize_stream_matches_batch_session_counts(spark, sf_dir, stream_ev
             assert batch_counts[u] == n, u
             agree += 1
     assert agree >= len(stream_counts) * 0.8
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir):
+    # the stateless curation chain (PII scrub -> quality score ->
+    # threshold filter) runs unchanged on an unbounded source and must
+    # emit exactly the batch result over the same (bounded) data —
+    # declarative projections are engine-mode-agnostic by construction
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import text
+    from rnadam_spark.sources.tables import load_table
+
+    def curate(docs):
+        scrubbed = text.redact_pii(docs)
+        quality = text.quality_scores(scrubbed).select("doc_id", "quality")
+        return (
+            scrubbed.join(quality, "doc_id")
+            .filter(F.col("quality") >= 0.9)
+            .select("doc_id", "text", "n_redactions", "quality")
+        )
+
+    stream_docs = se.read_table_stream(spark, sf_dir, "documents")
+    got = se.run_to_memory(curate(stream_docs), "curated_stream_out")
+    stream_rows = {r.doc_id: (r.text, r.n_redactions, r.quality) for r in got.collect()}
+    batch_rows = {
+        r.doc_id: (r.text, r.n_redactions, r.quality)
+        for r in curate(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
