@@ -132,12 +132,15 @@ def e_step(mu: DataFrame, class_transcripts: DataFrame, skew_safe: bool = False)
     differ; both paths pass the same goldens).
 
     Measured A/B (bench.py ``ab`` block, re-run per round): at sf0.1
-    with no mega-class the window form wins (9.6s vs 11.7s for the
-    5-iteration flagship — skew_safe pays an extra aggregate + exchange
-    per iteration), so it stays the default; the crossover is a class
-    whose edge count dwarfs a single task (≈ rows-per-task at the
-    configured shuffle width), where the window funnels and skew_safe
-    keeps scaling — flip it on when class sizes are unbounded.
+    with no mega-class the window form wins (8.1s vs 8.8s for the
+    5-iteration flagship over class_id-pre-partitioned cached edges —
+    both paths reuse that partitioning, so the gap is the skew_safe
+    extra aggregate+broadcast), and it stays the default; the crossover
+    is a class whose edge count dwarfs a single task (≈ rows-per-task
+    at the configured shuffle width), where the window funnels and
+    skew_safe keeps scaling — flip it on when class sizes are
+    unbounded. Parity on the mega-class shape itself is pinned by
+    tests/test_quantify_e2e.py.
 
     Extra columns on ``class_transcripts`` pass through (the EM loop's
     enriched edge table)."""
