@@ -122,12 +122,16 @@ def lang_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 # PII patterns ordered so more specific shapes win before generic digit
-# runs (emails before hostnames; the phone pattern requires separators
-# so it can't swallow arbitrary integers)
+# runs (emails before hostnames). The phone pattern requires at least
+# one separator character (dash/space/paren) between the first and last
+# digit, so a bare digit run — a long ID, a timestamp — is never
+# redacted. All three patterns stay inside the RE2-compatible subset
+# (no lookaround, no backreferences) so the DuckDB oracle can run the
+# exact same regexes.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    ("PHONE", r"\+?\d[\d\- ()]{7,}\d"),
+    ("PHONE", r"\+?\d[\d ()]*[\- ()][\d\- ()]{5,}\d"),
 )
 
 
@@ -137,15 +141,19 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     with a per-document redaction count for audit/drop thresholds.
     Chained ``regexp_replace`` projections: scan-speed, shuffle-free,
     deterministic — the curation step that must run BEFORE dedup (a
-    redacted near-dup pair should still collide)."""
+    redacted near-dup pair should still collide).
+
+    ``n_redactions`` counts each pattern against the progressively
+    cleaned intermediate (count pattern *i* on the text after patterns
+    1..*i−1* were replaced), so the stat equals the number of
+    replacements actually made: a phone-shaped digit run inside an
+    email is one replacement and counts one."""
     cleaned = F.col(text_col)
+    counts = []
     for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(cleaned, F.lit(pat)))
         cleaned = F.regexp_replace(cleaned, pat, f"<{name}>")
-    n_red = F.aggregate(
-        F.array(*[F.regexp_count(text_col, F.lit(p)) for _n, p in PII_PATTERNS]),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    n_red = F.aggregate(F.array(*counts), F.lit(0), lambda acc, x: acc + x)
     return docs.select(
         F.col(id_col), cleaned.alias(text_col), n_red.cast("bigint").alias("n_redactions")
     )
@@ -165,12 +173,22 @@ def chunk_documents(
     row fans out to its chunk rows at scan speed — the classic
     row-explosion shape that must never round-trip through Python at
     100 TB. Empty documents yield one empty chunk so no doc silently
-    disappears from the corpus."""
+    disappears from the corpus.
+
+    Every chunk after the first contributes at least one character
+    beyond its predecessor: starts are capped at ``n − overlap − 1``,
+    so a document that ends inside the previous chunk's overlap region
+    never emits a tail chunk that is a pure substring of it (which
+    would ship duplicated training content past the dedup stage)."""
     if overlap >= max_chars:
         raise ValueError("overlap must be smaller than max_chars")
     stride = max_chars - overlap
     n = F.length(text_col)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # a chunk starting at s covers [s, s+max_chars); its predecessor
+    # already covers through s+overlap, so s contributes new characters
+    # iff s < n - overlap — cap the start sequence there (floor 0 keeps
+    # the single chunk for short/empty docs)
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.col(text_col).substr(s + 1, F.lit(max_chars)))
     return docs.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")

@@ -24,6 +24,24 @@ def test_redact_pii_golden(spark):
     assert got[3].text == rows[2][1] and got[3].n_redactions == 0
 
 
+def test_redact_pii_count_equals_replacements(spark):
+    rows = [
+        # phone-shaped digit run inside an email: ONE replacement
+        # (<EMAIL> swallows it), so the audit count must be 1, not 2
+        (1, "reach user123 at a.b-c+d123456789@host.com today"),
+        # bare digit runs (IDs, timestamps) are not phones — no separator
+        (2, "order 123456789012 at 20260813T120000 stays intact"),
+        # a real phone with separators still redacts
+        (3, "fax: 555-123-4567 ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert got[1].text == "reach user123 at <EMAIL> today"
+    assert got[1].n_redactions == 1
+    assert got[2].text == rows[1][1] and got[2].n_redactions == 0
+    assert got[3].text == "fax: <PHONE> ok" and got[3].n_redactions == 1
+
+
 def test_redact_pii_partitioning_invariant(spark, sf_dir):
     from rnadam_spark.sources.tables import load_table
 
@@ -56,6 +74,31 @@ def test_chunk_documents_reassembles(spark):
     # short and empty docs still appear, as a single chunk
     assert [c.chunk_text for c in by_doc[2]] == ["short"]
     assert [c.chunk_text for c in by_doc[3]] == [""]
+
+
+def test_chunk_documents_no_redundant_tail(spark):
+    # stride = 224; docs whose length lands inside (stride,
+    # stride + overlap] used to emit a second chunk fully contained in
+    # the first — duplicated training content. Now: exactly 1 chunk.
+    df = spark.createDataFrame(
+        [
+            (1, "x" * 225),  # stride + 1      -> 1 chunk (new char count 1 <= overlap)
+            (2, "x" * 256),  # == max_chars    -> 1 chunk
+            (3, "x" * 257),  # max_chars + 1   -> 2 chunks (tail adds 1 new char)
+        ],
+        ["doc_id", "text"],
+    )
+    chunks = text.chunk_documents(df, max_chars=256, overlap=32)
+    n = {r.doc_id: r.n for r in chunks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert n == {1: 1, 2: 1, 3: 2}
+    # and in general no chunk is a pure substring of its predecessor:
+    # every chunk after the first ends strictly later than the previous
+    rows = sorted(
+        chunks.filter(F.col("doc_id") == 3).collect(), key=lambda r: r.chunk_idx
+    )
+    stride = 256 - 32
+    ends = [r.chunk_idx * stride + r.n_chars for r in rows]
+    assert all(b > a for a, b in zip(ends, ends[1:]))
 
 
 def test_vocabulary_matches_counter(spark, sf_dir):
