@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_sql
-from rnadam_spark.functions.rounding import hround
+from rnadam_spark.functions.rounding import hround, hround_sql
 from rnadam_spark.operators import dedup, sampling, similarity, text
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
@@ -522,17 +522,15 @@ _LANG_FRACTIONS = {"en": 0.5, "zh": 0.2, "de": 1.0}
 _LANG_DEFAULT = 0.05
 
 
-@query(
-    "hash_sampled_docs",
-    oracle=f"""
-    SELECT doc_id, lang, source FROM documents
-    WHERE {sampling.sample_code_sql("doc_id", SAMPLE_SEED)} < {int(SAMPLE_FRACTION * MOD)}
-    """,
-)
 def hash_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% Bernoulli sample by key hash — reproducible on
     any partitioning/engine (df.sample's seeded RNG is not), zero
-    shuffle, filter pushes to the scan."""
+    shuffle, filter pushes to the scan.
+
+    Unregistered since round 6 (the driver gate caps at 50 entries and
+    the curation scrub operators took the slots): the `_sample_code`
+    kernel stays hash-verified via ``stratified_sample_by_lang``, and
+    the zero-shuffle plan contract stays pinned in tests/test_plans.py."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.hash_sample(docs, "doc_id", SAMPLE_FRACTION, SAMPLE_SEED).select(
         "doc_id", "lang", "source"
@@ -630,21 +628,84 @@ def binary_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_fingerprints",
-    oracle=f"""
-    SELECT doc_id,
-           array_to_string(
-             list_transform(
-               list_sort(list_distinct(list_transform(
-                 list_transform(range(1, greatest(length(text) - 3, 0) + 1),
-                                i -> substring(text, CAST(i AS INT), 4)),
-                 s -> {poly_hash_sql("s", 4)})))[1:4],
-               x -> CAST(x AS VARCHAR)),
-             '_') AS fingerprint
-    FROM documents WHERE length(text) >= 4
-    """,
-)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-4 sketch of shingle hashes (rolling-hash fingerprint)."""
+    """Bottom-4 sketch of shingle hashes (rolling-hash fingerprint).
+
+    Unregistered since round 6 (gate capped at 50; the poly-hash kernel
+    stays hash-verified via ``minhash_signatures``); pinned instead by
+    the golden in tests/test_text_curation.py."""
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _redact_sql() -> str:
+    """Progressive-replacement oracle generated from the SAME pattern
+    table the Spark operator uses (text.PII_PATTERNS), so the two can't
+    drift: count pattern i on the text after patterns 1..i-1 replaced,
+    then replace — n_redactions equals replacements made."""
+    ctes = ["c0 AS (SELECT doc_id, text FROM documents)"]
+    kept: list[str] = []
+    for i, (name, pat) in enumerate(text.PII_PATTERNS, start=1):
+        cols = ", ".join(["doc_id", *kept])
+        ctes.append(
+            f"c{i} AS (SELECT {cols}, "
+            f"len(regexp_extract_all(text, '{pat}')) AS k{i}, "
+            f"regexp_replace(text, '{pat}', '<{name}>', 'g') AS text FROM c{i - 1})"
+        )
+        kept.append(f"k{i}")
+    total = " + ".join(kept)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT doc_id, text, "
+        f"CAST({total} AS BIGINT) AS n_redactions FROM c{len(text.PII_PATTERNS)}"
+    )
+
+
+@query("redact_pii_docs", oracle=_redact_sql())
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails, IPv4s, phone-shaped runs →
+    ``<TYPE>`` tokens + an exact per-doc replacement count. Chained
+    regexp_replace projections — scan-speed, shuffle-free. All three
+    patterns are RE2-compatible, so the oracle runs the identical
+    regexes and the redacted TEXT itself is hash-compared, not just
+    the counts."""
+    return text.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+DECONTAM_N = 13
+_BENCH_MOD = 20  # every 20th doc stands in for the held-out eval suite
+
+_CONTAM_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    dg AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= {DECONTAM_N}
+                       THEN list_distinct(list_transform(range(1, len(toks) - {DECONTAM_N - 2}),
+                              i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' ')))
+                       ELSE [] END AS grams
+           FROM toks),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM dg),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    agg AS (SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated
+            FROM g LEFT JOIN b ON g.gram = b.gram
+            GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.n_contaminated, 0) AS n_contaminated,
+           {hround_sql("CAST(coalesce(a.n_contaminated, 0) AS DOUBLE)"
+                       " / greatest(coalesce(a.n_grams, 0), 1)", 6)} AS contamination
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@query("contamination_scores", oracle=_CONTAM_SQL)
+def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram decontamination audit: fraction of each document's
+    distinct word 13-grams that appear in the benchmark set (every
+    20th doc stands in for the eval suite — at 100 TB the benchmark is
+    tiny next to the corpus, so its distinct grams broadcast and the
+    corpus side never shuffles for the join). Docs shorter than 13
+    tokens score 0, never dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return text.contamination_scores(docs, bench, n=DECONTAM_N)

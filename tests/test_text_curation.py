@@ -128,6 +128,31 @@ def test_vocabulary_plan_shapes(spark, sf_dir):
     assert count_shuffles(text.vocabulary(docs)) == 1
 
 
+def test_fingerprints_matches_python(spark, sf_dir):
+    # bottom-4 sketch of 4-shingle poly hashes, cross-checked against a
+    # direct Python reimplementation (covers the operator now that its
+    # oracle row is retired from the 50-entry gate; the poly-hash kernel
+    # itself stays hash-verified via minhash_signatures)
+    from rnadam_spark.functions.hashing import BASE, MOD
+    from rnadam_spark.sources.tables import load_table
+
+    def py_hash(s: str) -> int:
+        acc = ord(s[0])
+        for ch in s[1:]:
+            acc = (acc * BASE + ord(ch)) % MOD
+        return acc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    expected = {}
+    for r in docs.collect():
+        if len(r.text) < 4:
+            continue
+        hs = sorted({py_hash(r.text[i : i + 4]) for i in range(len(r.text) - 3)})
+        expected[r.doc_id] = "_".join(str(h) for h in hs[:4])
+    got = {r.doc_id: r.fingerprint for r in text.fingerprints(docs).collect()}
+    assert got == expected and got
+
+
 def test_contamination_scores_golden(spark):
     docs = spark.createDataFrame(
         [
