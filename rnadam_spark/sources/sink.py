@@ -51,14 +51,22 @@ def write_partitioned(
     )
 
 
+def _qualified_path(spark: SparkSession, path: str):
+    """(FileSystem, fully-qualified Path) for ``path`` — qualification
+    resolves relative paths against the filesystem working directory so
+    they compare cleanly with the absolute paths ``listFiles`` returns."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, fs.makeQualified(jpath)
+
+
 def _data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(absolute file path, bytes) for every parquet data file under
     ``path``, listed through the Hadoop FileSystem API — the same
     listing works on local FS, HDFS, and object stores (os.walk only
     ever saw the local disk)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = _qualified_path(spark, path)
     it = fs.listFiles(jpath, True)
     files: list[tuple[str, int]] = []
     while it.hasNext():
@@ -121,8 +129,18 @@ def compact_partitioned(
     gets more tasks, a tiny one exactly one, and no partition's rewrite
     serializes behind another's (the per-directory-loop alternative
     runs P sequential jobs and leaves the cluster idle on the small
-    ones)."""
-    root = spark._jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    ones).
+
+    The scan reads partition columns as RAW STRINGS (partition type
+    inference disabled for this read): the broadcast join then compares
+    the exact decoded directory value on both sides, so values that
+    don't round-trip type inference — zero-padded ints (``k=01`` →
+    ``1``), trailing-zero decimals, escaped timestamps — can never
+    silently miss the join. The rewrite is guarded by an input-vs-
+    output row-count check that raises instead of dropping rows, and
+    the output reproduces the source directory names byte-for-byte
+    (string partition values re-escape identically on write)."""
+    root = _qualified_path(spark, path)[1].toUri().getPath()
     sizes: dict[tuple, int] = {}
     for f, size in _data_files(spark, path):
         spec = _partition_spec(root, f)
@@ -135,19 +153,27 @@ def compact_partitioned(
         for spec, size in sizes.items()
     }
 
-    df = spark.read.parquet(path)
+    inference_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    saved = spark.conf.get(inference_conf)
+    spark.conf.set(inference_conf, "false")
+    try:
+        # partition discovery happens eagerly here, so the conf can be
+        # restored immediately after — the resolved relation keeps its
+        # string partition columns for the whole plan lifetime
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(inference_conf, saved)
     data_cols = [c for c in df.columns if c not in part_cols]
     counts_df = spark.createDataFrame(
         [(*vals, n) for vals, n in counts.items()],
         ", ".join([f"`{c}` string" for c in part_cols] + ["`_n_files` int"]),
     )
-    # join on string-normalized partition values (directory names are
-    # strings; the scan re-infers typed columns) with the null sentinel
-    # standing in for NULL partitions on both sides
+    # both sides are the decoded directory value (the scan's inference
+    # is off; the listing unquotes the same percent-escapes), with the
+    # null sentinel standing in for NULL partitions on both sides
     renamed = counts_df.withColumnsRenamed({c: f"_p_{c}" for c in part_cols})
     cond = [
-        F.coalesce(df[c].cast("string"), F.lit(HIVE_NULL))
-        == F.coalesce(F.col(f"_p_{c}"), F.lit(HIVE_NULL))
+        F.coalesce(df[c], F.lit(HIVE_NULL)) == F.coalesce(F.col(f"_p_{c}"), F.lit(HIVE_NULL))
         for c in part_cols
     ]
     salt = F.pmod(F.xxhash64(*data_cols), F.col("_n_files")) if data_cols else F.lit(0)
@@ -160,4 +186,11 @@ def compact_partitioned(
         .partitionBy(*part_cols)
         .parquet(out_path)
     )
+    n_in, n_out = df.count(), spark.read.parquet(out_path).count()
+    if n_in != n_out:
+        raise RuntimeError(
+            f"compact_partitioned row-count mismatch: read {n_in}, wrote {n_out} "
+            f"({path} -> {out_path}) — partition value failed to join; "
+            "output is not a faithful compaction"
+        )
     return counts

