@@ -122,9 +122,11 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     clear, so the numbers are comparable run-to-run and the measured
     winner — not a stale commit-message claim — justifies the default.
     """
-    from rnadam_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import dedup, text
     from rnadam_spark.queries.genomics_q import em_quantify
-    from rnadam_spark.queries.pipeline_q import LSH_MAX_BUCKET
+    from rnadam_spark.queries.pipeline_q import _BENCH_MOD, DECONTAM_N, LSH_MAX_BUCKET
     from rnadam_spark.sources.tables import load_table
 
     def timed(make_df) -> float:
@@ -148,6 +150,24 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "em_quantify": {
             "window": timed(lambda: em_quantify(spark, sf_dir)),
             "skew_safe": timed(lambda: em_quantify(spark, sf_dir, skew_safe=True)),
+        },
+        # decontamination join strategy: broadcast the benchmark grams
+        # (default — eval suites are tiny next to the corpus) vs the
+        # sort-merge plan a corpus-vs-corpus overlap would need
+        "contamination_scores": {
+            "broadcast_bench": timed(
+                lambda: text.contamination_scores(
+                    docs, docs.filter(F.col("doc_id") % _BENCH_MOD == 0), n=DECONTAM_N
+                )
+            ),
+            "sortmerge_bench": timed(
+                lambda: text.contamination_scores(
+                    docs,
+                    docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+                    n=DECONTAM_N,
+                    broadcast_benchmark=False,
+                )
+            ),
         },
     }
 

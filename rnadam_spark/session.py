@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver's testdata has shipped events.ts as TIMESTAMP(NANOS),
+        # which the vectorized parquet reader rejects; the legacy conf
+        # reads it as raw INT64 and sources.tables._load_events truncates
+        # to micros. Engine-wide here (with the UTC pin) so no read
+        # helper mutates session config mid-flight; sessions not built by
+        # this factory get the same conf set defensively in _load_events.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"))

@@ -114,7 +114,14 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     TIMESTAMP_NTZ, which unix_micros/window() reject). The session
     timezone is pinned to UTC (session.py), so casting NTZ → TIMESTAMP
     reinterprets the naive value as UTC — exactly what DuckDB's
-    ``epoch_us(ts)`` does, keeping oracle comparisons bit-identical."""
+    ``epoch_us(ts)`` does, keeping oracle comparisons bit-identical.
+
+    NOTE: the two ``spark.conf.set`` calls below are SESSION-GLOBAL.
+    Sessions built by session.get_spark already carry both settings, so
+    they are no-ops there; for a foreign session (the driver's
+    correctness harness) the first touch of events pins that session to
+    UTC + nanos-as-long for the rest of its lifetime — deliberate, so
+    every later timestamp query agrees with the DuckDB oracle."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

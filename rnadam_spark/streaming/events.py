@@ -14,34 +14,39 @@ operators declaratively.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _events_stream_schema(spark: SparkSession, path: str) -> T.StructType:
-    """The file stream source requires an explicit schema; probe the
-    parquet footer with a batch read so the declared ``ts`` type matches
-    whatever the driver shipped (TIMESTAMP(NANOS) read as raw INT64 via
-    the legacy conf, or plain timestamp[us] that Spark 4 infers as
-    TIMESTAMP_NTZ — see sources.tables._load_events)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path).schema
-
-
-def _stage_dir(sf_dir: str, name: str) -> str:
-    """The file stream source wants a *directory* to watch; the driver
-    ships single parquet files, so stage a symlink dir (testdata is
-    read-only — no copy)."""
-    src = os.path.join(sf_dir, f"{name}.parquet")
-    stage = os.path.join(
-        "/tmp", f"rnadam_stream_src_{name}_" + sf_dir.strip("/").replace("/", "_")
+def _source_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """The file stream source watches a *directory*. A table that is
+    already a directory (the normal layout on a cluster / object store)
+    is watched in place. The local driver harness ships single parquet
+    FILES — for those, stage a one-file watch directory by copying
+    through the Hadoop FileSystem API (portable to HDFS and object
+    stores, unlike a symlink; the source tree is read-only so the
+    directory can't be created in place). The copy is keyed by source
+    path and done once per staging root."""
+    src = posixpath.join(sf_dir, f"{name}.parquet")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    src_fs = jsrc.getFileSystem(hconf)
+    jsrc = src_fs.makeQualified(jsrc)
+    if src_fs.getFileStatus(jsrc).isDirectory():
+        return src
+    stage_root = jvm.java.lang.System.getProperty("java.io.tmpdir")
+    stage = posixpath.join(
+        stage_root, f"rnadam_stream_src_{name}_" + sf_dir.strip("/").replace("/", "_")
     )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    jstage = jvm.org.apache.hadoop.fs.Path(stage)
+    stage_fs = jstage.getFileSystem(hconf)
+    dst = jvm.org.apache.hadoop.fs.Path(stage, f"{name}.parquet")
+    if not stage_fs.exists(dst):
+        stage_fs.mkdirs(jstage)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(src_fs, jsrc, stage_fs, dst, False, hconf)
     return stage
 
 
@@ -50,16 +55,26 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet footer — streams require a declared schema). Batch-authored
     stateless operators (PII scrub, quality scoring, lang-ID, chunking)
     compose on the result unchanged: that is the point of writing them
-    as declarative projections."""
-    stage = _stage_dir(sf_dir, name)
-    schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    as declarative projections.
+
+    The probe relies on ``spark.sql.legacy.parquet.nanosAsLong`` being
+    set engine-wide (session.get_spark), so a TIMESTAMP(NANOS) column
+    probes as bigint instead of throwing; note ``events`` additionally
+    needs the ts normalization in :func:`read_events_stream` — use that
+    entry point for it."""
+    stage = _source_dir(spark, sf_dir, name)
+    schema = spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet")).schema
     return spark.readStream.schema(schema).format("parquet").load(stage)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = os.path.join(sf_dir, "events.parquet")
-    stage = _stage_dir(sf_dir, "events")
-    schema = _events_stream_schema(spark, src)
+    """Events as a stream, with ``ts`` normalized to a session-TZ
+    TIMESTAMP whatever the parquet physical type is (the streaming twin
+    of sources.tables._load_events — same branches, same UTC
+    reinterpretation)."""
+    src = posixpath.join(sf_dir, "events.parquet")
+    stage = _source_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).format("parquet").load(stage)
     dt = dict(raw.dtypes).get("ts")
     if dt == "bigint":
@@ -109,7 +124,7 @@ _USER_STATE = T.StructType(
 )
 
 
-def user_running_stats_stream(events: DataFrame) -> DataFrame:
+def user_running_stats_stream(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value total), re-emitted on every microbatch
     that touches the user. This is the escape hatch for stateful logic
@@ -118,17 +133,27 @@ def user_running_stats_stream(events: DataFrame) -> DataFrame:
 
     Scale notes: state is one tiny tuple per user key, partitioned by
     the groupBy hash — memory ∝ distinct users per executor, not events;
-    Arrow batches keep the Python boundary amortized. A production
-    deployment would add a state timeout (GroupStateTimeout) to expire
-    idle users; the bounded test source keeps NoTimeout."""
+    Arrow batches keep the Python boundary amortized. ``idle_timeout_ms``
+    arms a processing-time GroupStateTimeout: a
+    user idle past the horizon has its state dropped, so state size is
+    bounded by ACTIVE keys, not all keys ever seen — without it, an
+    unbounded user ID space grows state forever (the 100 TB failure
+    mode). A timed-out key that reappears re-initializes from zero."""
     import pandas as pd
 
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle past the horizon: drop the state (emit nothing — a
+            # production variant could emit a final tombstone row here)
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += int(len(pdf))
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -138,7 +163,7 @@ def user_running_stats_stream(events: DataFrame) -> DataFrame:
         outputStructType=USER_STATS,
         stateStructType=_USER_STATE,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if idle_timeout_ms is not None else "NoTimeout",
     )
 
 

@@ -125,3 +125,77 @@ def test_streaming_curation_matches_batch(spark, sf_dir):
         for r in curate(load_table(spark, sf_dir, "documents")).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_user_stats_state_timeout_reinitializes(spark, tmp_path):
+    # idle_timeout_ms arms ProcessingTimeTimeout: a user idle past the
+    # horizon has its state dropped, and a later event re-initializes
+    # from zero instead of resuming the old running totals
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+
+    def write_batch(idx, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(src / f"batch{idx}.parquet"))
+
+    write_batch(0, [(1, 10.0), (1, 5.0)])
+    events = spark.readStream.schema(schema).parquet(str(src))
+    stats = se.user_running_stats_stream(events, idle_timeout_ms=500)
+    # NOTE: once a processing-time timeout is armed, the engine keeps
+    # scheduling no-data micro-batches to fire expirations, so
+    # processAllAvailable() never settles — poll the memory sink with a
+    # deadline instead
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("timeout_stats")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+
+    def wait_for(pred, deadline_s=60.0):
+        end = _time.time() + deadline_s
+        while _time.time() < end:
+            rows = spark.sql("SELECT * FROM timeout_stats").collect()
+            if pred(rows):
+                return rows
+            _time.sleep(0.2)
+        raise AssertionError(
+            f"stream condition not met within {deadline_s}s: "
+            + str(spark.sql("SELECT * FROM timeout_stats").collect())
+        )
+
+    try:
+        wait_for(lambda rs: any(r.user_id == 1 and r.n_events == 2 for r in rs))
+        # idle past the 500ms horizon: a no-data batch fires the
+        # timeout and drops user 1's state
+        _time.sleep(1.5)
+        # user 1 reappears: state re-initializes from zero
+        write_batch(1, [(1, 7.0)])
+        rows = wait_for(
+            lambda rs: any(
+                r.user_id == 1 and r.n_events == 1 and r.total_value == 7.0 for r in rs
+            )
+        )
+    finally:
+        q.stop()
+    user1 = [(r.n_events, r.total_value) for r in rows if r.user_id == 1]
+    assert (2, 15.0) in user1          # first window of activity
+    assert (1, 7.0) in user1           # re-initialized after timeout
+    assert (3, 22.0) not in user1      # did NOT resume the old state
