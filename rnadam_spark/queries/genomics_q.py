@@ -183,7 +183,26 @@ def class_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("em_quantify")  # iterative — non-SQL-expressible, rows-only check
+_EM5_ORACLE = f"""
+WITH kdc AS ({_KMER_DOC_COUNTS_SQL}),
+wc AS (SELECT kmer,
+              md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(cnt AS VARCHAR))) AS class_id,
+              CAST(doc_id AS VARCHAR) AS t_id
+       FROM kdc),
+kc AS (SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM ({_KMERS_SQL}) GROUP BY kmer),
+cc AS (SELECT class_id, sum(kc.cnt) AS cnt FROM wc JOIN kc USING (kmer) GROUP BY class_id),
+ct AS (SELECT DISTINCT class_id, t_id FROM wc),
+rel AS (SELECT class_id, cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM cc) AS rel_p FROM cc),
+tl AS (SELECT CAST(doc_id AS VARCHAR) AS t_id, CAST(n_chars AS DOUBLE) AS t_len
+       FROM documents),
+sumf AS (SELECT t_id, sum(rel_p) AS sum_alpha FROM ct JOIN rel USING (class_id) GROUP BY t_id),
+rawf AS (SELECT t_id, sum_alpha / (t_len - {K} + 1) AS mu_raw FROM sumf JOIN tl USING (t_id)),
+muf AS (SELECT t_id, mu_raw / (SELECT sum(mu_raw) FROM rawf) AS mu FROM rawf)
+SELECT t_id, floor(mu * 100000000.0 + 0.5) / 100000000.0 AS abundance FROM muf
+"""
+
+
+@query("em_quantify", oracle=_EM5_ORACLE)
 def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> DataFrame:
     """Flagship: the full Sailfish EM pipeline (Quantify.scala:42-127)
     driven over the documents table — each document doubles as a
@@ -192,10 +211,17 @@ def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> Da
     (equal-count signatures, content-hash IDs), and 5 EM iterations
     redistribute class counts into per-document abundances.
 
-    No oracle: the EM loop is iterative (50-deep nested CTEs are not a
-    meaningful DuckDB oracle); its per-step math is pinned by the
-    golden tests in tests/test_quantify.py and the statistical e2e in
-    tests/test_quantify_e2e.py instead.
+    Oracle (new round 6 — previously rows-only): with this dataset
+    mapping every class is keyed by md5(doc_id:cnt), so each class has
+    exactly ONE member transcript; the E-step fraction-of-group is
+    therefore identically 1 from iteration 1 on, and iterations 2..5
+    all sit at the closed-form fixed point
+    µ_t ∝ (Σ_{{classes of t}} rel_p) / (len_t − k + 1), which IS
+    DuckDB-expressible. The oracle verifies the exact 5-iteration
+    driver output (bit-equal at 8dp at sf0.001 and sf0.01, checked
+    before registering); the genuinely multi-member EM dynamics — where
+    the window E-step does real redistribution — stay hash-verified by
+    ``em_two_steps``, whose class construction spans documents.
     """
     from rnadam_spark.algorithms.quantify import quantify
 

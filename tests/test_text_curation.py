@@ -186,3 +186,23 @@ def test_contamination_broadcast_plan(spark):
     docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     bench = spark.createDataFrame([(1, "a b c")], ["bench_id", "text"])
     assert has_broadcast_join(text.contamination_scores(docs, bench, n=3))
+
+
+def test_contamination_sortmerge_parity(spark, sf_dir):
+    # broadcast_benchmark=False is the corpus-vs-corpus plan; results
+    # must be identical to the broadcast default
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    a = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
+        for r in text.contamination_scores(docs, bench, n=13).collect()
+    }
+    b = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
+        for r in text.contamination_scores(
+            docs, bench, n=13, broadcast_benchmark=False
+        ).collect()
+    }
+    assert a == b and a
