@@ -1,0 +1,169 @@
+"""Repetition-based quality filters and cross-document line dedup.
+
+Generalizes the reference's per-container multiplicity machinery (the
+run-length value-counts kernel behind equivalence classing,
+rice-core/.../algorithms/Index.scala:90-98) to the repetition signals a
+pre-training curation pipeline filters on:
+
+- ``repetition_stats`` — the Gopher-style repetition rules (Rae et al.
+  2021, "Scaling Language Models", table A1): duplicate-line fraction,
+  duplicate-line character fraction, fraction of characters in the most
+  common word n-gram, and the duplicated-n-gram character mass. All
+  per-row column expressions over the in-row value-counts kernel
+  (functions/runlength.py) — zero shuffle, scan speed at 100 TB.
+- ``dedup_lines`` — C4/RefinedWeb-style global line dedup: a line that
+  occurs more than once across the corpus is kept only at its first
+  occurrence (smallest ``(doc_id, line_no)``). Aggregate-then-join, not
+  a window: the winner table partial-aggregates map-side to one row per
+  distinct line, so a boilerplate line with 10^8 occurrences never
+  funnels through a single task the way ``row_number() OVER (PARTITION
+  BY line)`` would; the residual join skew on hot lines is exactly what
+  AQE skew-join splitting handles.
+
+Definitions (pinned so the DuckDB oracles can reproduce them exactly):
+lines are ``\\n``-split, trimmed, empties dropped; a "duplicated" value
+is one with in-scope multiplicity >= 2; duplicated character mass is
+``sum(cnt * len)`` over duplicated values divided by ``sum(cnt * len)``
+over all values (bounded [0, 1] — Gopher's overlap-aware span coverage
+is not expressible as a per-gram aggregate, so this engine uses the
+multiset mass everywhere and documents the divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.rounding import hround
+from rnadam_spark.functions.runlength import let_, value_counts
+from rnadam_spark.functions.shingles import token_ngrams
+
+
+def lines_of(col: Column | str) -> Column:
+    """Trimmed, non-empty lines of a text column as a string array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.transform(F.split(c, "\n"), F.trim), lambda t: F.length(t) > 0)
+
+
+def _dup_mass_frac(vc: Column) -> Column:
+    """Fraction of ``sum(cnt * len(value))`` mass held by values with
+    cnt >= 2, over a value-counts array bound as a lambda variable."""
+    def mass(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda a, x: a + x["cnt"].cast("double") * F.length(x["value"]).cast("double"),
+        )
+
+    return mass(F.filter(vc, lambda x: x["cnt"] >= 2)) / F.greatest(mass(vc), F.lit(1.0))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac):
+    the Gopher repetition filter inputs, one shuffle-free projection.
+
+    - ``dup_line_frac``: fraction of line occurrences whose text occurs
+      >= 2 times within the document.
+    - ``dup_line_char_frac``: character-mass version of the same.
+    - ``top_{2,3}gram_char_frac``: occurrences x length of the most
+      common word n-gram over the document's character count (ties
+      broken toward the lexicographically-largest gram, so both engines
+      pick the same one).
+    - ``dup_5gram_char_frac``: duplicated-5-gram character mass over
+      all-5-gram character mass.
+
+    Every stat is a function of ONE row, so the whole operator
+    distributes with the scan; each value-counts is an O(n log n)
+    per-row sort of a small array (runlength.py kernel)."""
+    text = F.col(text_col)
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+
+    def top_frac(n: int) -> Column:
+        return let_(
+            F.array_max(
+                F.transform(
+                    value_counts(token_ngrams(text, n)),
+                    lambda x: F.struct(x["cnt"].alias("cnt"), x["value"].alias("value")),
+                )
+            ),
+            lambda top: F.when(top.isNull(), F.lit(0.0)).otherwise(
+                top["cnt"].cast("double") * F.length(top["value"]).cast("double") / n_chars
+            ),
+        )
+
+    lns = lines_of(text)
+    dup_line_frac = let_(
+        value_counts(lns),
+        lambda vc: F.aggregate(
+            F.filter(vc, lambda x: x["cnt"] >= 2),
+            F.lit(0.0),
+            lambda a, x: a + x["cnt"].cast("double"),
+        )
+        / F.greatest(F.size(lns).cast("double"), F.lit(1.0)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lns).cast("bigint").alias("n_lines"),
+        hround(dup_line_frac, 6).alias("dup_line_frac"),
+        hround(_dup_mass_frac(value_counts(lns)), 6).alias("dup_line_char_frac"),
+        hround(top_frac(2), 6).alias("top_2gram_char_frac"),
+        hround(top_frac(3), 6).alias("top_3gram_char_frac"),
+        hround(_dup_mass_frac(value_counts(token_ngrams(text, 5))), 6).alias(
+            "dup_5gram_char_frac"
+        ),
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_line_chars: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text, n_lines_kept, n_lines_dropped): remove every
+    repeated occurrence of a line across the WHOLE corpus, keeping only
+    its first occurrence (smallest ``(doc_id, line_no)``) — the
+    C4/RefinedWeb boilerplate-line dedup. Lines whose trimmed length is
+    below ``min_line_chars`` never participate (navigation crumbs,
+    blank separators — dropping their repeats would mangle layout);
+    they are always kept. Documents that lose every line stay in the
+    output with empty text — a curation op must never silently drop a
+    document row.
+
+    Scale shape (the reason this is NOT a window function): the winner
+    per line is ``min(struct(doc_id, line_no))`` — a partial-aggregable
+    reduction, so the first shuffle moves one row per DISTINCT line,
+    immune to hot-line skew; the join back is line-keyed (AQE splits
+    skewed partitions); the reassembly groupBy is doc-keyed and carries
+    exactly the input character volume. Three exchanges total, none of
+    which collects a hot key into a single task's sort buffer."""
+    line_no = F.col("line_no")
+    line = F.col("line")
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line")
+    )
+    participating = F.length(F.trim(line)) >= min_line_chars
+    winners = (
+        exploded.filter(participating)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col).alias("d"), line_no.alias("p"))).alias("w"))
+    )
+    flagged = exploded.join(winners, "line", "left").withColumn(
+        "keep",
+        F.col("w").isNull()
+        | ((F.col("w.d") == F.col(id_col)) & (F.col("w.p") == line_no)),
+    )
+    kept_lines = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct(line_no.alias("p"), line.alias("l"))))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(F.transform(kept_lines, lambda x: x["l"]), "\n").alias(text_col),
+            F.sum(F.col("keep").cast("bigint")).alias("n_lines_kept"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_lines_dropped"),
+        )
+    )

@@ -159,6 +159,39 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# Normalization rules applied in order. Every pattern stays inside the
+# RE2-compatible subset (no lookaround; \A/\z instead of bare anchors —
+# Java's un-flagged `$` matches before a final newline, RE2's does not,
+# so the anchored trim uses the explicit end-of-text escapes both
+# engines agree on) and every replacement only ever shrinks the text.
+NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
+    (r"\r\n?", "\n"),  # CRLF / bare CR -> LF
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),  # control chars except \t \n
+    (r"[ \t]+", " "),  # collapse horizontal whitespace runs
+    (r"(?m)^ +| +$", ""),  # trim each line
+    (r"\n{3,}", "\n\n"),  # cap blank-line runs
+    (r"\A\s+|\s+\z", ""),  # trim the document
+)
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text, n_chars_before, n_chars_after): canonicalize
+    whitespace and strip control characters — the first pass of a
+    curation pipeline, run BEFORE hashing/dedup so that two documents
+    differing only in line endings or trailing spaces collide. Chained
+    ``regexp_replace`` projections: scan-speed, shuffle-free."""
+    before = F.length(text_col).cast("bigint")
+    cleaned = F.col(text_col)
+    for pat, repl in NORMALIZE_RULES:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        before.alias("n_chars_before"),
+        F.length(cleaned).cast("bigint").alias("n_chars_after"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_chars: int = 2048,

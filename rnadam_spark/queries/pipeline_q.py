@@ -698,6 +698,133 @@ _CONTAM_SQL = f"""
     """
 
 
+def _gram_ctes(n: int) -> str:
+    """Word n-gram multiplicity CTEs over the tokenized documents CTE
+    ``toks`` (same slicing arithmetic as _CONTAM_SQL's 13-grams)."""
+    return f"""g{n} AS (SELECT doc_id, n_chars,
+           unnest(CASE WHEN len(toks) >= {n}
+                  THEN list_transform(range(1, len(toks) - {n - 2}),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' '))
+                  ELSE [] END) AS gram
+       FROM toks),
+    gc{n} AS (SELECT doc_id, n_chars, gram, count(*) AS c FROM g{n} GROUP BY 1, 2, 3)"""
+
+
+def _top_cte(n: int) -> str:
+    """Most common n-gram per doc; ties toward the largest gram — the
+    same (cnt, value) struct-max order Spark's array_max picks."""
+    return f"""top{n} AS (SELECT doc_id,
+           CAST(c AS DOUBLE) * length(gram) / CAST(n_chars AS DOUBLE) AS frac
+       FROM gc{n}
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) = 1)"""
+
+
+_REPETITION_SQL = f"""
+    WITH lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+      WHERE length(trim(l)) > 0),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+    lstats AS (SELECT doc_id,
+            CAST(sum(c) AS BIGINT) AS n_lines,
+            CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+              / greatest(CAST(sum(c) AS DOUBLE), 1.0) AS dup_line_frac,
+            CAST(sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS DOUBLE)
+              / greatest(CAST(sum(c * length(line)) AS DOUBLE), 1.0) AS dup_line_char_frac
+        FROM lc GROUP BY doc_id),
+    toks AS (SELECT doc_id, greatest(length(text), 1) AS n_chars, {_TOKS_SQL} AS toks
+             FROM documents),
+    {_gram_ctes(2)},
+    {_top_cte(2)},
+    {_gram_ctes(3)},
+    {_top_cte(3)},
+    {_gram_ctes(5)},
+    d5 AS (SELECT doc_id,
+           CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS DOUBLE)
+             / greatest(CAST(sum(c * length(gram)) AS DOUBLE), 1.0) AS frac
+       FROM gc5 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+           {hround_sql("coalesce(l.dup_line_frac, 0.0)", 6)} AS dup_line_frac,
+           {hround_sql("coalesce(l.dup_line_char_frac, 0.0)", 6)} AS dup_line_char_frac,
+           {hround_sql("coalesce(top2.frac, 0.0)", 6)} AS top_2gram_char_frac,
+           {hround_sql("coalesce(top3.frac, 0.0)", 6)} AS top_3gram_char_frac,
+           {hround_sql("coalesce(d5.frac, 0.0)", 6)} AS dup_5gram_char_frac
+    FROM documents d
+    LEFT JOIN lstats l ON d.doc_id = l.doc_id
+    LEFT JOIN top2 ON d.doc_id = top2.doc_id
+    LEFT JOIN top3 ON d.doc_id = top3.doc_id
+    LEFT JOIN d5 ON d.doc_id = d5.doc_id
+    """
+
+
+@query("repetition_stats", oracle=_REPETITION_SQL)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter inputs (duplicate-line fraction
+    and char mass, most-common-2/3-gram char fraction, duplicated-
+    5-gram char mass) — one shuffle-free projection over the in-row
+    value-counts kernel. Registered with the multiset-mass definitions
+    pinned in operators/repetition.py so the oracle reproduces every
+    division bit-for-bit; both engines break top-gram ties toward the
+    lexicographically-largest gram."""
+    from rnadam_spark.operators import repetition as rep
+
+    return rep.repetition_stats(load_table(spark, sf_dir, "documents", widen=True))
+
+
+CHUNK_MAX_CHARS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_MAX_CHARS - CHUNK_OVERLAP
+
+_CHUNK_SQL = f"""
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           chunk_text,
+           CAST(length(chunk_text) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, s,
+                 substring(text, CAST(s + 1 AS INT), {CHUNK_MAX_CHARS}) AS chunk_text
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, greatest(length(text) - {CHUNK_OVERLAP} - 1, 0) + 1,
+                                    {_CHUNK_STRIDE})) AS s
+                FROM documents))
+    """
+
+
+@query("chunk_documents", oracle=_CHUNK_SQL)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: split documents into ≤64-char chunks
+    with 16-char overlap (sequence → substr → posexplode, all JVM —
+    the row-explosion shape that must never round-trip through Python
+    at 100 TB). The oracle re-derives the capped start sequence, so the
+    no-redundant-tail-chunk rule (a chunk must contribute characters
+    beyond its predecessor) is hash-verified, not just unit-tested."""
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents", widen=True),
+        max_chars=CHUNK_MAX_CHARS,
+        overlap=CHUNK_OVERLAP,
+    ).withColumn("chunk_idx", F.col("chunk_idx").cast("bigint"))
+
+
+_VOCAB_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+    per_doc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf_doc
+                FROM tok GROUP BY 1, 2)
+    SELECT token, CAST(sum(tf_doc) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+    FROM per_doc GROUP BY token
+    """
+
+
+@query("vocabulary", oracle=_VOCAB_SQL)
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies: the df
+    side runs on the per-document run-length counts (one struct row
+    per distinct (doc, token) BEFORE the shuffle — no count(distinct)
+    expansion), so the single groupBy moves per-doc-distinct tokens,
+    not raw token occurrences."""
+    return text.vocabulary(load_table(spark, sf_dir, "documents", widen=True))
+
+
 @query("contamination_scores", oracle=_CONTAM_SQL)
 def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram decontamination audit: fraction of each document's

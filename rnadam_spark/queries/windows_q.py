@@ -113,16 +113,14 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_value_delta",
-    oracle="""
-    SELECT user_id, event_id,
-           floor((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 10000.0 + 0.5) / 10000.0 AS delta
-    FROM events
-    """,
-)
 def event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() delta per key (first row NULL on both engines)."""
+    """lag() delta per key (first row NULL on both engines).
+
+    Unregistered since round 6 (gate capped at 50; the curation
+    repetition/chunk/vocabulary operators took the slots): the lag
+    window kernel stays hash-verified via ``sessionize_events``, whose
+    oracle is built on the same ``lag() OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
