@@ -9,6 +9,7 @@ plus the north-star curation command over a documents table:
 
   rnadam-spark curate DOCUMENTS OUTPUT [-quality_min X]
       [-chunk_chars N] [-chunk_overlap N] [-partition_by COL]
+      [-skip_normalize] [-dedup_lines] [-max_dup_5gram X]
 
 Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
 are parquet datasets with the FIXTURES.md §A schemas. The library API
@@ -58,24 +59,57 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("-chunk_chars", type=int, default=0, help="0 = no chunking")
     c.add_argument("-chunk_overlap", type=int, default=128)
     c.add_argument("-partition_by", default="lang")
+    c.add_argument(
+        "-skip_normalize",
+        action="store_true",
+        help="skip the whitespace/control-char normalization pass",
+    )
+    c.add_argument(
+        "-dedup_lines",
+        action="store_true",
+        help="drop corpus-wide repeated lines (C4-style boilerplate dedup)",
+    )
+    c.add_argument(
+        "-max_dup_5gram",
+        type=float,
+        default=None,
+        help="drop documents whose duplicated-5-gram char fraction exceeds X",
+    )
     return p
 
 
 def _run_curate(spark, args) -> None:
-    """The composite curation pipeline as ONE lazy plan: PII scrub →
-    quality threshold → exact-dedup canonical selection → optional
-    token-budget chunking → partitioned sink. Everything up to the
-    dedup groupBy is a projection; the dedup join is doc_id-equi on the
-    canonical ids (broadcastable when the survivor set is small)."""
+    """The composite curation pipeline as ONE lazy plan: normalize →
+    PII scrub → [corpus line dedup] → quality + [repetition] threshold
+    → exact-dedup canonical selection → optional token-budget chunking
+    → partitioned sink. Everything up to the dedup groupBy is a
+    projection (normalization runs first so docs differing only in
+    whitespace collide downstream); the dedup join is doc_id-equi on
+    the canonical ids (broadcastable when the survivor set is small)."""
     from pyspark.sql import functions as F
 
-    from rnadam_spark.operators import dedup, text
+    from rnadam_spark.operators import dedup, repetition, text
     from rnadam_spark.sources.sink import write_partitioned
 
     docs = spark.read.parquet(args.documents)
+    if not args.skip_normalize:
+        docs = text.normalize_text(docs).select("doc_id", "text").join(
+            docs.drop("text"), "doc_id"
+        )
     scrubbed = text.redact_pii(docs).join(docs.drop("text"), "doc_id")
+    if args.dedup_lines:
+        scrubbed = repetition.dedup_lines(scrubbed).select("doc_id", "text").join(
+            scrubbed.drop("text"), "doc_id"
+        )
     quality = text.quality_scores(scrubbed).select("doc_id", "quality")
     kept = scrubbed.join(quality, "doc_id").filter(F.col("quality") >= args.quality_min)
+    if args.max_dup_5gram is not None:
+        rep = repetition.repetition_stats(scrubbed).select(
+            "doc_id", "dup_5gram_char_frac"
+        )
+        kept = kept.join(rep, "doc_id").filter(
+            F.col("dup_5gram_char_frac") <= args.max_dup_5gram
+        )
     canon = dedup.exact_dup_groups(kept).select(
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )

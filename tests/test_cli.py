@@ -161,3 +161,46 @@ def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
     flat = spark.read.parquet(out2)
     assert flat.count() == flat.dropDuplicates(["text"]).count()
     assert flat.count() > 0
+
+
+def test_cli_curate_normalize_line_dedup_repetition(spark, tmp_path):
+    # synthetic multiline corpus: whitespace variants collide after
+    # normalization, shared boilerplate lines drop, and a pathologically
+    # repetitive doc is cut by the duplicated-5-gram threshold
+    import os
+
+    from pyspark.sql import functions as F
+
+    body = "the quick brown fox jumps over the lazy dog and keeps going"
+    spam = " ".join(["spam ham eggs toast beans"] * 12)
+    rows = [
+        (1, "shared boilerplate header\n" + body, "en", "s0"),
+        (2, "shared boilerplate header\n" + body + " again today", "en", "s0"),
+        (3, body + "  \r\n", "en", "s1"),          # whitespace variant of 4
+        (4, body, "en", "s1"),                      # collides with 3 post-normalize
+        (5, spam, "en", "s1"),                      # repetition casualty
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"]).write.parquet(src)
+
+    out = str(tmp_path / "curated_rep")
+    cli.main(
+        [
+            "curate", src, out,
+            "-quality_min", "-10",  # keep everything quality-wise
+            "-dedup_lines",
+            "-max_dup_5gram", "0.5",
+        ]
+    )
+    back = spark.read.parquet(out)
+    got = {r.doc_id: r for r in back.collect()}
+    # 3 and 4 normalized to identical text -> one canonical survives
+    assert len({3, 4} & set(got)) == 1
+    # the spam doc fails the duplicated-5-gram threshold
+    assert 5 not in got
+    # the boilerplate line survives only at its first occurrence (doc 1)
+    texts = {d: r.text for d, r in got.items()}
+    assert sum("shared boilerplate header" in t for t in texts.values()) == 1
+    assert "shared boilerplate header" in texts[1]
+    assert back.count() == back.dropDuplicates(["text"]).count()
+    assert any(d.startswith("lang=") for d in os.listdir(out))
