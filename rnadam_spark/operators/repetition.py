@@ -42,7 +42,13 @@ from rnadam_spark.functions.shingles import token_ngrams
 def lines_of(col: Column | str) -> Column:
     """Trimmed, non-empty lines of a text column as a string array."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.transform(F.split(c, "\n"), F.trim), lambda t: F.length(t) > 0)
+    # the explicit lambda matters: passing F.trim itself would let
+    # transform() feed the element INDEX as trim's second (trimStr)
+    # parameter — index 1 would strip '1' characters instead of
+    # whitespace (observed; pinned by the padded-lines test)
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda t: F.trim(t)), lambda t: F.length(t) > 0
+    )
 
 
 def _dup_mass_frac(vc: Column) -> Column:

@@ -70,6 +70,25 @@ def test_repetition_stats_matches_python_reference(spark):
         assert have == want, f"doc {doc_id}: {have} != {want}"
 
 
+def test_repetition_stats_padded_lines(spark):
+    # lines with edge whitespace and digit-edged content: regression for
+    # transform(F.trim) binding the element index as the trimStr arg
+    # (index 1 stripped '1' chars instead of whitespace)
+    rows = [
+        (1, "  padded line  \npadded line\n  padded line  "),
+        (2, "7 ends in seven 7\n  7 ends in seven 7  \nother"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.asDict() for r in repetition.repetition_stats(df).collect()}
+    for doc_id, body in rows:
+        want = _py_repetition(body)
+        have = {k: got[doc_id][k] for k in want}
+        assert have == want, f"doc {doc_id}: {have} != {want}"
+    # all three whitespace variants of "padded line" are one dup group
+    assert got[1]["dup_line_frac"] == 1.0
+    assert got[2]["dup_line_frac"] == _hr(2 / 3)
+
+
 def test_repetition_stats_partitioning_invariant(spark, sf_dir):
     from rnadam_spark.sources.tables import load_table
 
