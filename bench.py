@@ -9,6 +9,14 @@ no driver collect). A warmup action amortizes JVM/codegen startup out
 of the measurements. The ``stages`` blocks time the index build and the
 EM flagship stage-by-stage under the reference's Timers.scala names
 (BASELINE.md: per-stage timings so regressions are attributable).
+
+Since round 6 every headline and A/B timing is the MINIMUM of
+``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) cache-cleared runs: the
+shared host shows multi-second noise spikes (the same query measured
+0.7s and 12.4s minutes apart), and min-of-k is the standard estimator
+for the steady-state cost of identical repeated work — each repeat
+starts from a cleared cache store, so it measures the same cold-cache
+plan the single-shot protocol did. The JSON records ``repeats``.
 """
 
 from __future__ import annotations
@@ -130,10 +138,9 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from rnadam_spark.sources.tables import load_table
 
     def timed(make_df) -> float:
-        spark.catalog.clearCache()
-        t0 = time.time()
-        make_df().write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        return _min_of_repeats(
+            spark, lambda: make_df().write.format("noop").mode("overwrite").save()
+        )
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     return {
@@ -172,6 +179,21 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     }
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _min_of_repeats(spark, run) -> float:
+    """Best of REPEATS cache-cleared executions (noise-spike immune)."""
+    best = None
+    for _ in range(max(REPEATS, 1)):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -201,16 +223,13 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
-    # drop caches the warmup queries left behind (the EM queries cache
-    # their static tables) so measured queries start from a clean store
-    spark.catalog.clearCache()
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = _min_of_repeats(
+            spark,
+            lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
+        )
 
     stages = _stage_blocks(spark, sf_dir)
     ab = _ab_blocks(spark, sf_dir)
@@ -225,6 +244,7 @@ def main() -> None:
                 "queries": timings,
                 "stages": stages,
                 "ab": ab,
+                "repeats": REPEATS,
                 "sf": _sf_from_dir(sf_dir),
             }
         )

@@ -1,0 +1,87 @@
+"""URL and domain operators for web-scrape curation.
+
+A crawl-derived corpus is filtered by where its text came from and what
+it links to: extract URLs, reduce them to registrable domains, score
+link density, and drop documents that mention blocklisted domains. All
+extraction is chained RE2-compatible ``regexp`` projections (scan-speed,
+shuffle-free); the blocklist filter is a broadcast semi-join keyed on
+the exploded per-document domain set, so the corpus scan never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.rounding import hround
+
+# RE2-compatible (no lookaround): scheme://host[:port][/path] up to
+# whitespace; the host capture stops at :/ or whitespace.
+URL_PATTERN = r"https?://[^\s/:]+(?::\d+)?(?:/[^\s]*)?"
+_HOST_PATTERN = r"https?://([^\s/:]+)"
+
+
+def urls_of(col: Column | str) -> Column:
+    """All URLs of a text column, in order of appearance."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def domains_of(col: Column | str) -> Column:
+    """Distinct lowercased hostnames of a text column's URLs."""
+    return F.array_distinct(
+        F.transform(
+            urls_of(col),
+            lambda u: F.lower(F.regexp_extract(u, _HOST_PATTERN, 1)),
+        )
+    )
+
+
+def url_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_urls, n_domains, url_char_frac, top_domain): link
+    inventory per document — ``url_char_frac`` (URL characters over
+    total characters) is the link-density quality signal (boilerplate
+    and spam pages are URL-heavy); ``top_domain`` is the
+    lexicographically-first distinct domain (deterministic under any
+    partitioning; null when the document has no URLs)."""
+    us = urls_of(text_col)
+    ds = domains_of(text_col)
+    url_chars = F.aggregate(us, F.lit(0), lambda a, u: a + F.length(u))
+    return docs.select(
+        F.col(id_col),
+        F.size(us).cast("bigint").alias("n_urls"),
+        F.size(ds).cast("bigint").alias("n_domains"),
+        hround(
+            url_chars.cast("double")
+            / F.greatest(F.length(text_col), F.lit(1)).cast("double"),
+            6,
+        ).alias("url_char_frac"),
+        # get() is null-on-empty (ANSI element_at throws on index 1 of [])
+        F.get(F.array_sort(ds), F.lit(0)).alias("top_domain"),
+    )
+
+
+def filter_blocklisted_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop every document that mentions a blocklisted domain; pass the
+    rest through unchanged (all columns).
+
+    Shape for 100 TB: the per-document domain set explodes to
+    (doc_id, domain) rows, the offender set is a broadcast semi-join
+    against the (small) blocklist, and the corpus drops offenders with
+    a doc_id anti-join. The blocklist broadcast means the exploded
+    domain rows never shuffle; the anti-join is doc_id-equi. Domains
+    compare lowercased on both sides."""
+    doc_domains = docs.select(
+        F.col(id_col), F.explode(domains_of(text_col)).alias("_domain")
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_domain")).distinct()
+    )
+    offenders = doc_domains.join(bl, "_domain", "leftsemi").select(id_col).distinct()
+    return docs.join(offenders, id_col, "left_anti")

@@ -1,0 +1,92 @@
+"""URL extraction, link-density stats, and domain blocklist filtering
+(operators/web.py)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from rnadam_spark.operators import web
+
+
+def _docs(spark):
+    rows = [
+        (1, "see https://example.com/page and http://Sub.Example.com:8080/x?q=1 plus text"),
+        (2, "spam spam https://spam.bad/a https://spam.bad/b https://other.io end"),
+        (3, "no links at all in this one"),
+        (4, "bare domain example.com is not a url; https://ok.org/ is"),
+        (5, ""),
+    ]
+    return rows, spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_url_stats_golden(spark):
+    rows, df = _docs(spark)
+    got = {r.doc_id: r for r in web.url_stats(df).collect()}
+    assert got[1].n_urls == 2 and got[1].n_domains == 2
+    assert got[1].top_domain == "example.com"  # lowercased, sorted
+    assert got[2].n_urls == 3 and got[2].n_domains == 2
+    assert got[2].top_domain == "other.io"
+    assert got[3].n_urls == 0 and got[3].top_domain is None
+    assert got[3].url_char_frac == 0.0
+    assert got[4].n_urls == 1 and got[4].top_domain == "ok.org"
+    assert got[5].n_urls == 0 and got[5].url_char_frac == 0.0
+    # link density: doc 2's URLs dominate its length
+    url_chars = sum(len(u) for u in
+                    ["https://spam.bad/a", "https://spam.bad/b", "https://other.io"])
+    assert abs(got[2].url_char_frac - url_chars / len(rows[1][1])) < 1e-6
+
+
+def test_url_stats_matches_duckdb(spark):
+    _, df = _docs(spark)
+    got = {
+        (r.doc_id, r.n_urls, r.n_domains, r.url_char_frac, r.top_domain)
+        for r in web.url_stats(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", [tuple(r) for r in df.collect()])
+    want = set(
+        con.execute(
+            f"""
+            WITH t AS (SELECT doc_id, text,
+                              regexp_extract_all(text, '{web.URL_PATTERN}') AS us
+                       FROM docs),
+            d AS (SELECT doc_id, text, us,
+                         list_sort(list_distinct(list_transform(us,
+                           u -> lower(regexp_extract(u, 'https?://([^\\s/:]+)', 1))))) AS ds
+                  FROM t)
+            SELECT doc_id,
+                   CAST(len(us) AS BIGINT) AS n_urls,
+                   CAST(len(ds) AS BIGINT) AS n_domains,
+                   floor((CAST(list_sum(list_transform(us, u -> length(u))) AS DOUBLE)
+                          / greatest(length(text), 1)) * 1000000.0 + 0.5) / 1000000.0
+                     AS url_char_frac,
+                   ds[1] AS top_domain
+            FROM d
+            """
+        ).fetchall()
+    )
+    # DuckDB list_sum of an empty list is NULL -> normalize to 0.0
+    want = {(a, b, c, (0.0 if d is None else d), e) for a, b, c, d, e in want}
+    assert got == want
+
+
+def test_filter_blocklisted_domains(spark):
+    _, df = _docs(spark)
+    bl = spark.createDataFrame([("SPAM.BAD",), ("unused.net",)], ["domain"])
+    kept = web.filter_blocklisted_domains(df, bl)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+    assert set(kept.columns) == set(df.columns)
+    # empty blocklist keeps everything
+    empty = spark.createDataFrame([], "domain string")
+    assert web.filter_blocklisted_domains(df, empty).count() == 5
+
+
+def test_filter_blocklist_plan_broadcasts(spark):
+    _, df = _docs(spark)
+    bl = spark.createDataFrame([("spam.bad",)], ["domain"])
+    plan = (
+        web.filter_blocklisted_domains(df, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # blocklist semi-join never shuffles the corpus
