@@ -8,6 +8,7 @@ from rnadam_spark.plans import (
     count_shuffles,
     has_broadcast_join,
     has_pushed_filters,
+    has_window,
     read_schema_columns,
 )
 from rnadam_spark.queries.genomics_q import (
@@ -179,3 +180,39 @@ def test_em_e_step_reuses_cached_edge_partitioning(spark):
         assert count_shuffles(df) == base  # the window added none
     finally:
         edges.unpersist()
+
+
+def test_curation_projection_ops_zero_shuffle(spark, sf_dir):
+    # normalize/redact/repetition/url stats are per-row functions: the
+    # whole operator must distribute with the scan — no exchange at all
+    from rnadam_spark.operators import repetition, text, web
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op in (
+        repetition.repetition_stats,
+        text.normalize_text,
+        web.url_stats,
+    ):
+        df = op(docs)
+        assert count_shuffles(df) == 0, op.__name__
+        assert not has_window(df), op.__name__
+    # only the two used columns reach the scan
+    assert read_schema_columns(repetition.repetition_stats(docs), "documents") == {
+        "doc_id",
+        "text",
+    }
+
+
+def test_dedup_lines_no_window(spark, sf_dir):
+    # the C4 line-dedup contract: winner selection is an aggregate (one
+    # row per DISTINCT line crosses the wire), never a per-line window
+    # that would funnel a hot boilerplate line through a single task
+    from rnadam_spark.operators import repetition
+    from rnadam_spark.sources.tables import load_table
+
+    df = repetition.dedup_lines(load_table(spark, sf_dir, "documents"))
+    assert not has_window(df)
+    # line-agg (reused by the join probe) + doc reassembly; the probe
+    # side's exchange may or may not fold depending on AQE's view
+    assert 2 <= count_shuffles(df) <= 3

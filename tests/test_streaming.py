@@ -199,3 +199,27 @@ def test_user_stats_state_timeout_reinitializes(spark, tmp_path):
     assert (2, 15.0) in user1          # first window of activity
     assert (1, 7.0) in user1           # re-initialized after timeout
     assert (3, 22.0) not in user1      # did NOT resume the old state
+
+
+def test_streaming_normalize_repetition_match_batch(spark, sf_dir):
+    # the round-6 curation projections (normalization, repetition
+    # stats, URL stats) are stateless column expressions — on a file
+    # stream they must emit exactly the batch result over the same data
+    from rnadam_spark.operators import repetition, text, web
+    from rnadam_spark.sources.tables import load_table
+
+    def chain(docs):
+        norm = text.normalize_text(docs).select("doc_id", "text")
+        rep = repetition.repetition_stats(norm).select(
+            "doc_id", "top_2gram_char_frac", "dup_5gram_char_frac"
+        )
+        urls = web.url_stats(norm).select("doc_id", "n_urls")
+        return norm.join(rep, "doc_id").join(urls, "doc_id")
+
+    stream_docs = se.read_table_stream(spark, sf_dir, "documents")
+    got = se.run_to_memory(chain(stream_docs), "norm_rep_stream_out")
+    stream_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {
+        tuple(r) for r in chain(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
