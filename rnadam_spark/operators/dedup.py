@@ -12,7 +12,10 @@ the document domain (SURVEY.md §2.7, §7 step 7):
 - SimHash: the same explode + partial-aggregate shape over token codes;
 - n-gram Jaccard: candidate pairs via shared-shingle equi-join
   (explode → join on shingle → per-pair count), the scale-safe
-  alternative to the quadratic all-pairs comparison.
+  alternative to the quadratic all-pairs comparison;
+- verify stage: exact k-shingle Jaccard for candidate pairs only
+  (``verify_pairs``) — candidates → verify → connected components is
+  the full three-stage near-dup pipeline.
 
 Every hash here is the portable polynomial/affine family from
 ``rnadam_spark.functions.hashing`` so the DuckDB oracle can reproduce
@@ -297,5 +300,48 @@ def ngram_jaccard_pairs(
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): the verify stage of the LSH pipeline —
+    exact k-shingle Jaccard computed ONLY for candidate pairs, keeping
+    those at or above ``threshold``. Candidates (from
+    ``lsh_candidate_pairs`` or ``simhash_hamming_pairs``) trade recall
+    for scale; this stage restores precision, and its output is what
+    ``clustering.near_dup_clusters`` should consume: candidates →
+    verify → connected components is the standard three-stage near-dup
+    dedup.
+
+    Scale shape: each side's distinct-shingle array attaches by a
+    doc_id-equi join, so the corpus contributes one row per document
+    that actually appears in a candidate pair (a semi-join-sized
+    subset; AQE broadcasts the pair side when it is small). The
+    intersection runs in-row (``array_intersect`` of sorted distinct
+    shingles) — no shingle-level explode, no per-pair shuffle beyond
+    the two joins."""
+    from rnadam_spark.functions.rounding import hround
+
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(text_col, k)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hround(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -110,3 +110,54 @@ def test_ngram_jaccard(spark):
     assert pairs[(0, 1)][1] == 1.0  # identical docs → J = 1
     assert 0.5 < pairs[(0, 2)][1] < 1.0  # near-dup high but < 1
     assert not any({a, b} & {3} for a, b in pairs)
+
+
+def test_verify_pairs_exact_jaccard(spark):
+    from rnadam_spark.operators.dedup import lsh_candidate_pairs, verify_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),  # near-dup of 1
+        (3, "a completely different document about spark plans"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = lsh_candidate_pairs(df, max_bucket=10)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in verify_pairs(cands, df, threshold=0.5).collect()}
+
+    # python reference: exact distinct-4-shingle Jaccard
+    import math
+
+    def shingles(t):
+        return {t[i : i + 4] for i in range(len(t) - 3)}
+
+    def jac(x, y):
+        sx, sy = shingles(x), shingles(y)
+        return math.floor(len(sx & sy) / len(sx | sy) * 1e6 + 0.5) / 1e6
+
+    texts = dict(rows)
+    for (da, db), j in got.items():
+        assert j == jac(texts[da], texts[db]), (da, db)
+    # the exact pair survives at 1.0; the unrelated doc never appears
+    assert got[(1, 4)] == 1.0
+    assert all(3 not in p for p in got)
+    # verified pairs are a subset of the candidates
+    cand_set = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    assert set(got) <= cand_set
+
+
+def test_verify_then_cluster_pipeline(spark, sf_dir):
+    # the full three-stage near-dup pipeline composes: candidates ->
+    # exact-Jaccard verify -> connected components; every cluster member
+    # must come from a verified pair
+    from rnadam_spark.operators.clustering import connected_components
+    from rnadam_spark.operators.dedup import lsh_candidate_pairs, verify_pairs
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, max_bucket=100)
+    verified = verify_pairs(cands, docs, threshold=0.2)
+    clusters = connected_components(verified.select("doc_a", "doc_b"))
+    member_ids = {r[0] for r in clusters.select(clusters.columns[0]).collect()}
+    pair_ids = {x for r in verified.select("doc_a", "doc_b").collect() for x in r}
+    assert member_ids <= pair_ids or not member_ids
