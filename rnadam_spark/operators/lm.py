@@ -1,0 +1,368 @@
+"""Statistical language-model scoring and corpus shaping.
+
+The CCNet/GPT-3 curation stages this engine was still missing: score
+documents with a character n-gram LM (perplexity filtering), score them
+with a linear classifier over hashed token features (fastText-style
+quality classifier), pack token streams into fixed-budget training
+examples, and reweight the corpus toward a temperature-scaled domain
+mixture. Generalizes the reference's k-mer statistics machinery (k-mer
+counting Quantify.scala:58-60 → n-gram LM counts; the broadcast class
+prior map Quantify.scala:79-87 → broadcast model tables).
+
+Scale shapes, in order of appearance:
+
+- LM training is one explode + one groupBy whose output is bounded by
+  ``alphabet**n`` rows — at char trigrams over printable ASCII that is
+  < 1M rows no matter whether the corpus is 1 GB or 100 TB, so the
+  trained model always broadcasts.
+- LM scoring and classifier scoring join the exploded corpus against
+  broadcast model tables and re-aggregate by ``doc_id``: the corpus
+  shuffles exactly once (map-side partial agg on doc_id), the models
+  never shuffle.
+- Packing windows over a caller-sized hash group, not the whole corpus:
+  per-task state is ``corpus/n_groups``, and the output example ids are
+  deterministic in content, not partitioning.
+- Mixture weighting aggregates to one row per group and broadcasts the
+  (tiny) weight table back; the corpus-side pass is a pure projection
+  filter, pushdown-friendly like operators/sampling.py.
+
+Every arithmetic choice (poly-hash features, add-one smoothing, ln/exp,
+offset-based packing) is reproducible bit-for-bit in DuckDB so the
+operators cross-check engine-to-engine like the gated queries do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.hashing import MOD, poly_hash_col
+from rnadam_spark.functions.rounding import hround
+from rnadam_spark.functions.shingles import char_shingles, tokens
+from rnadam_spark.operators.sampling import _sample_code
+
+# ---------------------------------------------------------------------------
+# Character n-gram language model (CCNet-style perplexity filtering)
+# ---------------------------------------------------------------------------
+
+
+def train_char_lm(corpus: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(gram, gram_cnt): character ``n``-gram counts of a reference
+    corpus — the model table for :func:`lm_perplexity`. One explode +
+    one groupBy; the result is bounded by ``alphabet**n`` distinct rows
+    (not corpus size), so it broadcasts at any scale. Prefix counts are
+    NOT materialized here: the scorer derives them from the gram table
+    (``prefix_cnt = sum(gram_cnt) group by first n−1 chars``), which
+    keeps the two counts consistent by construction — the add-one
+    conditional ``(cnt(prefix·c)+1)/(cnt(prefix)+V)`` then sums to 1
+    over the smoothed alphabet exactly."""
+    return (
+        corpus.select(F.explode(char_shingles(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("gram_cnt"))
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    n: int = 3,
+    vocab_size: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_grams, avg_neg_log_prob, perplexity): score each
+    document under an add-one-smoothed character ``n``-gram LM trained
+    by :func:`train_char_lm` — the CCNet quality signal (fluent prose
+    scores low, boilerplate/garbage scores high; filter or bucket on
+    it before training).
+
+    Per gram ``g = p·c`` (prefix ``p`` of ``n−1`` chars, final char
+    ``c``)::
+
+        log P(c | p) = ln(cnt(g) + 1) − ln(cnt(p) + vocab_size)
+
+    with unseen grams/prefixes counting 0 — every document scores, even
+    against a tiny LM. ``perplexity = exp(avg_neg_log_prob)``. Documents
+    shorter than ``n`` chars have no grams: kept with ``n_grams = 0``
+    and perplexity 1 (an audit row must never vanish).
+
+    Plan: both model tables broadcast (bounded by ``alphabet**n``);
+    the exploded corpus never shuffles until the final map-side-partial
+    ``doc_id`` re-aggregation — one exchange total."""
+    grams = lm.select("gram", "gram_cnt")
+    prefixes = F.broadcast(
+        grams.groupBy(F.col("gram").substr(1, n - 1).alias("prefix")).agg(
+            F.sum("gram_cnt").cast("bigint").alias("prefix_cnt")
+        )
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode_outer(char_shingles(text_col, n)).alias("gram")
+    )
+    scored = (
+        doc_grams.join(F.broadcast(grams), "gram", "left")
+        .withColumn("prefix", F.col("gram").substr(1, n - 1))
+        .join(prefixes, "prefix", "left")
+        .withColumn(
+            "_nlp",
+            F.when(
+                F.col("gram").isNotNull(),
+                F.log(F.coalesce(F.col("prefix_cnt"), F.lit(0)) + F.lit(vocab_size))
+                - F.log(F.coalesce(F.col("gram_cnt"), F.lit(0)) + F.lit(1)),
+            ),
+        )
+    )
+    anlp = F.coalesce(F.avg("_nlp"), F.lit(0.0))
+    return scored.groupBy(id_col).agg(
+        F.count("gram").cast("bigint").alias("n_grams"),
+        hround(anlp, 6).alias("avg_neg_log_prob"),
+        hround(F.exp(anlp), 6).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier over hashed token features (fastText-style)
+# ---------------------------------------------------------------------------
+
+N_FEATURES = 1 << 18
+_FEAT_PREFIX = 8  # poly-hash reads the first 8 chars of the padded token
+
+
+def feature_bucket(token: Column | str, n_features: int = N_FEATURES) -> Column:
+    """Hashed-feature bucket of a token: poly-hash of the first 8 chars
+    of ``rpad(lower(token), 8, ' ')``, mod ``n_features``. The rpad
+    pins every hashed position (no empty-substring edge), and the
+    arithmetic is the engine-portable polynomial from
+    functions/hashing.py, so a DuckDB oracle buckets identically."""
+    c = F.col(token) if isinstance(token, str) else token
+    return poly_hash_col(F.rpad(F.lower(c), _FEAT_PREFIX, " "), _FEAT_PREFIX) % n_features
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    intercept: float = 0.0,
+    n_features: int = N_FEATURES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, margin, prob): score documents under a linear
+    text classifier ``sigmoid(intercept + Σ_tokens w[bucket(token)])``
+    — the fastText-style quality/topicality classifier of GPT-3/CCNet
+    pipelines, applied corpus-side. ``weights`` is (bucket BIGINT,
+    weight DOUBLE) — train with :func:`train_quality_classifier` or
+    supply hand-built weights (e.g. curated wordlists).
+
+    Term frequency is implicit: the token explode emits one row per
+    occurrence, so summing the joined weight per document IS the
+    tf-weighted dot product — no (doc, bucket) pre-aggregation, one
+    ``doc_id`` shuffle with map-side partial agg, weights broadcast.
+    Token-less documents score ``sigmoid(intercept)``."""
+    w = F.broadcast(weights.select("bucket", "weight"))
+    doc_tokens = docs.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok")
+    ).withColumn("bucket", feature_bucket(F.col("tok"), n_features))
+    margin = F.lit(intercept) + F.coalesce(
+        F.sum(F.when(F.col("tok").isNotNull(), F.coalesce(F.col("weight"), F.lit(0.0)))),
+        F.lit(0.0),
+    )
+    return (
+        doc_tokens.join(w, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").cast("bigint").alias("n_tokens"),
+            hround(margin, 6).alias("margin"),
+            hround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("prob"),
+        )
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    n_features: int = 1 << 12,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+):
+    """Fit the linear classifier :func:`classifier_score` applies:
+    logistic regression (pyspark.ml, distributed L-BFGS) over the same
+    poly-hash token buckets the scorer uses, so trained weights and
+    corpus-side scoring can never disagree on the feature map.
+
+    Labeled sets are small (thousands of rows hand- or heuristically
+    labeled) next to the corpus being scored, so the default feature
+    dimension is modest and the per-document feature vector is built
+    DENSE, entirely JVM-side: tf per (doc, bucket), scattered into a
+    length-``n_features`` array by a ``transform``+map lookup, then
+    ``array_to_vector`` — no Python boundary anywhere (pandas UDFs
+    cannot carry VectorUDT through Arrow, and a row-at-a-time UDF is
+    banned in this engine). Returns ``(weights_df, intercept)`` with
+    ``weights_df`` = (bucket, weight) holding the non-zero
+    coefficients."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    tf = (
+        labeled.select(
+            F.col(id_col), F.col(label_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        .withColumn("bucket", feature_bucket(F.col("tok"), n_features))
+        .groupBy(id_col, label_col, "bucket")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .groupBy(id_col, label_col)
+        .agg(F.map_from_arrays(F.collect_list("bucket"), F.collect_list("tf")).alias("fm"))
+    )
+    # try_element_at: missing map key -> null -> 0.0 (plain [] / element_at
+    # would throw under ANSI mode, which this engine leaves at the default)
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("fm"), i.cast("bigint")), F.lit(0.0)),
+    )
+    train = tf.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(dense).alias("features"),
+    )
+    model = LogisticRegression(maxIter=max_iter, regParam=reg_param).fit(train)
+    coeffs = model.coefficients
+    spark = labeled.sparkSession
+    weights = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in zip(coeffs.indices, coeffs.values)]
+        if hasattr(coeffs, "indices")
+        else [(i, float(v)) for i, v in enumerate(coeffs) if v != 0.0],
+        "bucket bigint, weight double",
+    )
+    return weights, float(model.intercept)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (context-window filling)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_tokens: Column | str = None,
+    n_groups: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_group, pack_id, pack_offset): assign each
+    document a position in a stream of fixed-``budget`` training
+    examples — GPT-style packing, where documents are concatenated in a
+    deterministic order and the stream is cut every ``budget`` tokens
+    (a document whose span crosses a cut continues into the next
+    example; ``pack_offset`` is where it starts inside its example).
+
+    Order is pinned to ``(pack_group, doc_id)``: the same corpus packs
+    identically on any cluster layout or partitioning. The running sum
+    windows over ``pack_group = doc_id % n_groups``, NOT the whole
+    corpus — a global stream offset would be one task's window; here
+    each group is an independent stream of ``corpus/n_groups`` rows and
+    ``pack_id`` numbers examples within its group (example identity =
+    (pack_group, pack_id)). One hash-partition exchange, no global
+    sort."""
+    from pyspark.sql import Window
+
+    if n_tokens is None:
+        nt = F.size(tokens(text_col)).cast("bigint")
+    else:
+        nt = (F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens).cast("bigint")
+    grp = (F.col(id_col).cast("bigint") % n_groups).alias("pack_group")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.select(F.col(id_col), nt.alias("n_tokens"), grp)
+        .withColumn("pack_id", F.floor(start / budget))
+        .withColumn("pack_offset", start % budget)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture reweighting (temperature-scaled sampling)
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_docs, n_tokens, token_share, weight): temperature-
+    scaled mixture weights over a grouping column (domain, language,
+    source) — ``weight ∝ token_share**alpha``, normalized to sum 1.
+    ``alpha < 1`` upweights small high-quality sources against the
+    crawl bulk (the multilingual-sampling exponent); ``alpha = 1``
+    reproduces natural proportions.
+
+    One groupBy to one row per group, then the (tiny) group table
+    cross-joins its own scalar totals — the corpus is read once."""
+    per_group = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    totals = per_group.agg(
+        F.sum("n_tokens").alias("_tot"),
+    )
+    shared = per_group.crossJoin(F.broadcast(totals)).withColumn(
+        "token_share", F.col("n_tokens").cast("double") / F.col("_tot")
+    )
+    powed = shared.withColumn("_pw", F.pow("token_share", F.lit(alpha)))
+    z = powed.agg(F.sum("_pw").alias("_z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "group",
+            "n_docs",
+            "n_tokens",
+            hround(F.col("token_share"), 6).alias("token_share"),
+            hround(F.col("_pw") / F.col("_z"), 6).alias("weight"),
+        )
+    )
+
+
+def sample_to_mixture(
+    docs: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    target_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Deterministically sample the corpus toward the temperature-
+    ``alpha`` mixture: each group's keep-rate is
+    ``min(1, target_tokens·weight / group_tokens)`` and membership is
+    the engine's universal-hash verdict on ``doc_id`` (reproducible
+    across runs/partitionings/engines, like operators/sampling.py).
+    ``target_tokens`` defaults to the corpus total (pure reshaping:
+    upweighted groups keep everything, downweighted groups shed).
+
+    Plan: the weight table (one row per group) broadcasts back onto the
+    scan; the corpus-side pass is a projection filter."""
+    rates = mixture_weights(docs, group_col, alpha, text_col=text_col)
+    if target_tokens is None:
+        rates = rates.crossJoin(
+            F.broadcast(rates.agg(F.sum("n_tokens").alias("_target")))
+        )
+    else:
+        rates = rates.withColumn("_target", F.lit(target_tokens))
+    rates = rates.select(
+        F.col("group").alias(group_col),
+        F.least(
+            F.lit(1.0),
+            F.col("_target") * F.col("weight") / F.col("n_tokens").cast("double"),
+        ).alias("_keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(_sample_code(F.col(id_col), seed) < (F.col("_keep_rate") * MOD).cast("bigint"))
+        .drop("_keep_rate")
+    )

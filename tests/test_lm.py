@@ -1,0 +1,353 @@
+"""LM perplexity scoring, hashed-feature classifier, sequence packing,
+and mixture reweighting (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+from rnadam_spark.functions.hashing import poly_hash_sql
+from rnadam_spark.functions.rounding import hround_sql
+from rnadam_spark.operators import lm
+from rnadam_spark.operators.sampling import sample_code_sql
+
+TRAIN = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "cats and dogs and cats"),
+]
+SCORE = [
+    (10, "the cat sat"),
+    (11, "zqxj vvkw zzz"),
+    (12, "on the mat the dog"),
+    (13, "ab"),  # shorter than n=3: no grams
+    (14, ""),
+]
+
+
+def _py_lm(train_rows, n=3):
+    grams = Counter()
+    for _, t in train_rows:
+        for i in range(len(t) - n + 1):
+            grams[t[i : i + n]] += 1
+    prefixes = Counter()
+    for g, c in grams.items():
+        prefixes[g[: n - 1]] += c
+    return grams, prefixes
+
+
+def _py_score(text, grams, prefixes, n=3, v=128):
+    gs = [text[i : i + n] for i in range(len(text) - n + 1)]
+    if not gs:
+        return 0, 0.0, 1.0
+    nlps = [
+        math.log(prefixes.get(g[: n - 1], 0) + v) - math.log(grams.get(g, 0) + 1)
+        for g in gs
+    ]
+    anlp = sum(nlps) / len(nlps)
+    rd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    return len(gs), rd(anlp), rd(math.exp(anlp))
+
+
+def test_train_char_lm_counts(spark):
+    got = {
+        r.gram: r.gram_cnt
+        for r in lm.train_char_lm(spark.createDataFrame(TRAIN, ["doc_id", "text"])).collect()
+    }
+    want, _ = _py_lm(TRAIN)
+    assert got == dict(want)
+
+
+def test_lm_perplexity_golden(spark):
+    model = lm.train_char_lm(spark.createDataFrame(TRAIN, ["doc_id", "text"]))
+    docs = spark.createDataFrame(SCORE, ["doc_id", "text"])
+    got = {r.doc_id: r for r in lm.lm_perplexity(docs, model).collect()}
+    grams, prefixes = _py_lm(TRAIN)
+    assert set(got) == {d for d, _ in SCORE}  # no doc vanishes
+    for doc_id, text in SCORE:
+        n_grams, anlp, ppl = _py_score(text, grams, prefixes)
+        r = got[doc_id]
+        assert r.n_grams == n_grams
+        assert r.avg_neg_log_prob == pytest.approx(anlp, abs=1e-9)
+        assert r.perplexity == pytest.approx(ppl, abs=1e-9)
+    # fluent in-domain text scores better than keyboard mash
+    assert got[10].perplexity < got[11].perplexity
+
+
+def test_lm_perplexity_matches_duckdb(spark):
+    n, v = 3, 128
+    model = lm.train_char_lm(spark.createDataFrame(TRAIN, ["doc_id", "text"]))
+    docs = spark.createDataFrame(SCORE, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.n_grams, r.avg_neg_log_prob, r.perplexity)
+        for r in lm.lm_perplexity(docs, model, n=n, vocab_size=v).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE train (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO train VALUES (?, ?)", TRAIN)
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", SCORE)
+    want = set(
+        con.execute(
+            f"""
+            WITH grams AS (
+              SELECT substr(text, CAST(i AS INT), {n}) AS gram, count(*) AS gram_cnt
+              FROM (SELECT text,
+                           unnest(range(1, greatest(length(text) - {n - 1}, 0) + 1)) AS i
+                    FROM train)
+              GROUP BY 1
+            ),
+            prefixes AS (
+              SELECT substr(gram, 1, {n - 1}) AS prefix, sum(gram_cnt) AS prefix_cnt
+              FROM grams GROUP BY 1
+            ),
+            doc_grams AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), {n}) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, greatest(length(text) - {n - 1}, 0) + 1)) AS i
+                    FROM docs)
+            ),
+            nlp AS (
+              SELECT doc_id,
+                     ln(COALESCE(p.prefix_cnt, 0) + {v})
+                       - ln(COALESCE(gr.gram_cnt, 0) + 1) AS _nlp
+              FROM doc_grams dg
+              LEFT JOIN grams gr USING (gram)
+              LEFT JOIN prefixes p ON substr(dg.gram, 1, {n - 1}) = p.prefix
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_grams, avg(_nlp) AS anlp
+              FROM nlp GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   {hround_sql('COALESCE(a.anlp, 0.0)', 6)} AS avg_neg_log_prob,
+                   {hround_sql('exp(COALESCE(a.anlp, 0.0))', 6)} AS perplexity
+            FROM docs d LEFT JOIN agg a USING (doc_id)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+WEIGHTS = [("good", 2.0), ("great", 1.5), ("spam", -3.0), ("the", 0.1)]
+
+
+def _weights_df(spark, n_features):
+    from pyspark.sql import functions as F
+
+    toks = spark.createDataFrame(WEIGHTS, ["tok", "weight"])
+    return toks.select(
+        lm.feature_bucket(F.col("tok"), n_features).alias("bucket"), "weight"
+    )
+
+
+CLS_DOCS = [
+    (1, "good good great stuff"),
+    (2, "spam spam spam offer"),
+    (3, "the quiet middle"),
+    (4, ""),
+]
+
+
+def test_classifier_score_matches_duckdb(spark):
+    nf = 4096
+    docs = spark.createDataFrame(CLS_DOCS, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.n_tokens, r.margin, r.prob)
+        for r in lm.classifier_score(docs, _weights_df(spark, nf), intercept=0.25,
+                                     n_features=nf).collect()
+    }
+    inner = poly_hash_sql("rpad(lower(tok), 8, ' ')", 8)
+    bucket_expr = f"({inner}) % {nf}"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", CLS_DOCS)
+    con.execute("CREATE TABLE w (tok VARCHAR, weight DOUBLE)")
+    con.executemany("INSERT INTO w VALUES (?, ?)", WEIGHTS)
+    want = set(
+        con.execute(
+            f"""
+            WITH wb AS (SELECT {bucket_expr} AS bucket, weight FROM w),
+            doc_tokens AS (
+              SELECT doc_id, t.tok AS tok
+              FROM docs LEFT JOIN LATERAL (
+                SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> length(x) > 0)) AS tok
+              ) t ON TRUE
+            ),
+            j AS (
+              SELECT doc_id, tok,
+                     CASE WHEN tok IS NULL THEN NULL
+                          ELSE COALESCE(wb.weight, 0.0) END AS wgt
+              FROM doc_tokens
+              LEFT JOIN wb ON wb.bucket = {bucket_expr}
+            )
+            SELECT doc_id, CAST(count(tok) AS BIGINT) AS n_tokens,
+                   {hround_sql('0.25 + COALESCE(sum(wgt), 0.0)', 6)} AS margin,
+                   {hround_sql('1.0 / (1.0 + exp(-(0.25 + COALESCE(sum(wgt), 0.0))))', 6)}
+                     AS prob
+            FROM j GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][3] > 0.9 and by_id[2][3] < 0.1  # separation
+    assert by_id[4][1] == 0  # empty doc kept, scores sigmoid(intercept)
+
+
+def test_train_quality_classifier_separates(spark):
+    good = ["good great content here", "great good writing", "good article great read"]
+    bad = ["spam offer spam click", "click spam now", "spam spam buy now"]
+    rows = [(i, 1.0, t) for i, t in enumerate(good)] + [
+        (10 + i, 0.0, t) for i, t in enumerate(bad)
+    ]
+    labeled = spark.createDataFrame(rows, ["doc_id", "label", "text"])
+    weights, intercept = lm.train_quality_classifier(labeled, n_features=1 << 10)
+    held_out = spark.createDataFrame(
+        [(100, "good great"), (101, "spam click")], ["doc_id", "text"]
+    )
+    scored = {
+        r.doc_id: r.prob
+        for r in lm.classifier_score(
+            held_out, weights, intercept=intercept, n_features=1 << 10
+        ).collect()
+    }
+    assert scored[100] > 0.8 and scored[101] < 0.2
+
+
+PACK_DOCS = [
+    (0, 6),
+    (2, 5),
+    (4, 12),
+    (6, 3),
+    (1, 4),
+    (3, 9),
+    (5, 2),
+]  # (doc_id, n_tokens); two groups under n_groups=2
+
+
+def _py_pack(rows, budget, n_groups):
+    out = {}
+    by_group: dict[int, list] = {}
+    for doc_id, nt in sorted(rows):
+        by_group.setdefault(doc_id % n_groups, []).append((doc_id, nt))
+    for g, docs in by_group.items():
+        cum = 0
+        for doc_id, nt in docs:
+            out[doc_id] = (nt, g, cum // budget, cum % budget)
+            cum += nt
+    return out
+
+
+def test_pack_sequences_golden(spark):
+    df = spark.createDataFrame(PACK_DOCS, ["doc_id", "n_tokens"])
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_group, r.pack_id, r.pack_offset)
+        for r in lm.pack_sequences(df, budget=8, n_tokens="n_tokens", n_groups=2).collect()
+    }
+    assert got == _py_pack(PACK_DOCS, 8, 2)
+    # partitioning-invariant: same assignment from a repartitioned input
+    got2 = {
+        r.doc_id: (r.n_tokens, r.pack_group, r.pack_id, r.pack_offset)
+        for r in lm.pack_sequences(
+            df.repartition(7), budget=8, n_tokens="n_tokens", n_groups=2
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_pack_sequences_from_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.n_tokens for r in lm.pack_sequences(docs, budget=4).collect()}
+    assert got == {1: 3, 2: 2, 3: 0}
+
+
+def test_pack_sequences_matches_duckdb(spark):
+    df = spark.createDataFrame(PACK_DOCS, ["doc_id", "n_tokens"])
+    got = {
+        tuple(r)
+        for r in lm.pack_sequences(df, budget=8, n_tokens="n_tokens", n_groups=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", PACK_DOCS)
+    want = set(
+        con.execute(
+            """
+            SELECT doc_id, n_tokens, doc_id % 2 AS pack_group,
+                   CAST(floor((sum(n_tokens) OVER w - n_tokens) / 8.0) AS BIGINT) AS pack_id,
+                   (sum(n_tokens) OVER w - n_tokens) % 8 AS pack_offset
+            FROM d
+            WINDOW w AS (PARTITION BY doc_id % 2 ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+MIX_DOCS = [
+    (1, "web", "w w w w w w w w"),  # 8 tokens
+    (2, "web", "w w w w w w w w"),  # 8 tokens
+    (3, "books", "b b b"),  # 3 tokens
+    (4, "wiki", "k"),  # 1 token
+]
+
+
+def test_mixture_weights(spark):
+    docs = spark.createDataFrame(MIX_DOCS, ["doc_id", "source", "text"])
+    nat = {r.group: r for r in lm.mixture_weights(docs, "source", alpha=1.0).collect()}
+    assert nat["web"].n_docs == 2 and nat["web"].n_tokens == 16
+    assert nat["web"].weight == pytest.approx(16 / 20, abs=1e-6)
+    assert sum(r.weight for r in nat.values()) == pytest.approx(1.0, abs=1e-5)
+    # alpha=0: uniform over groups regardless of size
+    uni = {r.group: r.weight for r in lm.mixture_weights(docs, "source", alpha=0.0).collect()}
+    assert all(w == pytest.approx(1 / 3, abs=1e-5) for w in uni.values())
+    # alpha<1 moves mass from the big group to the small ones
+    tempered = {
+        r.group: r.weight for r in lm.mixture_weights(docs, "source", alpha=0.5).collect()
+    }
+    assert tempered["web"] < nat["web"].weight
+    assert tempered["wiki"] > nat["wiki"].weight
+
+
+def test_sample_to_mixture_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 80 else "books", "tok " * 5) for i in range(100)],
+        ["doc_id", "source", "text"],
+    )
+    kept1 = sorted(r.doc_id for r in lm.sample_to_mixture(docs, "source", alpha=0.5).collect())
+    kept2 = sorted(
+        r.doc_id
+        for r in lm.sample_to_mixture(docs.repartition(13), "source", alpha=0.5).collect()
+    )
+    assert kept1 == kept2  # membership is content-hash, not partitioning
+    # the upweighted small group keeps everything (keep-rate capped at 1)
+    assert all(i in kept1 for i in range(80, 100))
+    # the big group sheds rows
+    assert sum(1 for i in kept1 if i < 80) < 80
+    assert set(lm.sample_to_mixture(docs, "source").columns) == set(docs.columns)
+
+
+def test_lm_and_classifier_plans_broadcast(spark):
+    """Model tables broadcast; the corpus side shuffles exactly once
+    (the doc_id re-aggregation)."""
+    docs = spark.createDataFrame(SCORE, ["doc_id", "text"])
+    model = lm.train_char_lm(spark.createDataFrame(TRAIN, ["doc_id", "text"]))
+    plan = lm.lm_perplexity(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    cplan = (
+        lm.classifier_score(docs, _weights_df(spark, 4096))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in cplan
+    assert "SortMergeJoin" not in cplan
