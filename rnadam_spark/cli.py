@@ -10,6 +10,9 @@ plus the north-star curation command over a documents table:
   rnadam-spark curate DOCUMENTS OUTPUT [-quality_min X]
       [-chunk_chars N] [-chunk_overlap N] [-partition_by COL]
       [-skip_normalize] [-dedup_lines] [-max_dup_5gram X]
+      [-max_perplexity X -lm_sample_frac F]
+      [-classifier_weights PQ -classifier_intercept B -classifier_min P]
+      [-mixture_alpha A -mixture_group COL]
 
 Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
 are parquet datasets with the FIXTURES.md §A schemas. The library API
@@ -75,17 +78,49 @@ def _build_parser() -> argparse.ArgumentParser:
         default=None,
         help="drop documents whose duplicated-5-gram char fraction exceeds X",
     )
+    c.add_argument(
+        "-max_perplexity",
+        type=float,
+        default=None,
+        help="drop documents above X under a char-3-gram LM trained on a "
+        "deterministic sample of the corpus itself",
+    )
+    c.add_argument(
+        "-lm_sample_frac",
+        type=float,
+        default=0.1,
+        help="deterministic hash-sample fraction used to train the perplexity LM",
+    )
+    c.add_argument(
+        "-classifier_weights",
+        default=None,
+        help="parquet (bucket, weight): linear quality-classifier weights; "
+        "docs scoring below -classifier_min are dropped",
+    )
+    c.add_argument("-classifier_intercept", type=float, default=0.0)
+    c.add_argument("-classifier_min", type=float, default=0.5)
+    c.add_argument(
+        "-mixture_alpha",
+        type=float,
+        default=None,
+        help="resample surviving docs toward the temperature-alpha mixture "
+        "over -mixture_group",
+    )
+    c.add_argument("-mixture_group", default="source")
     return p
 
 
 def _run_curate(spark, args) -> None:
     """The composite curation pipeline as ONE lazy plan: normalize →
-    PII scrub → [corpus line dedup] → quality + [repetition] threshold
-    → exact-dedup canonical selection → optional token-budget chunking
-    → partitioned sink. Everything up to the dedup groupBy is a
+    PII scrub → [corpus line dedup] → quality + [repetition] +
+    [LM perplexity] + [classifier] thresholds → exact-dedup canonical
+    selection → [mixture resampling] → optional token-budget chunking →
+    partitioned sink. Everything up to the dedup groupBy is a
     projection (normalization runs first so docs differing only in
     whitespace collide downstream); the dedup join is doc_id-equi on
-    the canonical ids (broadcastable when the survivor set is small)."""
+    the canonical ids (broadcastable when the survivor set is small);
+    the model stages join broadcast model tables (the LM trains on a
+    deterministic hash sample of the scrubbed corpus itself)."""
     from pyspark.sql import functions as F
 
     from rnadam_spark.operators import dedup, repetition, text
@@ -110,10 +145,31 @@ def _run_curate(spark, args) -> None:
         kept = kept.join(rep, "doc_id").filter(
             F.col("dup_5gram_char_frac") <= args.max_dup_5gram
         )
+    if args.max_perplexity is not None:
+        from rnadam_spark.operators import lm
+        from rnadam_spark.operators.sampling import hash_sample
+
+        model = lm.train_char_lm(hash_sample(scrubbed, "doc_id", args.lm_sample_frac))
+        ppl = lm.lm_perplexity(scrubbed, model).select("doc_id", "perplexity")
+        kept = kept.join(ppl, "doc_id").filter(F.col("perplexity") <= args.max_perplexity)
+    if args.classifier_weights is not None:
+        from rnadam_spark.operators import lm
+
+        weights = spark.read.parquet(args.classifier_weights)
+        prob = lm.classifier_score(
+            scrubbed, weights, intercept=args.classifier_intercept
+        ).select("doc_id", F.col("prob").alias("classifier_prob"))
+        kept = kept.join(prob, "doc_id").filter(
+            F.col("classifier_prob") >= args.classifier_min
+        )
     canon = dedup.exact_dup_groups(kept).select(
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )
     curated = kept.join(canon, "doc_id")
+    if args.mixture_alpha is not None:
+        from rnadam_spark.operators import lm
+
+        curated = lm.sample_to_mixture(curated, args.mixture_group, args.mixture_alpha)
     if args.chunk_chars:
         chunks = text.chunk_documents(
             curated, max_chars=args.chunk_chars, overlap=args.chunk_overlap

@@ -204,3 +204,54 @@ def test_cli_curate_normalize_line_dedup_repetition(spark, tmp_path):
     assert "shared boilerplate header" in texts[1]
     assert back.count() == back.dropDuplicates(["text"]).count()
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_cli_curate_model_stages(spark, tmp_path):
+    # perplexity filter (self-trained LM), classifier filter (weights
+    # parquet), and mixture resampling, through the command surface
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import lm
+
+    fluent = "the cat sat on the mat and the dog sat on the log near the door"
+    rows = (
+        [(i, fluent + f" variant {i}", "en", "books") for i in range(20)]
+        + [(100 + i, fluent + f" copy {i}", "en", "web") for i in range(60)]
+        + [(200, "zqxj vvkw qqzz xjvw kkqz", "en", "web")]  # gibberish
+        + [(201, fluent + " but spam spam spam", "en", "web")]
+    )
+    src = str(tmp_path / "docs_model_in")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"]).write.parquet(src)
+
+    wdf = spark.createDataFrame([("spam", -5.0)], ["tok", "weight"]).select(
+        lm.feature_bucket(F.col("tok")).alias("bucket"), "weight"
+    )
+    wpath = str(tmp_path / "weights_pq")
+    wdf.write.parquet(wpath)
+
+    out = str(tmp_path / "curated_model")
+    cli.main(
+        [
+            "curate", src, out,
+            "-quality_min", "-10",
+            "-max_perplexity", "50",
+            "-lm_sample_frac", "1.0",
+            "-classifier_weights", wpath,
+            "-classifier_intercept", "1.0",
+            "-classifier_min", "0.5",
+            "-mixture_alpha", "0.5",
+        ]
+    )
+    back = spark.read.parquet(out)
+    got = {r.doc_id: r for r in back.collect()}
+    assert 200 not in got  # gibberish: perplexity casualty
+    assert 201 not in got  # spam: classifier margin 1.0 - 3*5 << 0
+    assert len(got) > 0
+    # mixture alpha<1 upweights the small 'books' group: it keeps all
+    # docs while the big 'web' group sheds some
+    n_books = sum(1 for r in got.values() if r.source == "books")
+    n_web = sum(1 for r in got.values() if r.source == "web")
+    assert n_books == 20
+    assert n_web < 60
