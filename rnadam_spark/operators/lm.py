@@ -120,6 +120,42 @@ def lm_perplexity(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    n: int = 3,
+    vocab_size: int = 128,
+    cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    accuracy: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, perplexity, ppl_bucket): CCNet's head/middle/tail
+    split — score every document with :func:`lm_perplexity`, then
+    bucket by the corpus-wide perplexity quantiles at ``cuts``
+    (head = most fluent). Downstream pipelines keep head+middle, or
+    sample the tail at a reduced rate, instead of a hard threshold.
+
+    The two cut points come from one ``percentile_approx`` aggregate
+    (fixed-size sketch per partition — no sort, no window) broadcast
+    back onto the scored table: scoring's single doc_id exchange stays
+    the only corpus-wide shuffle."""
+    scored = lm_perplexity(
+        docs, lm, n=n, vocab_size=vocab_size, text_col=text_col, id_col=id_col
+    ).select(id_col, "perplexity")
+    thresholds = scored.agg(
+        F.percentile_approx("perplexity", list(cuts), accuracy).alias("_t")
+    )
+    return scored.crossJoin(F.broadcast(thresholds)).select(
+        id_col,
+        "perplexity",
+        F.when(F.col("perplexity") <= F.col("_t")[0], F.lit("head"))
+        .when(F.col("perplexity") <= F.col("_t")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Linear quality classifier over hashed token features (fastText-style)
 # ---------------------------------------------------------------------------

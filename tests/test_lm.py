@@ -351,3 +351,34 @@ def test_lm_and_classifier_plans_broadcast(spark):
     )
     assert "BroadcastHashJoin" in cplan
     assert "SortMergeJoin" not in cplan
+
+
+def test_perplexity_buckets(spark):
+    import random
+
+    rng = random.Random(5)
+    fluent = "the cat sat on the mat and the dog sat on the log"
+    # three clearly separated fluency tiers -> quantile cuts fall
+    # between them (within a tier, perplexities tie)
+    rows = (
+        [(i, fluent + f" s{i % 7}") for i in range(12)]
+        + [(50 + i, fluent[: 10 + i] + " zq vvk " + fluent[:12]) for i in range(12)]
+        + [(100 + i, "".join(rng.choice("zqxjvwk ") for _ in range(40))) for i in range(12)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = lm.train_char_lm(docs.filter("doc_id < 12"))
+    got = {r.doc_id: r for r in lm.perplexity_buckets(docs, model).collect()}
+    assert len(got) == 36
+    # gibberish rows land in the tail; fully-fluent rows in the head
+    assert all(got[100 + i].ppl_bucket == "tail" for i in range(12))
+    assert all(got[i].ppl_bucket == "head" for i in range(12))
+    buckets = {b: sum(1 for r in got.values() if r.ppl_bucket == b)
+               for b in ("head", "middle", "tail")}
+    assert buckets["tail"] >= 12
+    assert buckets["head"] > 0 and buckets["middle"] > 0
+    # bucket assignment is a pure function of the corpus, not partitioning
+    got2 = {
+        r.doc_id: r.ppl_bucket
+        for r in lm.perplexity_buckets(docs.repartition(11), model).collect()
+    }
+    assert got2 == {d: r.ppl_bucket for d, r in got.items()}
