@@ -179,6 +179,41 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     }
 
 
+def _extras_block(spark, sf_dir: str) -> dict[str, float]:
+    """Round-6+ operator surface, timed OUTSIDE the headline total (the
+    headline set and its total are pinned for round-over-round
+    comparability; these rows give the new operators measured numbers
+    without moving the comparison baseline). ``lm_perplexity`` includes
+    training the char-3-gram LM on a 10% deterministic sample each run
+    — the train+score cost is the honest unit a pipeline pays."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import lm as lmod
+    from rnadam_spark.operators import repetition, text, web
+    from rnadam_spark.operators.sampling import hash_sample
+    from rnadam_spark.sources.tables import load_table
+
+    def timed(make_df) -> float:
+        return _min_of_repeats(
+            spark, lambda: make_df().write.format("noop").mode("overwrite").save()
+        )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    weights = spark.createDataFrame(
+        [(t, 1.0) for t in ("the", "and", "of", "to", "in")], ["tok", "weight"]
+    ).select(lmod.feature_bucket(F.col("tok")).alias("bucket"), "weight")
+    model = lmod.train_char_lm(hash_sample(docs, "doc_id", 0.1))
+    return {
+        "repetition_stats": timed(lambda: repetition.repetition_stats(docs)),
+        "dedup_lines": timed(lambda: repetition.dedup_lines(docs)),
+        "url_stats": timed(lambda: web.url_stats(docs)),
+        "redact_pii": timed(lambda: text.redact_pii(docs)),
+        "lm_train_and_perplexity": timed(lambda: lmod.lm_perplexity(docs, model)),
+        "classifier_score": timed(lambda: lmod.classifier_score(docs, weights)),
+        "pack_sequences": timed(lambda: lmod.pack_sequences(docs, budget=2048)),
+    }
+
+
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
@@ -233,6 +268,7 @@ def main() -> None:
 
     stages = _stage_blocks(spark, sf_dir)
     ab = _ab_blocks(spark, sf_dir)
+    extras = _extras_block(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -244,6 +280,7 @@ def main() -> None:
                 "queries": timings,
                 "stages": stages,
                 "ab": ab,
+                "extras": extras,
                 "repeats": REPEATS,
                 "sf": _sf_from_dir(sf_dir),
             }

@@ -15,7 +15,11 @@ the document domain (SURVEY.md §2.7, §7 step 7):
   alternative to the quadratic all-pairs comparison;
 - verify stage: exact k-shingle Jaccard for candidate pairs only
   (``verify_pairs``) — candidates → verify → connected components is
-  the full three-stage near-dup pipeline.
+  the full three-stage near-dup pipeline;
+- incremental ingest: a new shard against the persisted signature
+  store (``incremental_near_dups``) — new-vs-old band join plus the
+  MinHash component-agreement estimate of Jaccard, so daily shards
+  dedup against the full corpus without re-shingling it.
 
 Every hash here is the portable polynomial/affine family from
 ``rnadam_spark.functions.hashing`` so the DuckDB oracle can reproduce
@@ -165,6 +169,71 @@ def lsh_candidate_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    est_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(new_id, index_id, est_jaccard): near-dups between a NEW shard
+    and an EXISTING corpus signature store — the production ingest
+    path. ``index_sigs`` is persisted :func:`minhash_signatures` output
+    (doc_id, h0..h15); the corpus text is never touched.
+
+    Why this exists: re-running all-pairs dedup on corpus+shard is
+    O((N+n)²) work for an O(n·N) question. Here only the shard is
+    shingled; its bands equi-join the stored bands (cost ∝ shard bands
+    × bucket occupancy, never old-vs-old), and similarity is the
+    signature estimate — the fraction of agreeing minhash components,
+    the textbook unbiased MinHash estimator of Jaccard — so flagging
+    needs no second pass over stored text. At 100 TB the signature
+    store is ~0.1% of corpus bytes and the band join partitions on
+    band_sig like any equi-join.
+
+    ``max_bucket`` caps candidates per (band, band_sig) bucket measured
+    on the INDEX side (a boilerplate bucket with 10⁶ stored docs would
+    pair every matching new doc with all of them). Pairs below
+    ``est_threshold`` are dropped after the estimate."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col)
+    nb = lsh_band_sigs(new_sigs, id_col).select(
+        F.col(id_col).alias("new_id"), "band", "band_sig"
+    )
+    ib = lsh_band_sigs(index_sigs, id_col).select(
+        F.col(id_col).alias("index_id"), "band", "band_sig"
+    )
+    if max_bucket is not None:
+        ok = (
+            ib.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        ib = ib.join(ok, ["band", "band_sig"])
+    pairs = nb.join(ib, ["band", "band_sig"]).select("new_id", "index_id").distinct()
+    ns = new_sigs.select(
+        F.col(id_col).alias("new_id"), *[F.col(f"h{j}").alias(f"nh{j}") for j in range(N_HASHES)]
+    )
+    isg = index_sigs.select(
+        F.col(id_col).alias("index_id"),
+        *[F.col(f"h{j}").alias(f"ih{j}") for j in range(N_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"nh{j}") == F.col(f"ih{j}")).cast("int") for j in range(N_HASHES)
+    )
+    return (
+        pairs.join(ns, "new_id")
+        .join(isg, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            (matches.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
     )
 
 

@@ -161,3 +161,48 @@ def test_verify_then_cluster_pipeline(spark, sf_dir):
     member_ids = {r[0] for r in clusters.select(clusters.columns[0]).collect()}
     pair_ids = {x for r in verified.select("doc_a", "doc_b").collect() for x in r}
     assert member_ids <= pair_ids or not member_ids
+
+
+def test_incremental_near_dups(spark):
+    from rnadam_spark.operators.dedup import incremental_near_dups, minhash_signatures
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from the mat "
+        "and the birds sing in the morning light over the quiet river valley"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("quick", "swift")),
+            (3, "completely different content about databases and distributed systems"),
+        ],
+        ["doc_id", "text"],
+    )
+    # persisted signature store (as a real pipeline would parquet it)
+    index_sigs = minhash_signatures(corpus)
+    new_shard = spark.createDataFrame(
+        [
+            (101, base),                                   # exact dup of 1
+            (102, base.replace("morning", "evening")),     # near dup of 1/2
+            (103, "fresh unseen text about gardening and long walks at dusk"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.new_id, r.index_id): r.est_jaccard
+        for r in incremental_near_dups(new_shard, index_sigs, est_threshold=0.3).collect()
+    }
+    assert got[(101, 1)] == 1.0  # identical text -> identical signature
+    assert (102, 1) in got and got[(102, 1)] >= 0.3
+    assert all(n != 103 for n, _ in got)  # fresh doc matches nothing
+    assert all(i != 3 for _, i in got)  # unrelated stored doc never paired
+    # estimate agrees with the python count of matching components
+    sig1 = {r.doc_id: r for r in index_sigs.collect()}[1]
+    sig102 = {r.doc_id: r for r in minhash_signatures(new_shard).collect()}[102]
+    expect = sum(sig1[f"h{j}"] == sig102[f"h{j}"] for j in range(16)) / 16
+    assert got[(102, 1)] == expect
+    # index-side bucket cap: cap 0 kills everything
+    assert (
+        incremental_near_dups(new_shard, index_sigs, est_threshold=0.0, max_bucket=0).count()
+        == 0
+    )
