@@ -213,6 +213,47 @@ def classifier_score(
     )
 
 
+def classifier_score_inrow(
+    docs: DataFrame,
+    weights: dict[int, float],
+    intercept: float = 0.0,
+    n_features: int = N_FEATURES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming-compatible twin of :func:`classifier_score`: the
+    (sparse) trained weights ride in the plan as a literal map — the
+    k-means broadcast-centroid pattern — and the tf-weighted dot
+    product folds over the token array in-row. Zero shuffle, zero
+    state: a pure projection, so it composes onto an unbounded stream
+    (``readStream`` → this → sink) exactly like the stateless curation
+    ops, and on batch it scores at scan speed with no doc_id exchange.
+
+    Use this when the model fits a plan literal (10³–10⁵ nonzero
+    coefficients — trained models are sparse); use
+    :func:`classifier_score`'s broadcast-join form for dense or huge
+    weight tables. ``weights`` is ``{bucket: weight}`` — collect a
+    trained weights DataFrame with ``dict(w.collect())``."""
+    pairs: list[Column] = []
+    for k in sorted(weights):
+        pairs.extend([F.lit(int(k)).cast("bigint"), F.lit(float(weights[k]))])
+    wmap = F.create_map(*pairs) if pairs else F.create_map().cast("map<bigint,double>")
+    toks = tokens(text_col)
+    dot = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(F.try_element_at(wmap, feature_bucket(t, n_features)), F.lit(0.0)),
+    )
+    margin = F.lit(intercept) + dot
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        hround(margin, 6).alias("margin"),
+        hround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("prob"),
+    )
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     n_features: int = 1 << 12,

@@ -382,3 +382,48 @@ def test_perplexity_buckets(spark):
         for r in lm.perplexity_buckets(docs.repartition(11), model).collect()
     }
     assert got2 == {d: r.ppl_bucket for d, r in got.items()}
+
+
+def test_classifier_score_inrow_agrees_with_join_form(spark):
+    nf = 4096
+    docs = spark.createDataFrame(CLS_DOCS, ["doc_id", "text"])
+    wmap = {r.bucket: r.weight for r in _weights_df(spark, nf).collect()}
+    join_form = {
+        tuple(r)
+        for r in lm.classifier_score(
+            docs, _weights_df(spark, nf), intercept=0.25, n_features=nf
+        ).collect()
+    }
+    inrow = {
+        tuple(r)
+        for r in lm.classifier_score_inrow(
+            docs, wmap, intercept=0.25, n_features=nf
+        ).collect()
+    }
+    assert inrow == join_form
+    # empty weights: every doc scores sigmoid(intercept)
+    z = {r.doc_id: r.prob for r in lm.classifier_score_inrow(docs, {}, 0.0).collect()}
+    assert all(p == 0.5 for p in z.values())
+
+
+def test_classifier_score_inrow_on_stream(spark, tmp_path):
+    from rnadam_spark.streaming.events import run_to_memory
+
+    nf = 4096
+    src = str(tmp_path / "cls_stream_src")
+    docs = spark.createDataFrame(CLS_DOCS, ["doc_id", "text"])
+    docs.write.parquet(src)
+    wmap = {r.bucket: r.weight for r in _weights_df(spark, nf).collect()}
+    stream = spark.readStream.schema(docs.schema).format("parquet").load(src)
+    got = {
+        tuple(r)
+        for r in run_to_memory(
+            lm.classifier_score_inrow(stream, wmap, intercept=0.25, n_features=nf),
+            "cls_inrow_stream",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in lm.classifier_score_inrow(docs, wmap, intercept=0.25, n_features=nf).collect()
+    }
+    assert got == want  # stream and batch agree row-for-row
