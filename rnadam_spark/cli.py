@@ -14,6 +14,10 @@ plus the north-star curation command over a documents table:
       [-classifier_weights PQ -classifier_intercept B -classifier_min P]
       [-mixture_alpha A -mixture_group COL]
 
+and the one-pass corpus audit:
+
+  rnadam-spark profile DOCUMENTS [-group_by COL]
+
 Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
 are parquet datasets with the FIXTURES.md §A schemas. The library API
 (rnadam_spark.algorithms / rnadam_spark.operators) is the primary
@@ -107,6 +111,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "over -mixture_group",
     )
     c.add_argument("-mixture_group", default="source")
+
+    pr = sub.add_parser(
+        "profile", help="one-pass corpus profile (sizes, dup rate, language mix)"
+    )
+    pr.add_argument("documents", help="parquet: documents table")
+    pr.add_argument("-group_by", default="lang", help="column for the mix table")
     return p
 
 
@@ -180,12 +190,67 @@ def _run_curate(spark, args) -> None:
     write_partitioned(curated, args.output, partition_by=[args.partition_by])
 
 
+def _run_profile(spark, args) -> None:
+    """Corpus audit in two jobs: a global aggregate (doc/char/token
+    totals, token-count quantile sketch, approximate distinct content
+    hashes → exact-dup rate) and a per-group mix table. Every stat is a
+    partial-aggregable reduction — no window, no sort, no collect
+    beyond the two small result rows; HLL distinct keeps the dup-rate
+    pass O(1) memory where exact count-distinct would shuffle every
+    hash (the rate is approximate and labeled so)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.functions.shingles import tokens
+
+    docs = spark.read.parquet(args.documents)
+    base = docs.select(
+        F.length("text").alias("n_chars"),
+        F.size(tokens("text")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("_h"),
+    )
+    g = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.percentile_approx("n_tokens", [0.5, 0.9, 0.99], 10_000).alias("tok_q"),
+        F.approx_count_distinct("_h").alias("n_distinct"),
+    ).collect()[0]
+    report = {
+        "n_docs": g["n_docs"],
+        "total_chars": g["total_chars"],
+        "total_tokens": g["total_tokens"],
+        "tokens_per_doc_p50_p90_p99": list(g["tok_q"] or []),
+        "approx_exact_dup_rate": round(
+            max(0.0, 1.0 - g["n_distinct"] / max(g["n_docs"], 1)), 6
+        ),
+    }
+    if args.group_by in docs.columns:
+        mix = (
+            docs.groupBy(args.group_by)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size(tokens("text"))).alias("n_tokens"),
+            )
+            .orderBy(F.col("n_tokens").desc())
+            .collect()
+        )
+        report["mix"] = [
+            {args.group_by: r[args.group_by], "n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+            for r in mix
+        ]
+    print(json.dumps(report))
+
+
 def main(argv: list[str] | None = None) -> None:
     args = _build_parser().parse_args(argv)
     spark = get_spark(f"rnadam-{args.command}")
 
     if args.command == "curate":
         _run_curate(spark, args)
+    elif args.command == "profile":
+        _run_profile(spark, args)
     elif args.command == "index":
         from rnadam_spark.algorithms.index import build_index
 

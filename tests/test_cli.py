@@ -255,3 +255,19 @@ def test_cli_curate_model_stages(spark, tmp_path):
     n_web = sum(1 for r in got.values() if r.source == "web")
     assert n_books == 20
     assert n_web < 60
+
+
+def test_cli_profile(spark, sf_dir, capsys):
+    import json
+    import os
+
+    cli.main(["profile", os.path.join(sf_dir, "documents.parquet")])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["n_docs"] == 500
+    assert report["total_tokens"] > 0 and report["total_chars"] > 0
+    q = report["tokens_per_doc_p50_p90_p99"]
+    assert len(q) == 3 and q[0] <= q[1] <= q[2]
+    assert 0.0 <= report["approx_exact_dup_rate"] < 1.0
+    assert {m["lang"] for m in report["mix"]} >= {"en"}
+    assert sum(m["n_docs"] for m in report["mix"]) == 500
