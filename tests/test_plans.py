@@ -216,3 +216,33 @@ def test_dedup_lines_no_window(spark, sf_dir):
     # line-agg (reused by the join probe) + doc reassembly; the probe
     # side's exchange may or may not fold depending on AQE's view
     assert 2 <= count_shuffles(df) <= 3
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    import os
+
+    from rnadam_spark.operators.lm import pack_sequences
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = pack_sequences(docs, budget=2048)
+    # one hash exchange on pack_group feeds the running-sum window;
+    # no global single-partition sort anywhere
+    assert count_shuffles(df) == 1
+    assert has_window(df)  # the group-partitioned window IS the design
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_sample_to_mixture_corpus_side_broadcast_only(spark, sf_dir):
+    import os
+
+    from rnadam_spark.operators.lm import sample_to_mixture
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = sample_to_mixture(docs, "lang", alpha=0.5)
+    # the keep-rate table reaches the scan as a broadcast join — the
+    # corpus itself never hash-exchanges (the weight table's own tiny
+    # aggregates are the only exchanges in the plan)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
