@@ -258,6 +258,14 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
+    # Stage-by-stage blocks run BEFORE the measured headline loop: they
+    # execute the full index+EM pipeline at sf0.1, which finishes JIT
+    # (C2) compilation of the hot EM operators — measured repeatedly,
+    # the headline em_quantify read ~1.6s slower when timed before this
+    # warm-up than after it (same plan, same data). Min-of-k can't
+    # erase tiered-compilation warmup, so the protocol hoists it.
+    stages = _stage_blocks(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -266,7 +274,6 @@ def main() -> None:
             lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
         )
 
-    stages = _stage_blocks(spark, sf_dir)
     ab = _ab_blocks(spark, sf_dir)
     extras = _extras_block(spark, sf_dir)
 
