@@ -245,6 +245,268 @@ def ivf_topk(
     )
 
 
+def cell_near_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    min_cos: float = 0.0,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b, cos): cosine for pairs sharing an IVF cell — the
+    candidate-generation step of SemDeDup-style semantic dedup (Abbas et
+    al. 2023: cluster the corpus, compare only within a cluster).
+
+    Same shape as :func:`bucket_near_pairs` but keyed on the *trained*
+    k-means cell instead of a random hyperplane bucket, which is what
+    makes it semantic: embedding-space neighbors land in the same cell
+    even when no random projection separates them. Cell assignment is a
+    per-row projection against broadcast centroid literals (zero
+    shuffle); the self-join shuffles on cell once; ``max_cell`` drops
+    cells above the cap before the join (a cell of n emits n² pairs, and
+    at 100 TB a boilerplate-heavy cell is guaranteed — same guard as
+    ``bucket_near_pairs``/``lsh_candidate_pairs``)."""
+    cell = F.array_max(_centroid_scores(_as_double("embedding"), centroids))["cid"]
+    with_cell = embeddings.select(
+        "vec_id", cell.cast("bigint").alias("cell"), F.col("embedding")
+    )
+    if max_cell is not None:
+        w = Window.partitionBy("cell")
+        with_cell = (
+            with_cell.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_cell)
+            .drop("_n")
+        )
+    a = with_cell.alias("a")
+    b = with_cell.alias("b")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                F.floor(
+                    cosine(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    min_cos: float = 0.95,
+    k: int = 16,
+    max_iterations: int = 5,
+    dim: int = DIM,
+    centroids: list[list[float]] | None = None,
+    max_cell: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(vec_id, component, keep): SemDeDup — semantic near-duplicate
+    removal over an embedding column.
+
+    Pipeline: k-means cells (:func:`kmeans_centroids` unless
+    ``centroids`` is given) → within-cell cosine pairs ≥ ``min_cos``
+    (:func:`cell_near_pairs`) → connected components over the pair graph
+    → keep the canonical (min vec_id) representative per component.
+    Singletons (no pair) keep themselves. The paper keeps the item
+    farthest from the cluster centroid; we keep min-id — the same
+    canonical-representative convention every dedup operator in this
+    repo uses, so downstream anti-joins compose.
+
+    Scale: training state is k·dim scalars; assignment is zero-shuffle;
+    the only quadratic risk (in-cell pairs) is capped by ``max_cell``;
+    clustering is O(log n) star rounds with per-round truncation
+    (``checkpoint_dir`` switches to reliable checkpoints)."""
+    from rnadam_spark.operators.clustering import connected_components
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, k=k, max_iterations=max_iterations, dim=dim)
+    )
+    pairs = cell_near_pairs(embeddings, cents, min_cos=min_cos, max_cell=max_cell)
+    comp = connected_components(
+        pairs, src="vec_a", dst="vec_b", checkpoint_dir=checkpoint_dir
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
+def _sub_slices(emb: Column, m: int, dim: int) -> list[Column]:
+    """Split a dim-wide array column into m contiguous sub-vectors."""
+    d_sub = dim // m
+    return [F.slice(emb, sub * d_sub + 1, d_sub) for sub in range(m)]
+
+
+def _l2_scores(sub_emb: Column, codebook: list[list[float]]) -> Column:
+    """ARRAY<STRUCT<s,cid>> where s = 2·x·c − ‖c‖² (argmax of s ≡ argmin
+    of squared L2 — ‖x‖² is constant per row so it drops out; ‖c‖² is a
+    plan literal). Ties break to the larger cid via struct ordering,
+    same convention as :func:`_centroid_scores`."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    2.0 * dot(sub_emb, F.array(*[F.lit(float(v)) for v in c]))
+                    - F.lit(float(sum(v * v for v in c)))
+                ).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(codebook)
+        ]
+    )
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 4,
+    nbits: int = 4,
+    max_iterations: int = 5,
+    dim: int = DIM,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al., TPAMI 2011):
+    split each vector into ``m`` sub-vectors and run an independent
+    k-means (k = 2^nbits) per subspace. Returns
+    ``codebooks[sub][code] = centroid`` for :func:`pq_encode` /
+    :func:`pq_topk`.
+
+    All ``m`` subspace k-means train TOGETHER: one job per Lloyd
+    iteration, not m —
+
+    - assignment: per-row, per-subspace L2-argmin against the current
+      codebooks as broadcast literals (zero shuffle);
+    - update: explode to (sub, code, dim, value) and average — ONE
+      shuffle ending in m·2^nbits·(dim/m) = 2^nbits·dim scalars, the
+      driver-resident model state (256·1024 floats for a real 8-bit,
+      1024-d config — megabytes, corpus-size-independent).
+
+    Init is the deterministic hash-sample used by
+    :func:`kmeans_centroids`, sliced per subspace; empty codes keep
+    their previous centroid."""
+    k = 2**nbits
+    d_sub = dim // m
+    assert m * d_sub == dim, "dim must be divisible by m"
+    init = (
+        embeddings.select(_as_double("embedding").alias("e"), F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "e")
+        .limit(k)
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [list(r.e[sub * d_sub : (sub + 1) * d_sub]) for r in init] for sub in range(m)
+    ]
+    for _ in range(max_iterations):
+        emb = _as_double("embedding")
+        per_sub = [
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.array_max(_l2_scores(s, books[sub]))["cid"].alias("code"),
+                s.alias("v"),
+            )
+            for sub, s in enumerate(_sub_slices(emb, m, dim))
+        ]
+        means = (
+            embeddings.select(F.explode(F.array(*per_sub)).alias("a"))
+            .select("a.sub", "a.code", F.posexplode("a.v").alias("d", "x"))
+            .groupBy("sub", "code", "d")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        for r in means:
+            new_books[r.sub][r.code][r.d] = r.mean
+        if new_books == books:
+            break
+        books = new_books
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: list[list[list[float]]], dim: int = DIM
+) -> DataFrame:
+    """(vec_id, codes): PQ codes — per subspace, the index of the
+    L2-nearest codebook centroid. A pure projection against literal
+    codebooks: zero shuffle, scan-speed, and the output row is
+    m·log2(k) bits of payload instead of dim·32 — the representation
+    that makes 100 TB of embeddings greppable (a 1024-d float corpus
+    compresses 64× at m=64, nbits=8)."""
+    emb = _as_double("embedding")
+    codes = F.array(
+        *[
+            F.array_max(_l2_scores(s, codebooks[sub]))["cid"]
+            for sub, s in enumerate(_sub_slices(emb, m=len(codebooks), dim=dim))
+        ]
+    )
+    return embeddings.select("vec_id", codes.alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    codebooks: list[list[list[float]]],
+    k: int = 20,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, score): approximate top-k by asymmetric distance
+    computation — score(x) ≈ q·x ≈ Σ_sub table[sub][code_sub(x)], where
+    table[sub][c] = q_sub · codebook[sub][c] is computed once from the
+    query (a bounded 1-row collect) and inlined as m·2^nbits literal
+    doubles. Scoring a PQ-encoded corpus is then m array lookups + a
+    sum per row: zero shuffle, no float vectors read at all, and the
+    global top-k reduces via TakeOrdered. Recall is bounded by
+    quantization error — rerank the top candidates with exact cosine
+    downstream when exactness matters."""
+    q_rows = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_as_double("embedding").alias("e"))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = list(q_rows[0].e)
+    m = len(codebooks)
+    d_sub = dim // m
+    tables = [
+        [
+            sum(q[sub * d_sub + i] * c[i] for i in range(d_sub))
+            for c in codebooks[sub]
+        ]
+        for sub in range(m)
+    ]
+    coded = pq_encode(
+        embeddings.filter(F.col("vec_id") != query_vec_id), codebooks, dim=dim
+    )
+    score = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(float(v)) for v in tables[sub]]),
+                F.col("codes")[sub] + 1,
+            )
+            for sub in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    return (
+        coded.select(
+            "vec_id", (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def bucket_near_pairs(
     embeddings: DataFrame,
     min_cos: float = 0.0,

@@ -161,3 +161,116 @@ def test_ivf_topk_trained_recall_on_clustered_corpus(spark):
     ]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall == 1.0, (recall, exact, approx)
+
+
+def _two_blob_corpus(spark, n_per=15, seed=21):
+    # two well-separated blobs plus an identical-triplet "duplicate farm"
+    # inside blob 0: ids 900/901 are exact copies of id 0's vector
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for b, m in enumerate(([12.0, 0.0, 0.0, 0.0], [0.0, 12.0, 0.0, 0.0])):
+        for i in range(n_per):
+            rows.append((b * 100 + i, [v + rng.uniform(-1.0, 1.0) for v in m]))
+    rows.append((900, list(rows[0][1])))
+    rows.append((901, list(rows[0][1])))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_cell_near_pairs_bounded_to_cells(spark):
+    df = _two_blob_corpus(spark)
+    cents = similarity.kmeans_centroids(df, k=2, max_iterations=6, dim=4)
+    pairs = similarity.cell_near_pairs(df, cents, min_cos=-1.0).collect()
+    cells = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_cells(df, centroids=cents, dim=4).collect()
+    }
+    assert pairs  # within-cell pairs exist
+    for r in pairs:
+        assert cells[r.vec_a] == cells[r.vec_b]  # never across cells
+    exact = {(r.vec_a, r.vec_b) for r in pairs if r.cos == 1.0}
+    assert (0, 900) in exact and (0, 901) in exact and (900, 901) in exact
+
+
+def test_cell_near_pairs_max_cell_drops_hot_cell(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    assert similarity.cell_near_pairs(df, cents, min_cos=-1.0).count() == 45
+    assert similarity.cell_near_pairs(df, cents, min_cos=-1.0, max_cell=5).count() == 0
+
+
+def test_semantic_dedup_keeps_canonical_per_component(spark):
+    df = _two_blob_corpus(spark)
+    got = {r.vec_id: r for r in similarity.semantic_dedup(df, min_cos=0.9999, k=2, dim=4).collect()}
+    assert len(got) == df.count()  # every vector classified
+    # the duplicate farm collapses to one component, canonical = min id
+    assert got[0].component == 0 and got[0].keep
+    assert got[900].component == 0 and not got[900].keep
+    assert got[901].component == 0 and not got[901].keep
+    # everything else is a singleton that keeps itself (noise +/-1.0 on a
+    # 12-norm blob keeps member cosine < 0.9999)
+    for vid, r in got.items():
+        if vid not in (0, 900, 901):
+            assert r.component == vid and r.keep, r
+    # partitioning invariance of the end-to-end result
+    got2 = {
+        r.vec_id: (r.component, r.keep)
+        for r in similarity.semantic_dedup(df.repartition(5), min_cos=0.9999, k=2, dim=4).collect()
+    }
+    assert got2 == {k: (v.component, v.keep) for k, v in got.items()}
+
+
+def test_train_pq_recovers_axis_codebooks(spark):
+    # vectors whose two subspaces independently take one of two distinct
+    # values: PQ k-means (k=2 per subspace) must recover all 4 distinct
+    # sub-vectors, and encoding must map each vector to its exact pair
+    rows = []
+    subs0 = [[10.0, 0.0], [0.0, 10.0]]
+    subs1 = [[5.0, 5.0], [-5.0, 5.0]]
+    vid = 0
+    for i, s0 in enumerate(subs0):
+        for j, s1 in enumerate(subs1):
+            for _ in range(5):
+                rows.append((vid, s0 + s1))
+                vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    books = similarity.train_pq(df, m=2, nbits=1, max_iterations=6, dim=4)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    assert {tuple(round(x, 6) for x in c) for c in books[0]} == {(10.0, 0.0), (0.0, 10.0)}
+    assert {tuple(round(x, 6) for x in c) for c in books[1]} == {(5.0, 5.0), (-5.0, 5.0)}
+    codes = {r.vec_id: tuple(r.codes) for r in similarity.pq_encode(df, books, dim=4).collect()}
+    # identical vectors share codes; the 4 groups get 4 distinct codes
+    assert len({codes[v] for v in codes}) == 4
+    for g in range(4):
+        assert len({codes[g * 5 + i] for i in range(5)}) == 1
+
+
+def test_pq_topk_exact_on_codebook_vectors_and_recall_on_blobs(spark):
+    import random
+
+    rng = random.Random(7)
+    means = [[15.0 * (b == i) for i in range(4)] for b in range(4)]
+    rows = []
+    for b, mean in enumerate(means):
+        for i in range(30):
+            rows.append((b * 1000 + i, [v + rng.uniform(-0.5, 0.5) for v in mean]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    books = similarity.train_pq(df, m=2, nbits=2, max_iterations=6, dim=4)
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, 0, 10).collect()]
+    approx = [r.vec_id for r in similarity.pq_topk(df, 0, books, k=30, dim=4).collect()]
+    # quantization collapses each blob; the query's blob-mates (its true
+    # top-10 by cosine) must all appear in the PQ top-30 candidate set
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall == 1.0, (recall, exact, approx)
+
+
+def test_pq_topk_partitioning_invariant(spark):
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), float(i % 3), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    books = similarity.train_pq(df, m=2, nbits=2, max_iterations=3, dim=4)
+    a = [(r.vec_id, r.score) for r in similarity.pq_topk(df, 0, books, k=10, dim=4).collect()]
+    books_b = similarity.train_pq(df.repartition(7), m=2, nbits=2, max_iterations=3, dim=4)
+    b = [(r.vec_id, r.score) for r in similarity.pq_topk(df.repartition(7), 0, books_b, k=10, dim=4).collect()]
+    assert a == b
