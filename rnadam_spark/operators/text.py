@@ -192,6 +192,80 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# Stand-in blocklist for the C4 bad-word page filter (Raffel et al.
+# 2020 use the public "List of Dirty, Naughty, Obscene..." list — swap
+# it in via the ``bad_words`` parameter in production; the built-in
+# keeps tests self-contained). Matched as whole lowercase tokens.
+C4_BAD_WORDS: tuple[str, ...] = ("badword1", "badword2", "slur1")
+
+# a line "ends in terminal punctuation" (C4 §2.2): . ! ? or a closing
+# straight/curly double quote
+_TERMINAL_PUNCT = "[.!?\"”]$"
+
+
+def c4_clean(
+    docs: DataFrame,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text, n_lines_kept, n_lines_dropped, keep_doc,
+    drop_reason): the C4 heuristic cleaning rules (Raffel et al. 2020
+    §2.2), as one shuffle-free projection.
+
+    Line level — a line is kept iff it ends in terminal punctuation,
+    has ≥ ``min_words_per_line`` whitespace words, and does not contain
+    the word "javascript" (case-insensitive). ``text`` is the kept
+    lines rejoined with \\n.
+
+    Document level — ``keep_doc`` is false (with ``drop_reason`` naming
+    the first matching rule, in fixed order) when the ORIGINAL text
+    contains a curly brace (code), the phrase "lorem ipsum"
+    (placeholder boilerplate), any ``bad_words`` token (lowercase
+    whole-token match), or when fewer than ``min_lines`` lines survive
+    the line filter. Dropped documents keep their row — filtering is
+    the caller's ``.filter("keep_doc")``, so audits can aggregate
+    drop_reason over the full corpus.
+
+    Scale: every output column is a function of one input row (split /
+    filter / rlike / array_join higher-order expressions — all JVM
+    codegen); the operator runs at scan speed and composes with
+    ``normalize_text`` upstream and ``dedup_lines`` downstream."""
+    text = F.col(text_col)
+    lns = F.transform(F.split(text, "\n"), lambda t: F.trim(t))
+    n_lines = F.size(F.filter(lns, lambda t: F.length(t) > 0))
+
+    def line_ok(line: Column) -> Column:
+        words = F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0)
+        return (
+            line.rlike(_TERMINAL_PUNCT)
+            & (F.size(words) >= min_words_per_line)
+            & ~F.lower(line).rlike(r"\bjavascript\b")
+        )
+
+    kept = F.filter(lns, line_ok)
+    lower = F.lower(text)
+    toks = tokens(lower)
+    has_bad = F.exists(toks, lambda t: t.isin(*bad_words)) if bad_words else F.lit(False)
+    drop_reason = (
+        F.when(F.contains(text, F.lit("{")) | F.contains(text, F.lit("}")), "brace")
+        .when(F.contains(lower, F.lit("lorem ipsum")), "lorem_ipsum")
+        .when(has_bad, "bad_word")
+        .when(F.size(kept) < min_lines, "too_few_lines")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        (n_lines - F.size(kept)).cast("bigint").alias("n_lines_dropped"),
+        drop_reason.isNull().alias("keep_doc"),
+        drop_reason.alias("drop_reason"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_chars: int = 2048,

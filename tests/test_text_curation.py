@@ -206,3 +206,103 @@ def test_contamination_sortmerge_parity(spark, sf_dir):
         ).collect()
     }
     assert a == b and a
+
+
+def _c4_docs(spark):
+    rows = [
+        # clean: 3 qualifying lines
+        (1, "This is a perfectly normal sentence.\n"
+            "Here is another one with enough words!\n"
+            "And a third line that also qualifies?\n"
+            "short."),
+        # line filter: no terminal punct / too few words / javascript
+        (2, "A line without terminal punctuation here\n"
+            "Too few words.\n"
+            "Please enable JavaScript to view this page.\n"
+            "Only this very line survives all three filters.\n"
+            "Second surviving line is also long enough.\n"
+            "Third surviving line rounds out the document."),
+        # doc drops: brace, lorem ipsum, bad word
+        (3, "function f() { return 1; }\nMore code here lives on.\nThird line of the page here.\n"),
+        (4, "Lorem Ipsum dolor sit amet as placeholder text.\n"
+            "Second real-looking line with plenty of words.\n"
+            "Third real-looking line with plenty of words."),
+        (5, "This text contains badword1 somewhere inside it.\n"
+            "Second line is long enough to qualify here.\n"
+            "Third line is long enough to qualify here too."),
+        # too few kept lines
+        (6, "Just one single qualifying line lives right here.\nshort.\n"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_c4_clean_golden(spark):
+    got = {r.doc_id: r for r in text.c4_clean(_c4_docs(spark)).collect()}
+    assert got[1].keep_doc and got[1].drop_reason is None
+    assert got[1].n_lines_kept == 3 and got[1].n_lines_dropped == 1
+    assert got[1].text.endswith("qualifies?")
+    # doc 2: exactly the three "surviving" lines pass
+    assert got[2].n_lines_kept == 3 and got[2].keep_doc
+    assert "JavaScript" not in got[2].text and "surviving" in got[2].text
+    assert (got[3].drop_reason, got[4].drop_reason, got[5].drop_reason) == (
+        "brace", "lorem_ipsum", "bad_word")
+    assert not got[3].keep_doc and not got[4].keep_doc and not got[5].keep_doc
+    assert got[6].drop_reason == "too_few_lines"
+    assert got[7].drop_reason == "too_few_lines" and got[7].text == ""
+
+
+def test_c4_clean_matches_duckdb(spark):
+    import duckdb
+
+    df = _c4_docs(spark)
+    got = {
+        (r.doc_id, r.text, r.n_lines_kept, r.n_lines_dropped, r.keep_doc, r.drop_reason)
+        for r in text.c4_clean(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", [tuple(r) for r in df.collect()])
+    bad = ", ".join(f"'{w}'" for w in text.C4_BAD_WORDS)
+    want = set(
+        con.execute(
+            r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_transform(string_split(text, chr(10)), l -> trim(l)) AS lns
+              FROM docs),
+            k AS (
+              SELECT doc_id, text,
+                     len(list_filter(lns, l -> length(l) > 0)) AS n_lines,
+                     list_filter(lns, l ->
+                       regexp_matches(l, '[.!?"”]$')
+                       AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                                           w -> length(w) > 0)) >= 5
+                       AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+              FROM t)
+            SELECT doc_id,
+                   list_aggregate(kept, 'string_agg', chr(10)) AS text2,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
+                   reason IS NULL AS keep_doc, reason AS drop_reason
+            FROM (SELECT *,
+                    CASE WHEN contains(text, '{') OR contains(text, '}') THEN 'brace'
+                         WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+                         WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                              w -> w IN (""" + bad + r"""))) > 0 THEN 'bad_word'
+                         WHEN len(kept) < 3 THEN 'too_few_lines'
+                    END AS reason
+                  FROM k)
+            """
+        ).fetchall()
+    )
+    want = {(a, ("" if b is None else b), c, d, e, f) for a, b, c, d, e, f in want}
+    assert got == want
+
+
+def test_c4_clean_zero_shuffle_plan(spark):
+    plan = (
+        text.c4_clean(_c4_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection: runs at scan speed
