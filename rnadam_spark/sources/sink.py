@@ -95,6 +95,88 @@ def compact(
     return n_files
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> dict[int, int]:
+    """Write the corpus as ``n_shards`` Hive directories
+    (``shard=0..n-1``) of parquet, globally pseudo-shuffled, with a
+    ``_manifest.json`` recording per-shard row counts. Returns
+    {shard: rows}.
+
+    The training-loader contract this serves: (a) every shard is a
+    near-equal, independently readable unit, so a 1000-worker data
+    loader assigns shards without coordination; (b) shard assignment is
+    ``xxhash64(id, seed) mod n`` — deterministic and layout-independent,
+    so re-running the pipeline reproduces byte-identical shard
+    membership, and changing ``seed`` reshuffles for a new epoch
+    ordering; (c) rows WITHIN a shard are sorted by the same hash, so
+    consecutive training examples come from unrelated source documents
+    (contiguous-source runs defeat shuffle buffers smaller than a
+    source's row span).
+
+    Cost shape: one hash-partitioned exchange on the shard key (each
+    output file receives its rows directly — no global sort), plus one
+    bounded ``groupBy(shard).count()`` for the manifest (n_shards rows
+    to the driver). The manifest write goes through the Hadoop
+    FileSystem API, so the sink works unchanged on object stores."""
+    import json
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards)).cast("int")
+    sharded = df.withColumn("shard", shard)
+    (
+        # sort key leads with the shard column: the parquet writer
+        # REQUIRES ordering by partition columns and would otherwise
+        # insert its own shard-only sort (Catalyst then eliminates this
+        # one as redundant, silently restoring source order); leading
+        # with shard satisfies the writer, so the hash tiebreak survives
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    counts = {
+        int(r["shard"]): r["n"]
+        for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "total_rows": sum(counts.values()),
+        "rows_per_shard": {str(k): v for k, v in sorted(counts.items())},
+    }
+    spark = df.sparkSession
+    fs, jpath = _qualified_path(spark, path)
+    out = fs.create(spark._jvm.org.apache.hadoop.fs.Path(jpath, "_manifest.json"), True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=2).encode("utf-8")))
+    finally:
+        out.close()
+    return counts
+
+
+def read_shard_manifest(spark: SparkSession, path: str) -> dict:
+    """Read back the ``_manifest.json`` written by
+    :func:`write_training_shards` (Hadoop FS, object-store-safe)."""
+    import json
+
+    fs, jpath = _qualified_path(spark, path)
+    stream = fs.open(spark._jvm.org.apache.hadoop.fs.Path(jpath, "_manifest.json"))
+    try:
+        # read fully via the JVM-side IOUtils to avoid byte-at-a-time calls
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
 def _partition_spec(root: str, file_path: str) -> tuple[tuple[str, str | None], ...]:
     """Parse the Hive ``k=v`` directory segments between ``root`` and a
     data file into ((col, value), ...); unquotes percent-escapes and

@@ -142,3 +142,58 @@ def test_compact_partitioned_relative_input_path(spark, tmp_path):
     counts = sink.compact_partitioned(spark, rel, out, target_file_bytes=1 << 30)
     assert counts
     assert spark.read.parquet(out).count() == 50
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from rnadam_spark.sources.sink import read_shard_manifest, write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "shards")
+    counts = write_training_shards(df, out, n_shards=4, seed=7)
+    assert sorted(counts) == [0, 1, 2, 3]
+    assert sum(counts.values()) == 200
+    # near-equal shards: hash split of 200 rows over 4 shards
+    assert all(25 <= v <= 75 for v in counts.values()), counts
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+
+    man = read_shard_manifest(spark, out)
+    assert man["total_rows"] == 200 and man["n_shards"] == 4 and man["seed"] == 7
+    assert sum(man["rows_per_shard"].values()) == 200
+
+    # shard membership is layout-independent and seed-deterministic
+    counts2 = write_training_shards(
+        df.repartition(13), str(tmp_path / "shards2"), n_shards=4, seed=7
+    )
+    assert counts == counts2
+    a = {r.doc_id: r.shard for r in spark.read.parquet(out).collect()}
+    b = {r.doc_id: r.shard for r in spark.read.parquet(str(tmp_path / "shards2")).collect()}
+    assert a == b
+
+
+def test_write_training_shards_intra_shard_order_breaks_source_runs(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+
+    from rnadam_spark.sources.sink import write_training_shards
+
+    df = spark.createDataFrame([(i, "x") for i in range(500)], ["doc_id", "text"])
+    out = str(tmp_path / "sh")
+    write_training_shards(df, out, n_shards=2, seed=1)
+    files = glob.glob(out + "/shard=0/*.parquet")
+    assert files
+    ids = []
+    for f in files:
+        ids.extend(pq.read_table(f).column("doc_id").to_pylist())
+    # hash-sorted within the shard: source order must be destroyed
+    assert ids != sorted(ids)
+    # different seed -> different membership (reshuffle between epochs)
+    c1 = write_training_shards(df, str(tmp_path / "s1"), n_shards=2, seed=1)
+    a = {r.doc_id: r.shard for r in spark.read.parquet(str(tmp_path / "s1")).collect()}
+    write_training_shards(df, str(tmp_path / "s2"), n_shards=2, seed=2)
+    b = {r.doc_id: r.shard for r in spark.read.parquet(str(tmp_path / "s2")).collect()}
+    assert a != b
