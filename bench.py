@@ -189,7 +189,7 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from rnadam_spark.operators import lm as lmod
-    from rnadam_spark.operators import repetition, text, web
+    from rnadam_spark.operators import repetition, similarity, text, web
     from rnadam_spark.operators.sampling import hash_sample
     from rnadam_spark.sources.tables import load_table
 
@@ -203,7 +203,23 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
         [(t, 1.0) for t in ("the", "and", "of", "to", "in")], ["tok", "weight"]
     ).select(lmod.feature_bucket(F.col("tok")).alias("bucket"), "weight")
     model = lmod.train_char_lm(hash_sample(docs, "doc_id", 0.1))
+    # model-training cost for the embedding-side extras, paid once (the
+    # timed rows measure the recurring per-corpus-pass cost, matching
+    # the classifier_score/lm rows' pattern of pre-trained small models)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, max_iterations=3)
+    books = similarity.train_pq(emb, m=8, nbits=4, max_iterations=3)
     return {
+        "c4_clean": timed(lambda: text.c4_clean(docs)),
+        # timed() invokes the builder inside the clock, so the CC loop's
+        # per-round actions inside semantic_dedup are counted
+        "semantic_dedup": timed(
+            lambda: similarity.semantic_dedup(
+                emb, min_cos=0.98, centroids=cents, max_cell=2000
+            )
+        ),
+        "pq_encode": timed(lambda: similarity.pq_encode(emb, books)),
+        "pq_topk": timed(lambda: similarity.pq_topk(emb, 0, books)),
         "repetition_stats": timed(lambda: repetition.repetition_stats(docs)),
         "dedup_lines": timed(lambda: repetition.dedup_lines(docs)),
         "url_stats": timed(lambda: web.url_stats(docs)),
