@@ -9,10 +9,11 @@ plus the north-star curation command over a documents table:
 
   rnadam-spark curate DOCUMENTS OUTPUT [-quality_min X]
       [-chunk_chars N] [-chunk_overlap N] [-partition_by COL]
-      [-skip_normalize] [-dedup_lines] [-max_dup_5gram X]
+      [-skip_normalize] [-c4] [-dedup_lines] [-max_dup_5gram X]
       [-max_perplexity X -lm_sample_frac F]
       [-classifier_weights PQ -classifier_intercept B -classifier_min P]
       [-mixture_alpha A -mixture_group COL]
+      [-shards N -shard_seed S]
 
 and the one-pass corpus audit:
 
@@ -72,6 +73,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="skip the whitespace/control-char normalization pass",
     )
     c.add_argument(
+        "-c4",
+        action="store_true",
+        help="apply the C4 line+page heuristic cleaning rules (drops "
+        "non-keep_doc pages, keeps only qualifying lines)",
+    )
+    c.add_argument(
         "-dedup_lines",
         action="store_true",
         help="drop corpus-wide repeated lines (C4-style boilerplate dedup)",
@@ -111,6 +118,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "over -mixture_group",
     )
     c.add_argument("-mixture_group", default="source")
+    c.add_argument(
+        "-shards",
+        type=int,
+        default=0,
+        help="write N hash-shuffled training shards (shard=i directories "
+        "with a _manifest.json) instead of the -partition_by layout",
+    )
+    c.add_argument("-shard_seed", type=int, default=0)
 
     pr = sub.add_parser(
         "profile", help="one-pass corpus profile (sizes, dup rate, language mix)"
@@ -140,6 +155,16 @@ def _run_curate(spark, args) -> None:
     if not args.skip_normalize:
         docs = text.normalize_text(docs).select("doc_id", "text").join(
             docs.drop("text"), "doc_id"
+        )
+    if args.c4:
+        # page-level drops happen here (the only stage that removes
+        # documents outright before dedup); surviving pages keep only
+        # their qualifying lines
+        docs = (
+            text.c4_clean(docs)
+            .filter(F.col("keep_doc"))
+            .select("doc_id", "text")
+            .join(docs.drop("text"), "doc_id")
         )
     scrubbed = text.redact_pii(docs).join(docs.drop("text"), "doc_id")
     if args.dedup_lines:
@@ -187,7 +212,17 @@ def _run_curate(spark, args) -> None:
         curated = chunks.join(curated.drop("text", "n_chars"), "doc_id").withColumnRenamed(
             "chunk_text", "text"
         )
-    write_partitioned(curated, args.output, partition_by=[args.partition_by])
+    if args.shards:
+        from rnadam_spark.sources.sink import write_training_shards
+
+        # sharding hashes doc_id, so all chunks of a document land in
+        # the SAME shard — deliberate: shard-granular train/val splits
+        # then never leak a document's chunks across the split
+        write_training_shards(
+            curated, args.output, n_shards=args.shards, seed=args.shard_seed
+        )
+    else:
+        write_partitioned(curated, args.output, partition_by=[args.partition_by])
 
 
 def _run_profile(spark, args) -> None:

@@ -271,3 +271,44 @@ def test_cli_profile(spark, sf_dir, capsys):
     assert 0.0 <= report["approx_exact_dup_rate"] < 1.0
     assert {m["lang"] for m in report["mix"]} >= {"en"}
     assert sum(m["n_docs"] for m in report["mix"]) == 500
+
+
+def test_cli_curate_c4_and_shards(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # survives C4 (3 qualifying lines) — low punct/digits so the
+        # default quality cut also passes
+        (i, "This is a perfectly normal first sentence here.\n"
+            "Here is another equally normal second sentence!\n"
+            "And the third normal sentence completes the page.",
+         "en", "web", 120)
+        for i in range(20)
+    ] + [
+        (100, "code page { return 1; }\nwith brace content on it.\nthird line here.",
+         "en", "web", 60),
+        (101, "Please enable javascript to continue to this site.\nshort.\nalso short.",
+         "en", "web", 60),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "sharded")
+    cli.main(["curate", src, out, "-quality_min", "0.0", "-c4", "-shards", "3"])
+    back = spark.read.parquet(out)
+    ids = {r.doc_id for r in back.select("doc_id").collect()}
+    assert 100 not in ids and 101 not in ids  # brace page + too-few-lines page dropped
+    # the 20 clean pages dedup to one canonical (identical text)
+    assert back.count() == 1
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    man = json.loads(open(os.path.join(out, "_manifest.json")).read())
+    assert man["n_shards"] == 3 and man["total_rows"] == 1
+    assert any(d.startswith("shard=") for d in os.listdir(out))
+    # C4 line filter removed the no-terminal-punct lines
+    txt = back.select("text").collect()[0][0]
+    assert "javascript" not in txt.lower()
