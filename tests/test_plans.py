@@ -246,3 +246,54 @@ def test_sample_to_mixture_corpus_side_broadcast_only(spark, sf_dir):
     assert has_broadcast_join(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_c4_clean_and_pq_encode_zero_shuffle(spark, sf_dir):
+    # C4 cleaning and PQ encoding are per-row functions of literal
+    # rules/codebooks: both must distribute with the scan — no exchange
+    from rnadam_spark.operators import similarity, text
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = text.c4_clean(docs)
+    assert count_shuffles(df) == 0 and not has_window(df)
+    assert read_schema_columns(df, "documents") == {"doc_id", "text"}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = [[[1.0] * 16, [0.0] * 16] for _ in range(4)]  # m=4, k=2, dim 64
+    coded = similarity.pq_encode(emb, books)
+    assert count_shuffles(coded) == 0 and not has_window(coded)
+    assert read_schema_columns(coded, "embeddings") == {"vec_id", "embedding"}
+
+
+def test_pq_topk_zero_shuffle_take_ordered(spark, sf_dir):
+    # ADC scoring is table lookups per row; the only reduction is the
+    # global top-k, which must be a TakeOrdered, not a full sort
+    from rnadam_spark.operators import similarity
+    from rnadam_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.train_pq(emb.limit(64), m=4, nbits=2, max_iterations=1)
+    df = similarity.pq_topk(emb, 0, books, k=10)
+    assert count_shuffles(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cell_near_pairs_single_cell_exchange(spark, sf_dir):
+    # SemDeDup candidate generation: cell assignment is a projection
+    # against literal centroids; the self-join on cell is the single
+    # hash exchange pair (uncapped path — the capped path adds the
+    # windowed occupancy guard that shares the same partitioning)
+    from rnadam_spark.operators import similarity
+    from rnadam_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [[float(i == j) for i in range(64)] for j in range(4)]
+    df = similarity.cell_near_pairs(emb, cents, min_cos=0.9)
+    # two scan-side exchanges feeding one sort-merge/shuffle join on cell
+    assert count_shuffles(df) <= 2
+    assert not has_window(df)
+    capped = similarity.cell_near_pairs(emb, cents, min_cos=0.9, max_cell=100)
+    assert has_window(capped)  # occupancy guard
+    assert count_shuffles(capped) <= 3

@@ -223,3 +223,32 @@ def test_streaming_normalize_repetition_match_batch(spark, sf_dir):
         tuple(r) for r in chain(load_table(spark, sf_dir, "documents")).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_streaming_c4_and_pq_encode_match_batch(spark, sf_dir):
+    # c4_clean and pq_encode are stateless projections against literal
+    # rules/codebooks — they run unchanged on a file stream and must
+    # emit exactly the batch result (the streaming curation front-door
+    # for page filtering and the embedding-compression hot path)
+    from rnadam_spark.operators import similarity, text
+    from rnadam_spark.sources.tables import load_table
+
+    stream_docs = se.read_table_stream(spark, sf_dir, "documents")
+    got = se.run_to_memory(text.c4_clean(stream_docs), "c4_stream_out")
+    stream_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {
+        tuple(r) for r in text.c4_clean(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
+
+    books = [[[1.0] * 16, [0.0] * 16, [-1.0] * 16, [0.5] * 16] for _ in range(4)]
+    stream_emb = se.read_table_stream(spark, sf_dir, "embeddings")
+    got_pq = se.run_to_memory(
+        similarity.pq_encode(stream_emb, books), "pq_stream_out"
+    )
+    s = {(r.vec_id, tuple(r.codes)) for r in got_pq.collect()}
+    b = {
+        (r.vec_id, tuple(r.codes))
+        for r in similarity.pq_encode(load_table(spark, sf_dir, "embeddings"), books).collect()
+    }
+    assert s == b and s
