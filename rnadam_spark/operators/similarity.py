@@ -507,6 +507,62 @@ def pq_topk(
     )
 
 
+def incremental_semantic_dups(
+    new_emb: DataFrame,
+    store_emb: DataFrame,
+    centroids: list[list[float]],
+    min_cos: float = 0.95,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """(new_id, store_id, cos): semantic near-dups between a NEW shard
+    of embeddings and the EXISTING corpus store — the ingest-time twin
+    of :func:`semantic_dedup`, mirroring ``dedup.incremental_near_dups``
+    for the embedding modality.
+
+    Why this exists: re-running within-corpus semantic dedup on
+    corpus+shard re-pairs old-vs-old — O((N+n)²/cells) work for an
+    O(n·N/cells) question. Here both sides are assigned to the SAME
+    trained cells (a zero-shuffle projection against centroid literals;
+    reuse the centroids persisted when the store was deduped — training
+    on the shard would assign the store to different cells), and only
+    new-vs-store pairs within a cell are scored. ``max_cell`` caps the
+    candidate fan-out per cell measured on the STORE side (a
+    boilerplate cell with 10⁶ stored vectors would pair every matching
+    new vector with all of them)."""
+    def with_cell(df: DataFrame, out_id: str) -> DataFrame:
+        cell = F.array_max(_centroid_scores(_as_double("embedding"), centroids))["cid"]
+        return df.select(
+            F.col("vec_id").alias(out_id),
+            cell.cast("bigint").alias("cell"),
+            _as_double("embedding").alias(f"_e_{out_id}"),
+        )
+
+    n = with_cell(new_emb, "new_id")
+    s = with_cell(store_emb, "store_id")
+    if max_cell is not None:
+        ok = (
+            s.groupBy("cell")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_cell)
+            .drop("_n")
+        )
+        s = s.join(ok, "cell")
+    return (
+        n.join(s, "cell")
+        .select(
+            "new_id",
+            "store_id",
+            (
+                F.floor(
+                    cosine(F.col("_e_new_id"), F.col("_e_store_id")) * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
 def bucket_near_pairs(
     embeddings: DataFrame,
     min_cos: float = 0.0,

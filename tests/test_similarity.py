@@ -274,3 +274,29 @@ def test_pq_topk_partitioning_invariant(spark):
     books_b = similarity.train_pq(df.repartition(7), m=2, nbits=2, max_iterations=3, dim=4)
     b = [(r.vec_id, r.score) for r in similarity.pq_topk(df.repartition(7), 0, books_b, k=10, dim=4).collect()]
     assert a == b
+
+
+def test_incremental_semantic_dups(spark):
+    df = _two_blob_corpus(spark)
+    cents = similarity.kmeans_centroids(df, k=2, max_iterations=6, dim=4)
+    # "store" = the deduped corpus; "new shard" = one exact copy of id 0's
+    # vector plus a genuinely novel vector
+    store = df
+    novel_vec = [0.0, 0.0, 12.0, 0.0]
+    new = spark.createDataFrame(
+        [(5000, [r for r in store.filter("vec_id = 0").collect()[0].embedding]),
+         (5001, novel_vec)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = similarity.incremental_semantic_dups(new, store, cents, min_cos=0.9999).collect()
+    pairs = {(r.new_id, r.store_id): r.cos for r in got}
+    # the copy matches id 0 and its two farm twins, all at cos 1.0
+    assert pairs[(5000, 0)] == 1.0
+    assert (5000, 900) in pairs and (5000, 901) in pairs
+    # the novel vector matches nothing
+    assert not any(nid == 5001 for nid, _sid in pairs)
+    # store-side cap drops hot cells entirely
+    capped = similarity.incremental_semantic_dups(
+        new, store, cents, min_cos=0.9999, max_cell=3
+    ).collect()
+    assert capped == []
