@@ -1,0 +1,69 @@
+"""JSONL interchange round-trip and cross-engine readability
+(sources/text_io.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+
+from rnadam_spark.sources.tables import load_table
+from rnadam_spark.sources.text_io import read_jsonl, write_jsonl
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out)
+    assert back.schema == docs.schema
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b and a
+    # gzip members written
+    assert glob.glob(os.path.join(out, "*.gz"))
+
+
+def test_jsonl_readable_by_duckdb(spark, sf_dir, tmp_path):
+    # interchange means OTHER engines read it: DuckDB parses the same
+    # files and agrees on every value
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_duck")
+    write_jsonl(docs, out)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT doc_id, text, lang, source, n_chars "
+        f"FROM read_json('{out}/*.gz', format='newline_delimited', "
+        "columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR', "
+        "source: 'VARCHAR', n_chars: 'BIGINT'})"
+    ).fetchall()
+    assert set(got) == {tuple(r) for r in docs.collect()}
+
+
+def test_jsonl_min_files_and_uncompressed(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(100)], "doc_id BIGINT, text STRING").coalesce(1)
+    out = str(tmp_path / "many")
+    write_jsonl(df, out, compression=None, min_files=8)
+    files = [f for f in glob.glob(os.path.join(out, "part-*")) if not f.endswith(".crc")]
+    assert len(files) == 8
+    back = read_jsonl(spark, out, schema="doc_id BIGINT, text STRING")
+    assert back.count() == 100
+
+
+def test_jsonl_failfast_on_corrupt(spark, tmp_path):
+    import pytest
+
+    src = tmp_path / "bad"
+    src.mkdir()
+    (src / "a.json").write_text('{"doc_id": 1, "text": "ok"}\n{not json}\n')
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(src), schema="doc_id BIGINT, text STRING").collect()
+    # PERMISSIVE quarantines instead
+    ok = read_jsonl(
+        spark, str(src),
+        schema="doc_id BIGINT, text STRING, _corrupt_record STRING",
+        mode="PERMISSIVE",
+    ).collect()
+    assert len(ok) == 2
+    assert sum(1 for r in ok if r._corrupt_record is not None) == 1
