@@ -132,6 +132,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("documents", help="parquet: documents table")
     pr.add_argument("-group_by", default="lang", help="column for the mix table")
+    pr.add_argument(
+        "-funnel",
+        action="store_true",
+        help="add the curation-funnel block: per-stage drop counts "
+        "(c4/quality/repetition/exact-dup) under -quality_min/-max_dup_5gram",
+    )
+    pr.add_argument("-quality_min", type=float, default=0.9)
+    pr.add_argument("-max_dup_5gram", type=float, default=None)
     return p
 
 
@@ -261,6 +269,17 @@ def _run_profile(spark, args) -> None:
             max(0.0, 1.0 - g["n_distinct"] / max(g["n_docs"], 1)), 6
         ),
     }
+    if args.funnel:
+        from rnadam_spark.operators.funnel import curation_funnel
+
+        report["funnel"] = [
+            {"stage": r.stage, "n_dropped": r.n_dropped, "n_remaining": r.n_remaining}
+            for r in curation_funnel(
+                docs,
+                quality_min=args.quality_min,
+                max_dup_5gram=args.max_dup_5gram,
+            ).collect()
+        ]
     if args.group_by in docs.columns:
         mix = (
             docs.groupBy(args.group_by)

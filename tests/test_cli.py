@@ -312,3 +312,23 @@ def test_cli_curate_c4_and_shards(spark, tmp_path):
     # C4 line filter removed the no-terminal-punct lines
     txt = back.select("text").collect()[0][0]
     assert "javascript" not in txt.lower()
+
+
+def test_cli_profile_funnel(spark, sf_dir, capsys):
+    import json
+    import os
+
+    cli.main([
+        "profile", os.path.join(sf_dir, "documents.parquet"),
+        "-funnel", "-quality_min", "0.9",
+    ])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    report = json.loads(line)
+    funnel = {f["stage"]: f for f in report["funnel"]}
+    assert funnel["input"]["n_remaining"] == report["n_docs"]
+    assert set(funnel) == {"input", "c4", "quality", "repetition", "exact_dup"}
+    # monotone: remaining never increases, drops sum to input - final
+    stages = ["input", "c4", "quality", "repetition", "exact_dup"]
+    rem = [funnel[s]["n_remaining"] for s in stages]
+    assert all(a >= b for a, b in zip(rem, rem[1:]))
+    assert sum(funnel[s]["n_dropped"] for s in stages) == report["n_docs"] - rem[-1]
