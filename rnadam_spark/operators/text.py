@@ -67,14 +67,15 @@ def _ratio(matched: Column, total: Column) -> Column:
     return matched.cast("double") / F.greatest(total, F.lit(1)).cast("double")
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, stopword_ratio, punct_ratio, digit_ratio, quality):
-    length/punct/stopword heuristics — the standard pre-training
-    quality filters, as one projection."""
-    toks = tokens(text_col)
+def quality_columns(text_col: str | Column = "text") -> dict[str, Column]:
+    """The quality-heuristic expressions as named Columns — the
+    building blocks of :func:`quality_scores`, exposed so fused
+    single-projection pipelines (the join-free streaming curate chain)
+    can inline them next to other stages' columns."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(text)
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
-    text = F.col(text_col)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
@@ -87,12 +88,21 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         - F.least(digit_ratio * 2, F.lit(0.3))
         + F.least(stopword_ratio, F.lit(0.2))
     )
+    return {
+        "stopword_ratio": hround(stopword_ratio, 6),
+        "punct_ratio": hround(punct_ratio, 6),
+        "digit_ratio": hround(digit_ratio, 6),
+        "quality": hround(quality, 6),
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, stopword_ratio, punct_ratio, digit_ratio, quality):
+    length/punct/stopword heuristics — the standard pre-training
+    quality filters, as one projection."""
+    cols = quality_columns(text_col)
     return docs.select(
-        F.col(id_col),
-        hround(stopword_ratio, 6).alias("stopword_ratio"),
-        hround(punct_ratio, 6).alias("punct_ratio"),
-        hround(digit_ratio, 6).alias("digit_ratio"),
-        hround(quality, 6).alias("quality"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -148,15 +158,23 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     1..*i−1* were replaced), so the stat equals the number of
     replacements actually made: a phone-shaped digit run inside an
     email is one replacement and counts one."""
-    cleaned = F.col(text_col)
+    cleaned, n_red = redaction_columns(text_col)
+    return docs.select(
+        F.col(id_col), cleaned.alias(text_col), n_red.alias("n_redactions")
+    )
+
+
+def redaction_columns(text_col: str | Column = "text") -> tuple[Column, Column]:
+    """(redacted text, redaction count) as Columns — the
+    :func:`redact_pii` expressions, exposed for fused single-projection
+    pipelines."""
+    cleaned = F.col(text_col) if isinstance(text_col, str) else text_col
     counts = []
     for name, pat in PII_PATTERNS:
         counts.append(F.regexp_count(cleaned, F.lit(pat)))
         cleaned = F.regexp_replace(cleaned, pat, f"<{name}>")
     n_red = F.aggregate(F.array(*counts), F.lit(0), lambda acc, x: acc + x)
-    return docs.select(
-        F.col(id_col), cleaned.alias(text_col), n_red.cast("bigint").alias("n_redactions")
-    )
+    return cleaned, n_red.cast("bigint")
 
 
 # Normalization rules applied in order. Every pattern stays inside the
@@ -174,6 +192,15 @@ NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
 )
 
 
+def normalized_column(text_col: str | Column = "text") -> Column:
+    """The :func:`normalize_text` cleaning chain as one Column, exposed
+    for fused single-projection pipelines."""
+    cleaned = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, repl in NORMALIZE_RULES:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return cleaned
+
+
 def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, text, n_chars_before, n_chars_after): canonicalize
     whitespace and strip control characters — the first pass of a
@@ -181,9 +208,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     differing only in line endings or trailing spaces collide. Chained
     ``regexp_replace`` projections: scan-speed, shuffle-free."""
     before = F.length(text_col).cast("bigint")
-    cleaned = F.col(text_col)
-    for pat, repl in NORMALIZE_RULES:
-        cleaned = F.regexp_replace(cleaned, pat, repl)
+    cleaned = normalized_column(text_col)
     return docs.select(
         F.col(id_col),
         cleaned.alias(text_col),
@@ -233,7 +258,26 @@ def c4_clean(
     filter / rlike / array_join higher-order expressions — all JVM
     codegen); the operator runs at scan speed and composes with
     ``normalize_text`` upstream and ``dedup_lines`` downstream."""
-    text = F.col(text_col)
+    cols = c4_columns(text_col, min_words_per_line, min_lines, bad_words)
+    return docs.select(
+        F.col(id_col),
+        cols["text"].alias(text_col),
+        cols["n_lines_kept"].alias("n_lines_kept"),
+        cols["n_lines_dropped"].alias("n_lines_dropped"),
+        cols["keep_doc"].alias("keep_doc"),
+        cols["drop_reason"].alias("drop_reason"),
+    )
+
+
+def c4_columns(
+    text_col: str | Column = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> dict[str, Column]:
+    """The :func:`c4_clean` expressions as named Columns, exposed for
+    fused single-projection pipelines."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
     lns = F.transform(F.split(text, "\n"), lambda t: F.trim(t))
     n_lines = F.size(F.filter(lns, lambda t: F.length(t) > 0))
 
@@ -247,8 +291,12 @@ def c4_clean(
 
     kept = F.filter(lns, line_ok)
     lower = F.lower(text)
-    toks = tokens(lower)
-    has_bad = F.exists(toks, lambda t: t.isin(*bad_words)) if bad_words else F.lit(False)
+    # bad-word matching extracts [a-z0-9]+ runs rather than splitting
+    # on whitespace: "badword1." still flags, and the exact same regex
+    # runs in the DuckDB oracle (whitespace tokens would silently let
+    # punctuation-adjacent hits through)
+    words = F.regexp_extract_all(lower, F.lit("[a-z0-9]+"), 0)
+    has_bad = F.exists(words, lambda t: t.isin(*bad_words)) if bad_words else F.lit(False)
     drop_reason = (
         F.when(F.contains(text, F.lit("{")) | F.contains(text, F.lit("}")), "brace")
         .when(F.contains(lower, F.lit("lorem ipsum")), "lorem_ipsum")
@@ -256,14 +304,34 @@ def c4_clean(
         .when(F.size(kept) < min_lines, "too_few_lines")
         .otherwise(F.lit(None).cast("string"))
     )
-    return docs.select(
-        F.col(id_col),
-        F.array_join(kept, "\n").alias(text_col),
-        F.size(kept).cast("bigint").alias("n_lines_kept"),
-        (n_lines - F.size(kept)).cast("bigint").alias("n_lines_dropped"),
-        drop_reason.isNull().alias("keep_doc"),
-        drop_reason.alias("drop_reason"),
-    )
+    return {
+        "text": F.array_join(kept, "\n"),
+        "n_lines_kept": F.size(kept).cast("bigint"),
+        "n_lines_dropped": (n_lines - F.size(kept)).cast("bigint"),
+        "keep_doc": drop_reason.isNull(),
+        "drop_reason": drop_reason,
+    }
+
+
+def chunk_array_column(
+    text_col: str | Column = "text", max_chars: int = 2048, overlap: int = 128
+) -> Column:
+    """ARRAY<STRING> of a document's chunks — the
+    :func:`chunk_documents` split as one Column, exposed so fused
+    pipelines can ``posexplode`` it next to passthrough columns without
+    a join. Starts are capped at ``n − overlap − 1`` so no chunk is a
+    pure substring of its predecessor."""
+    if overlap >= max_chars:
+        raise ValueError("overlap must be smaller than max_chars")
+    stride = max_chars - overlap
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(text)
+    # a chunk starting at s covers [s, s+max_chars); its predecessor
+    # already covers through s+overlap, so s contributes new characters
+    # iff s < n - overlap — cap the start sequence there (floor 0 keeps
+    # the single chunk for short/empty docs)
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
+    return F.transform(starts, lambda s: text.substr(s + 1, F.lit(max_chars)))
 
 
 def chunk_documents(
@@ -287,16 +355,7 @@ def chunk_documents(
     so a document that ends inside the previous chunk's overlap region
     never emits a tail chunk that is a pure substring of it (which
     would ship duplicated training content past the dedup stage)."""
-    if overlap >= max_chars:
-        raise ValueError("overlap must be smaller than max_chars")
-    stride = max_chars - overlap
-    n = F.length(text_col)
-    # a chunk starting at s covers [s, s+max_chars); its predecessor
-    # already covers through s+overlap, so s contributes new characters
-    # iff s < n - overlap — cap the start sequence there (floor 0 keeps
-    # the single chunk for short/empty docs)
-    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
-    chunks = F.transform(starts, lambda s: F.col(text_col).substr(s + 1, F.lit(max_chars)))
+    chunks = chunk_array_column(text_col, max_chars, overlap)
     return docs.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     ).select(
