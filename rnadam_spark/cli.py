@@ -127,6 +127,19 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("-shard_seed", type=int, default=0)
 
+    cs = sub.add_parser(
+        "curate-stream",
+        help="incremental curation over arriving files: stateless fused "
+        "chain (normalize -> C4 -> PII scrub -> quality cut), checkpointed; "
+        "each run processes exactly the files that arrived since the last",
+    )
+    cs.add_argument("documents", help="directory files arrive in (jsonl or parquet)")
+    cs.add_argument("output", help="parquet output directory (append)")
+    cs.add_argument("checkpoint", help="streaming checkpoint directory")
+    cs.add_argument("-format", choices=["jsonl", "parquet"], default="jsonl")
+    cs.add_argument("-quality_min", type=float, default=0.9)
+    cs.add_argument("-no_c4", action="store_true")
+
     pr = sub.add_parser(
         "profile", help="one-pass corpus profile (sizes, dup rate, language mix)"
     )
@@ -303,6 +316,22 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.command == "curate":
         _run_curate(spark, args)
+    elif args.command == "curate-stream":
+        from rnadam_spark.sources.text_io import DOCUMENTS_DDL
+        from rnadam_spark.streaming.curate import read_jsonl_stream, run_curate_stream
+
+        if args.format == "jsonl":
+            src = read_jsonl_stream(spark, args.documents)
+        else:
+            schema = spark.createDataFrame([], DOCUMENTS_DDL).schema
+            src = spark.readStream.schema(schema).parquet(args.documents)
+        run_curate_stream(
+            src,
+            args.output,
+            args.checkpoint,
+            quality_min=args.quality_min,
+            use_c4=not args.no_c4,
+        )
     elif args.command == "profile":
         _run_profile(spark, args)
     elif args.command == "index":

@@ -1,0 +1,115 @@
+"""Streaming curation: the ingest-time curate pipeline as ONE stateless
+projection chain.
+
+The batch ``curate`` CLI composes operators with doc_id equi-joins —
+fine in batch where Catalyst collapses them, but on an unbounded source
+each join of two projections of the same stream becomes a STREAM-STREAM
+join: both sides buffer in state forever. This module instead fuses the
+stateless stages (normalize → C4 → PII redaction → quality threshold →
+optional chunking) into a single ``select`` built from the operators'
+exposed expression builders (``text.normalized_column`` /
+``c4_columns`` / ``redaction_columns`` / ``quality_columns``), so the
+streaming plan has NO join, NO aggregation, and NO state: every
+microbatch is a pure map over arriving files, trivially correct under
+any watermark and bounded-memory by construction.
+
+What deliberately does NOT run here: corpus-wide stages (exact dedup,
+line dedup, per-group quantile thresholds, mixture resampling) need
+global state and belong in the periodic batch pass over the
+accumulated corpus — the standard lambda split. The incremental dedup
+twins (``dedup.incremental_near_dups``,
+``similarity.incremental_semantic_dups``) bridge the gap between batch
+passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rnadam_spark.sources.text_io import DOCUMENTS_DDL
+
+
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema: str = DOCUMENTS_DDL
+) -> DataFrame:
+    """JSON-lines directory as a file-stream source (the crawler-dump
+    arrival pattern: files land, microbatches pick them up). Schema is
+    required — streams cannot infer. Compressed members decode by
+    extension, with the same caveat as the batch reader: one
+    non-splittable member = one task."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def curate_stream_chain(
+    docs: DataFrame,
+    quality_min: float = 0.9,
+    use_c4: bool = True,
+    chunk_chars: int = 0,
+    chunk_overlap: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """The stateless curation chain as one fused projection; works on
+    streaming AND batch DataFrames identically (agreement is pinned by
+    tests). Output: the input columns with ``text`` cleaned, plus
+    ``n_redactions`` and ``quality`` (and ``chunk_idx`` when chunking).
+
+    Stage order matches the batch CLI: normalize → [C4 line+page
+    filter] → PII scrub → quality threshold → [chunk]."""
+    from rnadam_spark.operators import text as tx
+
+    passthrough = [c for c in docs.columns if c != text_col]
+    cur = docs.withColumn(text_col, tx.normalized_column(text_col))
+    if use_c4:
+        c4 = tx.c4_columns(text_col)
+        cur = (
+            cur.withColumn("_c4_keep", c4["keep_doc"])
+            .withColumn(text_col, c4["text"])
+            .filter("_c4_keep")
+            .drop("_c4_keep")
+        )
+    cleaned, n_red = tx.redaction_columns(text_col)
+    cur = cur.withColumn(text_col, cleaned).withColumn("n_redactions", n_red)
+    cur = cur.withColumn("quality", tx.quality_columns(text_col)["quality"]).filter(
+        F.col("quality") >= quality_min
+    )
+    if chunk_chars:
+        # row explosion is stateless: posexplode fans each doc into its
+        # chunk rows inside the same microbatch; the inline chunk-array
+        # builder (shared with batch chunk_documents) keeps passthrough
+        # columns on the row without a join
+        chunks = tx.chunk_array_column(text_col, chunk_chars, chunk_overlap)
+        return cur.select(
+            *passthrough,
+            "n_redactions",
+            "quality",
+            F.posexplode(chunks).alias("chunk_idx", text_col),
+        ).select(*passthrough, "chunk_idx", text_col, "n_redactions", "quality")
+    return cur.select(*passthrough, text_col, "n_redactions", "quality")
+
+
+def run_curate_stream(
+    docs_stream: DataFrame,
+    output: str,
+    checkpoint: str,
+    quality_min: float = 0.9,
+    use_c4: bool = True,
+    available_now: bool = True,
+) -> None:
+    """Drive the fused chain to a parquet sink with a checkpoint.
+    ``available_now=True`` processes everything currently in the source
+    then stops (the incremental-daily-ingest trigger: each run picks up
+    exactly the files that arrived since the last checkpoint commit);
+    ``False`` runs continuously until the caller stops the query."""
+    out = curate_stream_chain(docs_stream, quality_min=quality_min, use_c4=use_c4)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()

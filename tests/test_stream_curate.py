@@ -1,0 +1,88 @@
+"""Fused streaming curation chain (streaming/curate.py): join-free,
+stateless, checkpoint-incremental."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from rnadam_spark import cli
+from rnadam_spark.plans.checks import count_shuffles
+from rnadam_spark.sources.tables import load_table
+from rnadam_spark.streaming import events as se
+from rnadam_spark.streaming.curate import curate_stream_chain
+
+
+def test_chain_stream_matches_batch(spark, sf_dir):
+    stream_docs = se.read_table_stream(spark, sf_dir, "documents")
+    got = se.run_to_memory(
+        curate_stream_chain(stream_docs, quality_min=0.5, use_c4=False),
+        "fused_curate_out",
+    )
+    s = {tuple(r) for r in got.collect()}
+    b = {
+        tuple(r)
+        for r in curate_stream_chain(
+            load_table(spark, sf_dir, "documents"), quality_min=0.5, use_c4=False
+        ).collect()
+    }
+    assert s == b and s
+
+
+def test_chain_is_pure_projection(spark, sf_dir):
+    # the whole point vs the batch CLI's join composition: zero
+    # exchanges, so the streaming plan holds no state at all
+    docs = load_table(spark, sf_dir, "documents")
+    df = curate_stream_chain(docs, quality_min=0.9, use_c4=True, chunk_chars=512)
+    assert count_shuffles(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_chain_chunked_matches_operator(spark, sf_dir):
+    # inline chunk explosion must agree with the batch chunk_documents
+    # operator on the same cleaned text
+    from rnadam_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    fused = curate_stream_chain(docs, quality_min=0.5, use_c4=False, chunk_chars=512)
+    cleaned = curate_stream_chain(docs, quality_min=0.5, use_c4=False)
+    via_op = tx.chunk_documents(cleaned, max_chars=512, overlap=128)
+    a = {(r.doc_id, r.chunk_idx, r.text) for r in fused.collect()}
+    b = {(r.doc_id, r.chunk_idx, r.chunk_text) for r in via_op.collect()}
+    assert a == b and a
+
+
+def test_cli_curate_stream_incremental(spark, tmp_path):
+    # two arrival waves: the second run processes ONLY the new files
+    # (checkpoint-incremental ingest), output accumulates both
+    docs_dir = tmp_path / "arrivals"
+    docs_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def jsonl(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    good = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!\n"
+            "A third clean normal sentence right here today?")
+    jsonl(docs_dir / "w1.json", [
+        {"doc_id": 1, "text": good, "lang": "en", "source": "web", "n_chars": len(good)},
+        {"doc_id": 2, "text": "code { brace }", "lang": "en", "source": "web", "n_chars": 14},
+    ])
+    cli.main(["curate-stream", str(docs_dir), out, ckpt, "-quality_min", "0.0"])
+    first = spark.read.parquet(out)
+    assert {r.doc_id for r in first.collect()} == {1}  # brace page dropped
+
+    jsonl(docs_dir / "w2.json", [
+        {"doc_id": 3, "text": good, "lang": "de", "source": "web", "n_chars": len(good)},
+    ])
+    cli.main(["curate-stream", str(docs_dir), out, ckpt, "-quality_min", "0.0"])
+    second = spark.read.parquet(out)
+    assert {r.doc_id for r in second.collect()} == {1, 3}
+    # doc 1 appears exactly once: wave 1's file was not reprocessed
+    assert second.filter(F.col("doc_id") == 1).count() == 1
