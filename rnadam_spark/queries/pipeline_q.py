@@ -836,3 +836,51 @@ def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
     return text.contamination_scores(docs, bench, n=DECONTAM_N)
+
+
+def _c4_bad_sql() -> str:
+    bad = ", ".join(f"'{w}'" for w in text.C4_BAD_WORDS)
+    return (
+        r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)), l -> trim(l)) AS lns
+      FROM documents),
+    k AS (
+      SELECT doc_id, text,
+             len(list_filter(lns, l -> length(l) > 0)) AS n_lines,
+             list_filter(lns, l ->
+               regexp_matches(l, '[.!?"”]$')
+               AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                                   w -> length(w) > 0)) >= 5
+               AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+      FROM t)
+    SELECT doc_id,
+           coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
+           reason IS NULL AS keep_doc, reason AS drop_reason
+    FROM (SELECT *,
+            CASE WHEN contains(text, '{') OR contains(text, '}') THEN 'brace'
+                 WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+                 WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                      w -> w IN ("""
+        + bad
+        + r"""))) > 0 THEN 'bad_word'
+                 WHEN len(kept) < 3 THEN 'too_few_lines'
+            END AS reason
+          FROM k)
+    """
+    )
+
+
+@query("c4_clean_docs", oracle=_c4_bad_sql())
+def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2) over the
+    documents table: line filters (terminal punctuation, >= 5 words,
+    no "javascript") plus page-drop attribution (brace / lorem ipsum /
+    bad word / too few kept lines), all as ONE zero-shuffle projection
+    (plan-asserted in tests/test_plans.py). The oracle runs the exact
+    same regexes (Java and RE2 agree on this subset) over DuckDB list
+    functions, so the rewritten text itself hash-compares."""
+    return text.c4_clean(load_table(spark, sf_dir, "documents", widen=True))

@@ -210,16 +210,11 @@ def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customers_without_orders",
-    oracle="""
-    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
-           floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    GROUP BY c_mktsegment
-    """,
-)
+# RETIRED from the 50-entry gate (round 6): at every driver-generated
+# scale factor each customer has orders, so the result is 0 rows — a
+# degenerate hash row verifying nothing. The anti-join kernel stays
+# pinned by tests (web.filter_blocklisted_domains golden + broadcast
+# plan contract); the freed slot registers c4_clean_docs (pipeline_q).
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS as a left-anti join."""
     customer, orders = _t(spark, sf_dir, "customer", "orders")
