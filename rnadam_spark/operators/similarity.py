@@ -475,33 +475,91 @@ def pq_topk(
     )
     if not q_rows:
         raise ValueError(f"query vec_id {query_vec_id} not found")
-    q = list(q_rows[0].e)
-    m = len(codebooks)
-    d_sub = dim // m
-    tables = [
-        [
-            sum(q[sub * d_sub + i] * c[i] for i in range(d_sub))
-            for c in codebooks[sub]
-        ]
-        for sub in range(m)
-    ]
     coded = pq_encode(
         embeddings.filter(F.col("vec_id") != query_vec_id), codebooks, dim=dim
     )
-    score = sum(
+    return pq_topk_on_codes(coded, list(q_rows[0].e), codebooks, k=k, dim=dim)
+
+
+def _adc_score(tables: list[list[float]]) -> Column:
+    """Σ_sub table[sub][codes[sub]] over a stored ``codes`` column —
+    the ADC lookup-sum as one expression."""
+    return sum(
         (
             F.element_at(
-                F.array(*[F.lit(float(v)) for v in tables[sub]]),
-                F.col("codes")[sub] + 1,
+                F.array(*[F.lit(float(v)) for v in t]), F.col("codes")[sub] + 1
             )
-            for sub in range(m)
+            for sub, t in enumerate(tables)
         ),
         start=F.lit(0.0),
     )
+
+
+def _query_tables(
+    q: list[float], codebooks: list[list[list[float]]], dim: int
+) -> list[list[float]]:
+    """Per-subspace query·centroid inner-product tables (m × 2^nbits
+    driver-side doubles) for ADC scoring."""
+    m = len(codebooks)
+    d_sub = dim // m
+    return [
+        [sum(q[sub * d_sub + i] * c[i] for i in range(d_sub)) for c in codebooks[sub]]
+        for sub in range(m)
+    ]
+
+
+def pq_topk_on_codes(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 20,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, score): ADC top-k over a STORED codes table — the
+    encode-once / query-many production shape. :func:`pq_topk`
+    re-encodes the float corpus per query; at 100 TB the corpus is
+    encoded once (:func:`pq_encode`, 64× smaller), persisted, and every
+    query runs m array lookups + a sum per row over the code table with
+    a TakeOrdered reduction — no float vectors are ever read again."""
+    tables = _query_tables(list(query_vec), codebooks, dim)
+    score = _adc_score(tables)
     return (
-        coded.select(
-            "vec_id", (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("score")
-        )
+        codes.select("vec_id", (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def ivfpq_topk_on_codes(
+    codes: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 20,
+    n_probe: int = 4,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, score): IVF+PQ — the FAISS IVFPQ architecture on
+    DataFrames. ``codes`` is the persisted (vec_id, cell, codes) table
+    (:func:`ivf_cells` + :func:`pq_encode`, written partitioned/bucketed
+    BY cell); a query ranks the coarse cells driver-side (k·dim
+    arithmetic on the literal centroids), PRUNES the scan to its
+    ``n_probe`` cells — with the table partitioned by cell that is
+    partition pruning, reading n_probe/n_centroids of the files — and
+    ADC-scores only those rows. Cost per query: (corpus/n_centroids)·
+    n_probe lookup-sums + TakeOrdered; memory: zero beyond the literal
+    tables."""
+    q = list(query_vec)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda cid: (sum(a * b for a, b in zip(q, centroids[cid])), cid),
+        reverse=True,
+    )[:n_probe]
+    tables = _query_tables(q, codebooks, dim)
+    score = _adc_score(tables)
+    return (
+        codes.filter(F.col("cell").isin(*[int(c) for c in ranked]))
+        .select("vec_id", (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(k)
     )

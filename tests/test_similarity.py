@@ -300,3 +300,44 @@ def test_incremental_semantic_dups(spark):
         new, store, cents, min_cos=0.9999, max_cell=3
     ).collect()
     assert capped == []
+
+
+def test_ivfpq_on_stored_codes(spark):
+    import random
+
+    rng = random.Random(3)
+    means = [[18.0 * (b == i) for i in range(4)] for b in range(4)]
+    rows = []
+    for b, mean in enumerate(means):
+        for i in range(25):
+            rows.append((b * 1000 + i, [v + rng.uniform(-0.5, 0.5) for v in mean]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = similarity.kmeans_centroids(df, k=4, max_iterations=6, dim=4)
+    books = similarity.train_pq(df, m=2, nbits=2, max_iterations=6, dim=4)
+
+    # persist-once representation: (vec_id, cell, codes)
+    cells = similarity.ivf_cells(df, centroids=cents, dim=4)
+    codes = similarity.pq_encode(df, books, dim=4).join(cells, "vec_id")
+    q = [r for r in df.filter("vec_id = 0").collect()][0].embedding
+
+    # full-scan ADC over stored codes == pq_topk (re-encoding path)
+    a = [(r.vec_id, r.score) for r in
+         similarity.pq_topk_on_codes(codes.filter("vec_id != 0"), q, books, k=30, dim=4).collect()]
+    b = [(r.vec_id, r.score) for r in similarity.pq_topk(df, 0, books, k=30, dim=4).collect()]
+    assert a == b
+
+    # IVFPQ with 1 probe: candidates come only from the query's cell,
+    # and the query's blob-mates (true top-10) are all recovered
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, 0, 10).collect()]
+    ivfpq = [r.vec_id for r in similarity.ivfpq_topk_on_codes(
+        codes.filter("vec_id != 0"), q, cents, books, k=30, n_probe=1, dim=4
+    ).collect()]
+    assert set(exact) <= set(ivfpq)
+    cells_map = {r.vec_id: r.cell for r in cells.collect()}
+    qcell = cells_map[0]
+    assert all(cells_map[v] == qcell for v in ivfpq)
+    # probing all cells recovers the full-scan ADC result
+    allp = [(r.vec_id, r.score) for r in similarity.ivfpq_topk_on_codes(
+        codes.filter("vec_id != 0"), q, cents, books, k=30, n_probe=4, dim=4
+    ).collect()]
+    assert allp == a
