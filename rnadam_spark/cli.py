@@ -79,6 +79,32 @@ def _build_parser() -> argparse.ArgumentParser:
         "non-keep_doc pages, keeps only qualifying lines)",
     )
     c.add_argument(
+        "-near_dedup",
+        action="store_true",
+        help="drop near-duplicates: LSH candidates -> exact-Jaccard "
+        "verify -> connected components -> keep the canonical doc",
+    )
+    c.add_argument(
+        "-near_jaccard_min",
+        type=float,
+        default=0.8,
+        help="exact shingle-Jaccard threshold for the verify stage",
+    )
+    c.add_argument(
+        "-lsh_max_bucket",
+        type=int,
+        default=1000,
+        help="drop LSH band buckets larger than this before pairing",
+    )
+    c.add_argument(
+        "-decontaminate",
+        default=None,
+        help="parquet documents table holding the benchmark/eval texts; "
+        "docs whose 13-gram overlap with it exceeds -max_contamination "
+        "are dropped",
+    )
+    c.add_argument("-max_contamination", type=float, default=0.05)
+    c.add_argument(
         "-dedup_lines",
         action="store_true",
         help="drop corpus-wide repeated lines (C4-style boilerplate dedup)",
@@ -218,10 +244,31 @@ def _run_curate(spark, args) -> None:
         kept = kept.join(prob, "doc_id").filter(
             F.col("classifier_prob") >= args.classifier_min
         )
+    if args.decontaminate is not None:
+        bench = spark.read.parquet(args.decontaminate)
+        cont = text.contamination_scores(kept, bench).select(
+            "doc_id", "contamination"
+        )
+        kept = kept.join(cont, "doc_id").filter(
+            F.col("contamination") <= args.max_contamination
+        )
     canon = dedup.exact_dup_groups(kept).select(
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )
     curated = kept.join(canon, "doc_id")
+    if args.near_dedup:
+        from rnadam_spark.operators.clustering import connected_components
+
+        # full near-dup pipeline over the exact-dedup survivors:
+        # candidates (banded LSH, hot buckets capped) -> exact-Jaccard
+        # verify -> graph closure -> keep only component canonicals
+        cand = dedup.lsh_candidate_pairs(curated, max_bucket=args.lsh_max_bucket)
+        verified = dedup.verify_pairs(cand, curated, threshold=args.near_jaccard_min)
+        comp = connected_components(verified)
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        curated = curated.join(losers, "doc_id", "left_anti")
     if args.mixture_alpha is not None:
         from rnadam_spark.operators import lm
 

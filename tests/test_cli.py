@@ -332,3 +332,45 @@ def test_cli_profile_funnel(spark, sf_dir, capsys):
     rem = [funnel[s]["n_remaining"] for s in stages]
     assert all(a >= b for a, b in zip(rem, rem[1:]))
     assert sum(funnel[s]["n_dropped"] for s in stages) == report["n_docs"] - rem[-1]
+
+
+def test_cli_curate_near_dedup_and_decontaminate(spark, tmp_path):
+    base = ("The quick brown fox jumps over the lazy dog near the river bank today. "
+            "It was a sunny afternoon and everyone enjoyed the warm weather outside. "
+            "Children played games while adults talked about their plans for the week.")
+    near = base.replace("sunny", "rainy")  # near-duplicate, not exact
+    eval_text = ("Benchmark question text with exactly this long and unusual phrasing "
+                 "that should never appear in training data under any circumstances at all, "
+                 "because that is precisely what decontamination removes from corpora.")
+    contaminated = "Prefix words. " + eval_text + " Suffix words."
+    distinct = ("Entirely different content about cooking pasta with fresh tomatoes "
+                "and basil from the garden, simmered slowly in olive oil for an hour "
+                "until the sauce thickens into something worth the patient wait.")
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, near, "en", "web", len(near)),
+        (3, contaminated, "en", "web", len(contaminated)),
+        (4, distinct, "en", "web", len(distinct)),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, eval_text, "en", "eval", len(eval_text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(bench)
+
+    out = str(tmp_path / "out")
+    cli.main([
+        "curate", src, out,
+        "-quality_min", "0.0", "-skip_normalize",
+        "-near_dedup", "-near_jaccard_min", "0.5",
+        "-decontaminate", bench, "-max_contamination", "0.05",
+    ])
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 1 in kept          # canonical of the near-dup pair
+    assert 2 not in kept      # near-duplicate dropped
+    assert 3 not in kept      # contaminated doc dropped
+    assert 4 in kept          # distinct doc survives
