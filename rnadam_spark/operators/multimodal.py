@@ -158,6 +158,75 @@ def byte_histogram_features(assets: DataFrame, n_bins: int = 16) -> DataFrame:
     return assets.mapInPandas(featurize, FEATURES)
 
 
+AUDIO_STATS = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("is_wav", T.BooleanType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def _wav_info(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL audio decode for one container format: RIFF/WAVE headers are
+    parseable with the stdlib alone — 'RIFF' magic + 'WAVE' form type,
+    then a chunk walk for 'fmt ' (channels, sample rate, bits) and
+    'data' (payload size → duration = size / byte_rate). Returns
+    (channels, sample_rate, bits_per_sample, duration_s), or None for
+    non-WAV payloads — the same real-first/fake-last layering as the
+    BMP image path."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= len(payload):
+            _, channels, rate, byte_rate, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            fmt = (channels, rate, byte_rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, byte_rate, bits = fmt
+    duration = (data_size / byte_rate) if byte_rate else 0.0
+    return channels, rate, bits, duration
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """Audio metadata decode over ``mapInPandas``: WAV payloads decode
+    for REAL (stdlib RIFF chunk walk — no audio library needed);
+    non-WAV payloads keep their row with ``is_wav = false`` and null
+    stats, so no asset silently disappears from the audit. Same Arrow
+    batch shape as :func:`decode_assets`."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            infos = pdf["data"].map(_wav_info)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["data"].map(len).astype("int64"),
+                    "is_wav": infos.map(lambda i: i is not None),
+                    "channels": infos.map(lambda i: i[0] if i else None),
+                    "sample_rate": infos.map(lambda i: i[1] if i else None),
+                    "bits_per_sample": infos.map(lambda i: i[2] if i else None),
+                    "duration_s": infos.map(lambda i: round(i[3], 6) if i else None),
+                }
+            )
+
+    return assets.mapInPandas(decode, AUDIO_STATS)
+
+
 FRAMES = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
