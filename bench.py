@@ -220,6 +220,19 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
         ),
         "pq_encode": timed(lambda: similarity.pq_encode(emb, books)),
         "pq_topk": timed(lambda: similarity.pq_topk(emb, 0, books)),
+        # the production query path: ADC over the persisted codes table,
+        # scan pruned to the probed cells
+        "ivfpq_topk_on_codes": timed(
+            lambda: similarity.ivfpq_topk_on_codes(
+                similarity.pq_encode(emb, books).join(
+                    similarity.ivf_cells(emb, centroids=cents), "vec_id"
+                ),
+                cents[0],  # a trained centroid as a realistic query point
+                cents,
+                books,
+                n_probe=2,
+            )
+        ),
         "repetition_stats": timed(lambda: repetition.repetition_stats(docs)),
         "dedup_lines": timed(lambda: repetition.dedup_lines(docs)),
         "url_stats": timed(lambda: web.url_stats(docs)),
