@@ -276,7 +276,13 @@ def c4_columns(
     bad_words: tuple[str, ...] = C4_BAD_WORDS,
 ) -> dict[str, Column]:
     """The :func:`c4_clean` expressions as named Columns, exposed for
-    fused single-projection pipelines."""
+    fused single-projection pipelines.
+
+    Line trimming is SPACE-only (``trim`` semantics in both Spark and
+    DuckDB — not Python's ``str.strip``): a tab-only line counts as a
+    non-empty line in ``n_lines_dropped``. Harmless for filtering (such
+    lines can never pass the ≥-words rule) and it keeps the operator
+    and its oracle byte-identical across engines."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
     lns = F.transform(F.split(text, "\n"), lambda t: F.trim(t))
     n_lines = F.size(F.filter(lns, lambda t: F.length(t) > 0))

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): invariants that goldens can't
+cover — arbitrary text through the curation kernels. Spark jobs are
+slow per-example, so each property batches the generated corpus into
+ONE DataFrame and asserts row-wise."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rnadam_spark.operators import text as tx
+
+# text with the characters the curation kernels branch on: newlines,
+# digits, punctuation, an email-ish shape, whitespace runs
+TEXT = st.text(
+    alphabet=st.sampled_from(list("ab .!?\n\t0123456789@-(){}\"")), max_size=200
+)
+CORPUS = st.lists(TEXT, min_size=1, max_size=8)
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id BIGINT, text STRING")
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_chunks_reassemble_and_never_nest(spark, texts):
+    max_chars, overlap = 16, 4
+    stride = max_chars - overlap
+    rows = tx.chunk_documents(_df(spark, texts), max_chars=max_chars, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, original in enumerate(texts):
+        chunks = [r.chunk_text for r in sorted(by_doc[i], key=lambda r: r.chunk_idx)]
+        # reassembly: drop each successor's overlap prefix
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == original, (original, chunks)
+        # every chunk after the first contributes new characters
+        for j in range(1, len(chunks)):
+            start = j * stride
+            assert start + len(chunks[j]) > start + overlap or len(original) == 0
+            assert len(chunks[j]) > overlap or j == 0, (original, chunks)
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_normalize_idempotent_and_shrinking(spark, texts):
+    once = {r.doc_id: r.text for r in tx.normalize_text(_df(spark, texts)).collect()}
+    twice = {
+        r.doc_id: r.text
+        for r in tx.normalize_text(
+            _df(spark, [once[i] for i in range(len(texts))])
+        ).collect()
+    }
+    for i, original in enumerate(texts):
+        assert len(once[i]) <= len(original)  # rules only ever shrink
+        assert twice[i] == once[i], (original, once[i], twice[i])  # fixpoint
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_redact_leaves_no_pattern_and_counts_nonnegative(spark, texts):
+    import re
+
+    got = {r.doc_id: r for r in tx.redact_pii(_df(spark, texts)).collect()}
+    for i, original in enumerate(texts):
+        r = got[i]
+        assert r.n_redactions >= 0
+        if r.n_redactions == 0:
+            assert r.text == original
+        # after redaction, no EMAIL/IP pattern survives outside the
+        # inserted tokens themselves (tokens contain no digits or @)
+        stripped = re.sub(r"<(EMAIL|IP|PHONE)>", "", r.text)
+        for _name, pat in tx.PII_PATTERNS[:2]:  # EMAIL, IP are closed under rescan
+            assert re.search(pat, stripped) is None, (original, r.text)
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_c4_clean_kept_lines_are_a_subset(spark, texts):
+    got = {r.doc_id: r for r in tx.c4_clean(_df(spark, texts)).collect()}
+    for i, original in enumerate(texts):
+        r = got[i]
+        # engine semantics: trim strips SPACES only (Spark trim ==
+        # DuckDB trim), unlike Python str.strip which eats tabs too
+        original_lines = [l.strip(" ") for l in original.split("\n") if l.strip(" ")]
+        kept = [l for l in r.text.split("\n") if l]
+        # kept lines appear in the original, in order (subsequence)
+        it = iter(original_lines)
+        assert all(any(k == o for o in it) for k in kept), (original_lines, kept)
+        assert r.n_lines_kept == len(kept)
+        assert r.n_lines_kept + r.n_lines_dropped == len(original_lines)
