@@ -15,9 +15,20 @@ plus the north-star curation command over a documents table:
       [-mixture_alpha A -mixture_group COL]
       [-shards N -shard_seed S]
 
+the incremental-ingest dedup pair:
+
+  rnadam-spark dedup-index DOCUMENTS SIG_STORE
+  rnadam-spark ingest NEW_DOCS SIG_STORE PAIRS_OUT
+      [-est_threshold X] [-max_bucket N] [-update_store]
+
+the arrival-driven streaming curation:
+
+  rnadam-spark curate-stream DIR OUTPUT CHECKPOINT
+      [-format jsonl|parquet] [-quality_min X] [-no_c4]
+
 and the one-pass corpus audit:
 
-  rnadam-spark profile DOCUMENTS [-group_by COL]
+  rnadam-spark profile DOCUMENTS [-group_by COL] [-funnel]
 
 Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
 are parquet datasets with the FIXTURES.md §A schemas. The library API
@@ -145,6 +156,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("-mixture_group", default="source")
     c.add_argument(
+        "-pack_budget",
+        type=int,
+        default=0,
+        help="instead of char chunking, emit GPT-style packing columns "
+        "(pack_group, pack_id, pack_offset) cutting the token stream "
+        "every N tokens; mutually exclusive with -chunk_chars",
+    )
+    c.add_argument(
         "-shards",
         type=int,
         default=0,
@@ -165,6 +184,31 @@ def _build_parser() -> argparse.ArgumentParser:
     cs.add_argument("-format", choices=["jsonl", "parquet"], default="jsonl")
     cs.add_argument("-quality_min", type=float, default=0.9)
     cs.add_argument("-no_c4", action="store_true")
+
+    di = sub.add_parser(
+        "dedup-index",
+        help="build and persist the MinHash signature store (the ~0.1%%-"
+        "of-corpus artifact incremental ingest dedups against)",
+    )
+    di.add_argument("documents", help="parquet: documents table")
+    di.add_argument("output", help="parquet signature store (doc_id, h0..h15)")
+
+    ing = sub.add_parser(
+        "ingest",
+        help="near-dup check a NEW shard against a persisted signature "
+        "store without touching stored text; optionally append the "
+        "shard's signatures to the store",
+    )
+    ing.add_argument("new_documents", help="parquet: the arriving shard")
+    ing.add_argument("signature_store", help="store built by dedup-index")
+    ing.add_argument("output", help="parquet: (new_id, index_id, est_jaccard) pairs")
+    ing.add_argument("-est_threshold", type=float, default=0.5)
+    ing.add_argument("-max_bucket", type=int, default=1000)
+    ing.add_argument(
+        "-update_store",
+        action="store_true",
+        help="append the new shard's signatures to the store afterwards",
+    )
 
     pr = sub.add_parser(
         "profile", help="one-pass corpus profile (sizes, dup rate, language mix)"
@@ -273,6 +317,8 @@ def _run_curate(spark, args) -> None:
         from rnadam_spark.operators import lm
 
         curated = lm.sample_to_mixture(curated, args.mixture_group, args.mixture_alpha)
+    if args.chunk_chars and args.pack_budget:
+        raise SystemExit("-chunk_chars and -pack_budget are mutually exclusive")
     if args.chunk_chars:
         chunks = text.chunk_documents(
             curated, max_chars=args.chunk_chars, overlap=args.chunk_overlap
@@ -280,6 +326,11 @@ def _run_curate(spark, args) -> None:
         curated = chunks.join(curated.drop("text", "n_chars"), "doc_id").withColumnRenamed(
             "chunk_text", "text"
         )
+    elif args.pack_budget:
+        from rnadam_spark.operators import lm
+
+        placed = lm.pack_sequences(curated, budget=args.pack_budget)
+        curated = curated.join(placed.drop("n_tokens"), "doc_id")
     if args.shards:
         from rnadam_spark.sources.sink import write_training_shards
 
@@ -379,6 +430,28 @@ def main(argv: list[str] | None = None) -> None:
             quality_min=args.quality_min,
             use_c4=not args.no_c4,
         )
+    elif args.command == "dedup-index":
+        from rnadam_spark.operators import dedup
+
+        docs = spark.read.parquet(args.documents)
+        dedup.minhash_signatures(docs).write.mode("overwrite").parquet(args.output)
+    elif args.command == "ingest":
+        from rnadam_spark.operators import dedup
+
+        new_docs = spark.read.parquet(args.new_documents)
+        store = spark.read.parquet(args.signature_store)
+        pairs = dedup.incremental_near_dups(
+            new_docs,
+            store,
+            est_threshold=args.est_threshold,
+            max_bucket=args.max_bucket,
+        )
+        pairs.write.mode("overwrite").parquet(args.output)
+        if args.update_store:
+            # append-only store growth: the shard is signed once, ever
+            dedup.minhash_signatures(new_docs).write.mode("append").parquet(
+                args.signature_store
+            )
     elif args.command == "profile":
         _run_profile(spark, args)
     elif args.command == "index":

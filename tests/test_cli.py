@@ -374,3 +374,58 @@ def test_cli_curate_near_dedup_and_decontaminate(spark, tmp_path):
     assert 2 not in kept      # near-duplicate dropped
     assert 3 not in kept      # contaminated doc dropped
     assert 4 in kept          # distinct doc survives
+
+
+def test_cli_dedup_index_and_ingest(spark, tmp_path):
+    base = ("The quick brown fox jumps over the lazy dog near the river bank today "
+            "while children played games and adults talked about their weekly plans.")
+    rows = [(i, base + f" Extra sentence number {i} differs.", "en", "web", 150)
+            for i in range(5)]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    store = str(tmp_path / "sigs")
+    cli.main(["dedup-index", src, store])
+    sigs = spark.read.parquet(store)
+    assert sigs.count() == 5 and "h0" in sigs.columns
+
+    # new shard: one near-copy of doc 0, one novel doc
+    new_rows = [
+        (100, base + " Extra sentence number 0 differs!", "en", "web", 150),
+        (101, "Utterly unrelated content about gardening and the joy of fresh soil "
+              "in springtime when everything begins to grow again after winter.", "en", "web", 120),
+    ]
+    new_src = str(tmp_path / "shard")
+    spark.createDataFrame(
+        new_rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(new_src)
+    pairs_out = str(tmp_path / "pairs")
+    cli.main(["ingest", new_src, store, pairs_out,
+              "-est_threshold", "0.5", "-update_store"])
+    pairs = spark.read.parquet(pairs_out).collect()
+    assert any(r.new_id == 100 and r.index_id == 0 for r in pairs)
+    assert not any(r.new_id == 101 for r in pairs)
+    # store grew by the shard's signatures
+    assert spark.read.parquet(store).count() == 7
+
+
+def test_cli_curate_pack_budget(spark, tmp_path):
+    good = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!\n"
+            "A third clean normal sentence right here today?")
+    rows = [(i, good + f" Unique tail {i}.", "en", "web", 150) for i in range(6)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    out = str(tmp_path / "packed")
+    cli.main(["curate", src, out, "-quality_min", "0.0", "-pack_budget", "40"])
+    back = spark.read.parquet(out)
+    cols = set(back.columns)
+    assert {"pack_group", "pack_id", "pack_offset", "text"} <= cols
+    assert back.count() == 6
+    # offsets live inside the budget
+    from pyspark.sql import functions as F
+
+    assert back.agg(F.max("pack_offset")).collect()[0][0] < 40
