@@ -209,7 +209,14 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(emb, k=8, max_iterations=3)
     books = similarity.train_pq(emb, m=8, nbits=4, max_iterations=3)
+    from rnadam_spark.operators import search as search_mod
+
     return {
+        # per-query BM25 cost WITHOUT a maintained stats table: one
+        # corpus-stats aggregate + the zero-shuffle scoring pass
+        "bm25_topk": timed(
+            lambda: search_mod.bm25_topk(docs, "the data system and network", k=10)
+        ),
         "c4_clean": timed(lambda: text.c4_clean(docs)),
         # timed() invokes the builder inside the clock, so the CC loop's
         # per-round actions inside semantic_dedup are counted

@@ -1,0 +1,88 @@
+"""BM25 relevance ranking (operators/search.py): golden, DuckDB
+cross-check, and plan contracts."""
+
+from __future__ import annotations
+
+import duckdb
+
+from rnadam_spark.operators import search
+from rnadam_spark.plans.checks import count_shuffles
+from rnadam_spark.sources.tables import load_table
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark engines process data. spark is fast."),
+        (2, "data pipelines move data between data systems."),
+        (3, "cooking pasta requires water and salt."),
+        (4, "spark data processing at scale with spark sql."),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_golden_ordering(spark):
+    got = search.bm25_topk(_docs(spark), "spark data", k=5).collect()
+    ids = [r.doc_id for r in got]
+    # docs 1 and 4 match both terms; 2 matches only the common term
+    assert set(ids[:2]) == {1, 4}
+    assert ids[2] == 2
+    assert 3 not in ids and 5 not in ids  # no match -> excluded
+    assert got[0].score >= got[1].score >= got[2].score > 0
+
+
+def test_bm25_matches_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    query = "the data and system"
+    got = [(r.doc_id, r.score) for r in search.bm25_topk(docs, query, k=20).collect()]
+
+    terms = sorted(set(search._py_terms(query)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()],
+    )
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(
+        f"(ln((s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0) * tf_{i} * 2.2 "
+        f"/ (tf_{i} + 1.2 * (0.25 + 0.75 * dl / s.avgdl)))"
+        for i in range(len(terms))
+    )
+    want = con.execute(
+        f"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM docs),
+        d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols} FROM t),
+        s AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl, {df_cols} FROM t)
+        SELECT doc_id,
+               floor(({score}) * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM d, s
+        WHERE ({score}) > 0
+        ORDER BY score DESC, doc_id LIMIT 20
+        """
+    ).fetchall()
+    assert got == [(a, b) for a, b in want] and got
+
+
+def test_bm25_scoring_pass_zero_shuffle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = search.corpus_stats(docs, ["data", "system"])
+    df = search.bm25_topk(docs, "data system", k=10, stats=stats)
+    assert count_shuffles(df) == 0  # idf literals + in-row tf + TakeOrdered
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_reused_stats_match_fresh(spark):
+    docs = _docs(spark)
+    stats = search.corpus_stats(docs, ["spark", "data"])
+    a = [(r.doc_id, r.score) for r in search.bm25_topk(docs, "spark data", stats=stats).collect()]
+    b = [(r.doc_id, r.score) for r in search.bm25_topk(docs, "spark data").collect()]
+    assert a == b
