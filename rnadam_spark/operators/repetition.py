@@ -128,6 +128,8 @@ def dedup_lines(
     min_line_chars: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    split_pattern: str = "\n",
+    join_sep: str = "\n",
 ) -> DataFrame:
     """(doc_id, text, n_lines_kept, n_lines_dropped): remove every
     repeated occurrence of a line across the WHOLE corpus, keeping only
@@ -145,11 +147,17 @@ def dedup_lines(
     immune to hot-line skew; the join back is line-keyed (AQE splits
     skewed partitions); the reassembly groupBy is doc-keyed and carries
     exactly the input character volume. Three exchanges total, none of
-    which collects a hot key into a single task's sort buffer."""
+    which collects a hot key into a single task's sort buffer.
+
+    Granularity is a parameter: ``split_pattern`` is a regex, so
+    ``split_pattern=r"\\n{2,}", join_sep="\\n\\n"`` gives
+    PARAGRAPH-level dedup (RefinedWeb-style boilerplate blocks) through
+    the identical aggregate-then-join machinery."""
     line_no = F.col("line_no")
     line = F.col("line")
     exploded = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("line_no", "line"),
     )
     participating = F.length(F.trim(line)) >= min_line_chars
     winners = (
@@ -168,7 +176,7 @@ def dedup_lines(
     return (
         flagged.groupBy(id_col)
         .agg(
-            F.array_join(F.transform(kept_lines, lambda x: x["l"]), "\n").alias(text_col),
+            F.array_join(F.transform(kept_lines, lambda x: x["l"]), join_sep).alias(text_col),
             F.sum(F.col("keep").cast("bigint")).alias("n_lines_kept"),
             F.sum((~F.col("keep")).cast("bigint")).alias("n_lines_dropped"),
         )

@@ -216,3 +216,27 @@ def test_normalize_text_idempotent_and_dedup_friendly(spark):
     assert texts[1] == texts[2] == texts[3] == "A B\nC"
     twice = text.normalize_text(once.select("doc_id", "text"))
     assert {r.doc_id: r.text for r in twice.collect()} == texts
+
+
+def test_dedup_paragraphs_granularity(spark):
+    from rnadam_spark.operators.repetition import dedup_lines
+
+    boiler = "Subscribe to our newsletter today\nfor the latest updates"
+    rows = [
+        (1, f"Unique intro paragraph one here.\n\n{boiler}\n\nUnique closing one."),
+        (2, f"Different intro paragraph two.\n\n{boiler}\n\nDifferent closing two."),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in dedup_lines(
+            docs, split_pattern=r"\n{2,}", join_sep="\n\n"
+        ).collect()
+    }
+    # the repeated two-LINE paragraph survives once as a unit (line-level
+    # dedup would have split it); doc 1 keeps it, doc 2 loses it
+    assert boiler in got[1].text
+    assert boiler not in got[2].text
+    assert got[1].n_lines_kept == 3 and got[2].n_lines_dropped == 1
+    # intra-paragraph newline is preserved in the kept copy
+    assert "today\nfor" in got[1].text
