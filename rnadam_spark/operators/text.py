@@ -319,6 +319,64 @@ def c4_columns(
     }
 
 
+def filter_bad_phrases(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Documents NOT containing any blocklisted phrase — the scale form
+    of the C4 bad-word page filter for LARGE lists. ``c4_clean`` inlines
+    its tiny built-in list into the plan; a real blocklist (100k+
+    words/phrases) can be neither a regex alternation (pattern compiles
+    quadratically, plans bloat) nor a driver literal. Here the phrase
+    table stays a DataFrame:
+
+    - phrases normalize to their ``[a-z0-9]+`` token sequence; docs
+      explode their token n-grams ONLY for the distinct phrase lengths
+      present in the list (a 1-and-2-word list never builds 7-grams);
+    - matching is a broadcast LEFT-SEMI join gram ⋈ phrase → matched
+      doc ids, then one broadcast ANTI join removes them. The corpus is
+      scanned once per distinct phrase length, never shuffled.
+
+    Phrase matching is token-boundary-aware by construction ("cat"
+    never hits "concatenate"), case-insensitive, punctuation-blind —
+    the same normalization both engines share everywhere else."""
+    norm_phrase = F.array_join(
+        F.regexp_extract_all(F.lower(F.col(phrase_col)), F.lit("[a-z0-9]+"), 0), " "
+    )
+    plens = (
+        phrases.select(
+            norm_phrase.alias("p"),
+            F.size(F.split(norm_phrase, " ")).alias("_n"),
+        )
+        .filter(F.length("p") > 0)
+        .distinct()
+    )
+    lengths = [int(r["_n"]) for r in plens.select("_n").distinct().collect()]
+    if not lengths:
+        return docs
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    matched = None
+    for n in lengths:
+        grams_arr = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = docs.select(F.col(id_col), F.explode(grams_arr).alias("p")).join(
+            F.broadcast(plens.filter(F.col("_n") == n).select("p")), "p", "left_semi"
+        )
+        part = grams.select(id_col).distinct()
+        matched = part if matched is None else matched.union(part)
+    # NOT force-broadcast: the matched set is "docs containing a bad
+    # phrase" — usually small, but unbounded; let AQE pick the strategy
+    return docs.join(matched.distinct(), id_col, "left_anti")
+
+
 def chunk_array_column(
     text_col: str | Column = "text", max_chars: int = 2048, overlap: int = 128
 ) -> Column:

@@ -306,3 +306,27 @@ def test_c4_clean_zero_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure projection: runs at scan speed
+
+
+def test_filter_bad_phrases(spark):
+    rows = [
+        (1, "The cat sat on the mat."),
+        (2, "Concatenate strings carefully."),          # substring, no token match
+        (3, "A very bad phrase appears right here."),
+        (4, "Nothing objectionable at all."),
+        (5, "BAD   phrase, with odd spacing!"),          # normalization still hits
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    phrases = spark.createDataFrame([("cat",), ("Bad Phrase",), ("",)], ["phrase"])
+    kept = sorted(r.doc_id for r in text.filter_bad_phrases(docs, phrases).collect())
+    assert kept == [2, 4, 6]
+    # empty blocklist keeps everything
+    none = spark.createDataFrame([], "phrase string")
+    assert text.filter_bad_phrases(docs, none).count() == 6
+    # phrase side rides a broadcast; corpus is never hash-shuffled for the semi join
+    plan = (
+        text.filter_bad_phrases(docs, phrases)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
