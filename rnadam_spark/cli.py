@@ -116,6 +116,18 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("-max_contamination", type=float, default=0.05)
     c.add_argument(
+        "-bad_phrases",
+        default=None,
+        help="parquet (phrase): large blocklist — docs containing any "
+        "phrase (token-boundary, case/punct-insensitive) are dropped",
+    )
+    c.add_argument(
+        "-audit",
+        action="store_true",
+        help="print the curation-funnel JSON line (per-stage drop "
+        "counts under the same thresholds) before writing",
+    )
+    c.add_argument(
         "-dedup_lines",
         action="store_true",
         help="drop corpus-wide repeated lines (C4-style boilerplate dedup)",
@@ -184,6 +196,37 @@ def _build_parser() -> argparse.ArgumentParser:
     cs.add_argument("-format", choices=["jsonl", "parquet"], default="jsonl")
     cs.add_argument("-quality_min", type=float, default=0.9)
     cs.add_argument("-no_c4", action="store_true")
+
+    ai = sub.add_parser(
+        "ann-index",
+        help="train IVF centroids + PQ codebooks and persist the "
+        "compressed ANN index: codes parquet partitioned BY cell "
+        "(queries partition-prune to their probed cells) + model.json",
+    )
+    ai.add_argument("embeddings", help="parquet: (vec_id, embedding)")
+    ai.add_argument("output", help="index directory (codes/ + model.json)")
+    ai.add_argument("-n_centroids", type=int, default=16)
+    ai.add_argument("-m", type=int, default=8, help="PQ subspaces")
+    ai.add_argument("-nbits", type=int, default=4, help="bits per PQ code")
+    ai.add_argument("-iterations", type=int, default=5)
+    ai.add_argument("-dim", type=int, default=64)
+
+    aq = sub.add_parser(
+        "ann-query",
+        help="query a persisted ann-index: coarse cells ranked driver-"
+        "side, scan pruned to -n_probe cells, ADC scoring; optional "
+        "exact-cosine rerank against the float embeddings",
+    )
+    aq.add_argument("index", help="directory written by ann-index")
+    aq.add_argument("embeddings", help="parquet the query vector is read from")
+    aq.add_argument("query_id", type=int, help="vec_id of the query vector")
+    aq.add_argument("-k", type=int, default=10)
+    aq.add_argument("-n_probe", type=int, default=4)
+    aq.add_argument(
+        "-rerank",
+        action="store_true",
+        help="exact-cosine rerank of the 4k-deep ADC candidates",
+    )
 
     di = sub.add_parser(
         "dedup-index",
@@ -288,6 +331,24 @@ def _run_curate(spark, args) -> None:
         kept = kept.join(prob, "doc_id").filter(
             F.col("classifier_prob") >= args.classifier_min
         )
+    if args.audit:
+        import json
+
+        from rnadam_spark.operators.funnel import curation_funnel
+
+        funnel_rows = [
+            {"stage": r.stage, "n_dropped": r.n_dropped, "n_remaining": r.n_remaining}
+            for r in curation_funnel(
+                docs,
+                quality_min=args.quality_min,
+                use_c4=args.c4,
+                max_dup_5gram=args.max_dup_5gram,
+            ).collect()
+        ]
+        print(json.dumps({"funnel": funnel_rows}))
+    if args.bad_phrases is not None:
+        phrases = spark.read.parquet(args.bad_phrases)
+        kept = text.filter_bad_phrases(kept, phrases)
     if args.decontaminate is not None:
         bench = spark.read.parquet(args.decontaminate)
         cont = text.contamination_scores(kept, bench).select(
@@ -430,6 +491,76 @@ def main(argv: list[str] | None = None) -> None:
             quality_min=args.quality_min,
             use_c4=not args.no_c4,
         )
+    elif args.command == "ann-index":
+        import json
+
+        from rnadam_spark.operators import similarity as sim
+        from rnadam_spark.sources.sink import _qualified_path
+
+        emb = spark.read.parquet(args.embeddings)
+        cents = sim.kmeans_centroids(
+            emb, k=args.n_centroids, max_iterations=args.iterations, dim=args.dim
+        )
+        books = sim.train_pq(
+            emb, m=args.m, nbits=args.nbits, max_iterations=args.iterations, dim=args.dim
+        )
+        codes = sim.pq_encode(emb, books, dim=args.dim).join(
+            sim.ivf_cells(emb, centroids=cents, dim=args.dim), "vec_id"
+        )
+        # partitioned BY cell: an n_probe query reads n_probe/n_centroids
+        # of the files — the partition-pruning layout the query side assumes
+        codes.write.mode("overwrite").partitionBy("cell").parquet(args.output + "/codes")
+        model = {"dim": args.dim, "centroids": cents, "codebooks": books}
+        fs, jpath = _qualified_path(spark, args.output)
+        out = fs.create(
+            spark._jvm.org.apache.hadoop.fs.Path(jpath, "model.json"), True
+        )
+        try:
+            out.write(bytearray(json.dumps(model).encode("utf-8")))
+        finally:
+            out.close()
+    elif args.command == "ann-query":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from rnadam_spark.operators import similarity as sim
+        from rnadam_spark.sources.sink import _qualified_path
+
+        fs, jpath = _qualified_path(spark, args.index)
+        stream = fs.open(spark._jvm.org.apache.hadoop.fs.Path(jpath, "model.json"))
+        try:
+            model = json.loads(
+                bytes(
+                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8")
+            )
+        finally:
+            stream.close()
+        emb = spark.read.parquet(args.embeddings)
+        qrow = emb.filter(F.col("vec_id") == args.query_id).collect()
+        if not qrow:
+            raise SystemExit(f"query vec_id {args.query_id} not in {args.embeddings}")
+        q = [float(v) for v in qrow[0]["embedding"]]
+        codes = spark.read.parquet(args.index + "/codes").filter(
+            F.col("vec_id") != args.query_id
+        )
+        depth = args.k * 4 if args.rerank else args.k
+        cands = sim.ivfpq_topk_on_codes(
+            codes,
+            q,
+            model["centroids"],
+            model["codebooks"],
+            k=depth,
+            n_probe=args.n_probe,
+            dim=model["dim"],
+        )
+        if args.rerank:
+            result = sim.exact_rerank(cands, emb, q, k=args.k)
+            rows = [{"vec_id": r.vec_id, "cos": r.cos} for r in result.collect()]
+        else:
+            rows = [{"vec_id": r.vec_id, "score": r.score} for r in cands.collect()]
+        print(json.dumps({"query_id": args.query_id, "results": rows}))
     elif args.command == "dedup-index":
         from rnadam_spark.operators import dedup
 

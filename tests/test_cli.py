@@ -429,3 +429,67 @@ def test_cli_curate_pack_budget(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert back.agg(F.max("pack_offset")).collect()[0][0] < 40
+
+
+def test_cli_curate_bad_phrases_and_audit(spark, tmp_path, capsys):
+    import json
+
+    good = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!\n"
+            "A third clean normal sentence right here today?")
+    rows = [
+        (1, good, "en", "web", len(good)),
+        (2, good + " Contains a forbidden combination inside.", "en", "web", 200),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    bl = str(tmp_path / "phrases")
+    spark.createDataFrame([("Forbidden Combination",)], ["phrase"]).write.parquet(bl)
+
+    out = str(tmp_path / "out")
+    cli.main([
+        "curate", src, out, "-quality_min", "0.0",
+        "-bad_phrases", bl, "-audit",
+    ])
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1}
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    funnel = {f["stage"]: f for f in json.loads(line)["funnel"]}
+    assert funnel["input"]["n_remaining"] == 2
+
+
+def test_cli_ann_index_and_query(spark, tmp_path, capsys):
+    import json
+    import os
+    import random
+
+    rng = random.Random(9)
+    means = [[16.0 * (b == i) for i in range(4)] for b in range(4)]
+    rows = []
+    for b, mean in enumerate(means):
+        for i in range(20):
+            rows.append((b * 1000 + i, [v + rng.uniform(-0.5, 0.5) for v in mean]))
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>").write.parquet(src)
+
+    idx = str(tmp_path / "annidx")
+    cli.main(["ann-index", src, idx, "-n_centroids", "4", "-m", "2",
+              "-nbits", "2", "-iterations", "4", "-dim", "4"])
+    assert os.path.exists(os.path.join(idx, "model.json"))
+    assert any(d.startswith("cell=") for d in os.listdir(os.path.join(idx, "codes")))
+
+    cli.main(["ann-query", idx, src, "0", "-k", "10", "-n_probe", "1", "-rerank"])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+    ids = [r["vec_id"] for r in got["results"]]
+    from rnadam_spark.operators import similarity
+
+    exact = [r.vec_id for r in similarity.brute_force_topk(
+        spark.read.parquet(src), 0, 10).collect()]
+    # reranked IVFPQ over a clustered corpus recovers the exact top-10
+    assert set(ids) == set(exact)
+    # reranked scores are exact cosines, descending
+    coss = [r["cos"] for r in got["results"]]
+    assert coss == sorted(coss, reverse=True)
