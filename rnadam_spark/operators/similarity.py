@@ -394,7 +394,15 @@ def train_pq(
 
     Init is the deterministic hash-sample used by
     :func:`kmeans_centroids`, sliced per subspace; empty codes keep
-    their previous centroid."""
+    their previous centroid.
+
+    Cost note: the literal-codebook expressions make Catalyst analysis/
+    codegen pay a CONSTANT compile cost proportional to 2^nbits·dim
+    (seconds at m=8/nbits=4 — visible at toy scale in the bench extras,
+    amortized to noise over a corpus-scale scan). The alternative — a
+    broadcast codebook table joined per subspace — trades that constant
+    for a per-row join probe and an explode; plan-literal wins whenever
+    the scan is large, which is the regime this engine targets."""
     k = 2**nbits
     d_sub = dim // m
     assert m * d_sub == dim, "dim must be divisible by m"
@@ -561,6 +569,84 @@ def ivfpq_topk_on_codes(
         codes.filter(F.col("cell").isin(*[int(c) for c in ranked]))
         .select("vec_id", (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
         .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = DIM,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(vec_id, embedding): deterministic hashed-feature text embeddings
+    — char-``shingle_k``-gram counts feature-hashed into ``dim``
+    buckets, L2-normalized. The bridge from the text modality into
+    every embedding operator (``semantic_dedup``, ``bucket_near_pairs``,
+    PQ/IVF) when no model embeddings exist: near-duplicate texts share
+    most shingles, so their hashed vectors have high cosine.
+
+    Shape: one zero-shuffle projection. The in-row path builds the
+    bucket histogram via the run-length value-counts kernel
+    (``functions/runlength.py`` — sort + run-length on the row's OWN
+    grams, O(n log n) per row) and materializes the dense vector with a
+    map lookup per dimension; no explode, no groupBy, no Python."""
+    from rnadam_spark.functions.runlength import let_, value_counts
+    from rnadam_spark.functions.shingles import char_shingles
+
+    buckets = F.transform(
+        char_shingles(F.lower(F.col(text_col)), shingle_k),
+        lambda g: F.pmod(F.xxhash64(g), F.lit(dim)).cast("string"),
+    )
+    dense = let_(
+        F.map_from_entries(
+            F.transform(
+                value_counts(buckets),
+                lambda x: F.struct(
+                    x["value"].cast("int").alias("k"), x["cnt"].cast("double").alias("v")
+                ),
+            )
+        ),
+        lambda m: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.coalesce(F.element_at(m, d.cast("int")), F.lit(0.0)),
+        ),
+    )
+    norm = let_(
+        dense,
+        lambda v: let_(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
+            lambda n: F.transform(
+                v, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0))
+            ),
+        ),
+    )
+    return docs.select(F.col(id_col).alias("vec_id"), norm.alias("embedding"))
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+) -> DataFrame:
+    """(vec_id, cos): exact-cosine rerank of an ANN candidate set — the
+    standard two-stage retrieval: PQ/IVF recalls a generous candidate
+    list from the compressed representation, then only those rows'
+    float vectors are read for exact scoring. Candidate ids broadcast
+    (bounded by the ANN k'), the join prunes the embedding scan, and
+    the final top-k is a TakeOrdered."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings.join(F.broadcast(candidates.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            (
+                F.floor(cosine(_as_double("embedding"), q) * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
         .limit(k)
     )
 

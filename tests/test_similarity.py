@@ -341,3 +341,49 @@ def test_ivfpq_on_stored_codes(spark):
         codes.filter("vec_id != 0"), q, cents, books, k=30, n_probe=4, dim=4
     ).collect()]
     assert allp == a
+
+
+def test_hash_embed_properties(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),  # near-dup
+        (3, "entirely different content about pasta and tomatoes"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = similarity.hash_embed(docs, dim=32)
+    got = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert all(len(v) == 32 for v in got.values())
+    # unit norm (or zero for empty text)
+    for vid, v in got.items():
+        n = sum(x * x for x in v) ** 0.5
+        assert abs(n - 1.0) < 1e-9 or (vid == 4 and n == 0.0), (vid, n)
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(got[1], got[2]) > 0.95          # near-dups nearly parallel
+    assert cos(got[1], got[3]) < cos(got[1], got[2])
+    # layout-independent
+    got2 = {r.vec_id: list(r.embedding) for r in
+            similarity.hash_embed(docs.repartition(3), dim=32).collect()}
+    assert got == got2
+    # zero-shuffle projection
+    from rnadam_spark.plans.checks import count_shuffles
+    assert count_shuffles(similarity.hash_embed(docs, dim=32)) == 0
+
+
+def test_semantic_dedup_over_hash_embeddings(spark):
+    # the text -> embedding bridge composes with semantic dedup: exact
+    # textual duplicates collapse, distinct docs survive
+    rows = [(i, f"totally unique document number {i} with distinct content words {i*7}")
+            for i in range(8)]
+    rows += [(100, rows[0][1]), (101, rows[0][1])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = similarity.hash_embed(docs, dim=32)
+    got = {r.vec_id: r for r in
+           similarity.semantic_dedup(emb, min_cos=0.9999, k=4, dim=32).collect()}
+    assert got[0].keep and got[0].component == 0
+    assert not got[100].keep and got[100].component == 0
+    assert not got[101].keep and got[101].component == 0
+    assert all(got[i].keep for i in range(1, 8))
