@@ -84,6 +84,29 @@ def _bmp_dims(payload: bytes) -> tuple[int, int] | None:
     return abs(width), abs(height)
 
 
+def _png_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL PNG dimension decode with the stdlib: 8-byte signature,
+    then the IHDR chunk is required first — width/height are big-endian
+    uint32 at bytes 16 and 20."""
+    import struct
+
+    if len(payload) < 24 or payload[:8] != b"\x89PNG\r\n\x1a\n" or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", payload, 16)
+    return width, height
+
+
+def _gif_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL GIF dimension decode with the stdlib: 'GIF87a'/'GIF89a'
+    magic, then logical-screen width/height as little-endian uint16."""
+    import struct
+
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack_from("<HH", payload, 6)
+    return width, height
+
+
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     """DETERMINISTIC FAKE decoder (no codecs in this container): derives
     pseudo-dimensions from payload bytes. Used only when neither the
@@ -111,9 +134,16 @@ def _pil_dims(payload: bytes) -> tuple[int, int] | None:
 
 
 def _decode_dims(payload: bytes) -> tuple[int, int]:
-    """Real decode first (stdlib BMP parse, then PIL if installed);
-    clearly-marked deterministic fake only as the last resort."""
-    return _bmp_dims(payload) or _pil_dims(payload) or _fake_decode_dims(payload)
+    """Real decode first (stdlib BMP/PNG/GIF header parses, then PIL if
+    installed for everything else); clearly-marked deterministic fake
+    only as the last resort."""
+    return (
+        _bmp_dims(payload)
+        or _png_dims(payload)
+        or _gif_dims(payload)
+        or _pil_dims(payload)
+        or _fake_decode_dims(payload)
+    )
 
 
 def decode_assets(assets: DataFrame) -> DataFrame:

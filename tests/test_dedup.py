@@ -206,3 +206,49 @@ def test_incremental_near_dups(spark):
         incremental_near_dups(new_shard, index_sigs, est_threshold=0.0, max_bucket=0).count()
         == 0
     )
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # the incremental-ingest similarity is the MinHash component-
+    # agreement estimator; on random shingle sets with known overlap the
+    # estimate must track exact Jaccard within the 16-hash std error
+    import random
+
+    from rnadam_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_signatures,
+        verify_pairs,
+    )
+
+    rng = random.Random(17)
+    words = [f"w{i:03d}" for i in range(400)]
+
+    def doc(frac_shared, salt):
+        n = 60
+        shared = words[: int(n * frac_shared)]
+        own = [f"{salt}{i}" for i in range(n - len(shared))]
+        toks = shared + own
+        rng.shuffle(toks)
+        return " ".join(toks)
+
+    store_rows = [(i, doc(0.9, f"s{i}_")) for i in range(10)]
+    new_rows = [(100 + i, doc(0.9, f"n{i}_")) for i in range(10)]
+    store = spark.createDataFrame(store_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    sigs = minhash_signatures(store)
+    est = {
+        (r.new_id, r.index_id): r.est_jaccard
+        for r in incremental_near_dups(new, sigs, est_threshold=0.0).collect()
+    }
+    assert est  # high overlap -> bands collide
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in est], ["doc_a", "doc_b"]
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in verify_pairs(
+            pairs_df, store.union(new), threshold=0.0
+        ).collect()
+    }
+    errs = [abs(est[p] - exact[p]) for p in est if p in exact]
+    assert errs and sum(errs) / len(errs) < 0.15  # 16-hash estimator noise

@@ -133,3 +133,30 @@ def test_audio_stats_real_wav_decode(spark):
 
     with wave.open(io.BytesIO(rows[1][2]), "rb") as w:
         assert (w.getnchannels(), w.getframerate()) == (got[2].channels, got[2].sample_rate)
+
+
+def test_png_gif_header_decode(spark):
+    import struct
+    import zlib
+
+    from rnadam_spark.operators.multimodal import ASSETS, decode_assets
+
+    def png_bytes(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", len(ihdr)) + chunk
+                + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+
+    def gif_bytes(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 10
+
+    rows = [
+        (1, "image", png_bytes(640, 480), None),
+        (2, "image", gif_bytes(320, 200), None),
+        (3, "image", b"\x89PNGbut-truncated", None),  # falls to fake, no crash
+    ]
+    got = {r.asset_id: r for r in decode_assets(spark.createDataFrame(rows, ASSETS)).collect()}
+    assert (got[1].width, got[1].height) == (640, 480)   # REAL PNG decode
+    assert (got[2].width, got[2].height) == (320, 200)   # REAL GIF decode
+    assert got[3].width > 0 and got[3].height > 0
