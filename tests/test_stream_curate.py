@@ -86,3 +86,30 @@ def test_cli_curate_stream_incremental(spark, tmp_path):
     assert {r.doc_id for r in second.collect()} == {1, 3}
     # doc 1 appears exactly once: wave 1's file was not reprocessed
     assert second.filter(F.col("doc_id") == 1).count() == 1
+
+
+def test_cli_curate_stream_parquet_format(spark, tmp_path):
+    good = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!\n"
+            "A third clean normal sentence right here today?")
+    arrivals = tmp_path / "pq_arrivals"
+    arrivals.mkdir()
+    spark.createDataFrame(
+        [(1, good, "en", "web", len(good))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(str(arrivals / "w1"))
+    # the file stream watches a flat dir; move the data file up
+    import glob
+    import shutil
+
+    for f in glob.glob(str(arrivals / "w1" / "*.parquet")):
+        shutil.move(f, str(arrivals / "wave1.parquet"))
+    shutil.rmtree(str(arrivals / "w1"))
+
+    out = str(tmp_path / "pq_out")
+    ckpt = str(tmp_path / "pq_ckpt")
+    cli.main(["curate-stream", str(arrivals), out, ckpt,
+              "-format", "parquet", "-quality_min", "0.0"])
+    back = spark.read.parquet(out)
+    assert {r.doc_id for r in back.collect()} == {1}
+    assert "quality" in back.columns
