@@ -1,1 +1,1 @@
-from rnadam_spark.operators import dedup, funnel, search, similarity, text, unigram  # noqa: F401
+from rnadam_spark.operators import dedup, funnel, graph, search, similarity, text, unigram  # noqa: F401

@@ -1,0 +1,87 @@
+"""Iterative graph scoring: PageRank over an edge DataFrame.
+
+Web-curation pipelines weight documents by source authority (quality
+classifiers use domain rank as a feature; sampling upweights reputable
+domains). The link graph arrives as edges (src, dst) — e.g. document
+domains → domains they link to, from ``operators/web.urls_of`` — and
+PageRank turns it into a stationary score per node.
+
+Scale shape, mirroring the engine's other driver-loop algorithms (EM
+``algorithms/quantify.py``, connected components
+``operators/clustering.py``):
+
+- ranks and out-degrees are node-keyed DataFrames; per iteration ONE
+  join (edges ⋈ ranks — both sides hash-partition on the same key, so
+  a reused partitioning serves every iteration) + one groupBy(dst)
+  whose sum partial-aggregates map-side;
+- dangling nodes (no out-edges) leak their mass; the standard fix
+  redistributes it uniformly — the dangling sum is ONE scalar to the
+  driver per iteration (the bounded-loop-state pattern), folded into
+  the teleport term;
+- lineage truncates every iteration (``checkpoint_dir`` switches to
+  reliable checkpoints, as everywhere else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.lineage import truncate_lineage
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, rank): PageRank after ``iterations`` power steps with
+    uniform teleport and uniform dangling-mass redistribution; ranks
+    sum to 1 every iteration. Duplicate (src, dst) rows count as
+    parallel edges (weight by multiplicity); self-loops participate
+    like any edge."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes.repartition("node"), checkpoint_dir)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    # loop-static: node set with out-degree (null degree = dangling)
+    base = truncate_lineage(nodes.join(out_deg, "node", "left"), checkpoint_dir)
+    ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "_deg")
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.filter(F.col("_deg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(ranks, "node")
+            .select(F.col("_dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        teleport = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+                "_deg",
+            )
+        )
+        ranks = truncate_lineage(ranks, checkpoint_dir)
+    return ranks.select("node", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).alias("_r")).select(
+        "node", (F.col("_r") / 1e9).alias("rank")
+    )

@@ -85,3 +85,18 @@ def filter_blocklisted_domains(
     )
     offenders = doc_domains.join(bl, "_domain", "leftsemi").select(id_col).distinct()
     return docs.join(offenders, id_col, "left_anti")
+
+
+def domain_edges(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(src, dst): the domain link graph — one edge from a document's
+    own source/domain to each distinct domain its text links to
+    (multiplicity = number of linking documents, which is what a
+    PageRank over curation sources should weight by). Feed to
+    ``operators.graph.pagerank`` for domain-authority scores, the
+    standard quality prior for web corpora."""
+    return docs.select(
+        F.lower(F.col(source_col)).alias("src"),
+        F.explode(domains_of(text_col)).alias("dst"),
+    ).filter(F.col("src").isNotNull() & (F.length("dst") > 0))

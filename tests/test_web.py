@@ -90,3 +90,24 @@ def test_filter_blocklist_plan_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # blocklist semi-join never shuffles the corpus
+
+
+def test_domain_edges_feed_pagerank(spark):
+    from rnadam_spark.operators.graph import pagerank
+    from rnadam_spark.operators.web import domain_edges
+
+    rows = [
+        (1, "see https://hub.example/a and https://other.io/b", "en", "siteA", 50),
+        (2, "also https://hub.example/c", "en", "siteB", 30),
+        (3, "no links here", "en", "siteC", 20),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    edges = domain_edges(docs)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {("sitea", "hub.example"), ("sitea", "other.io"), ("siteb", "hub.example")}
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    # the doubly-linked hub outranks every source and the singly-linked domain
+    assert max(ranks, key=ranks.get) == "hub.example"
+    assert ranks["hub.example"] > ranks["other.io"]
