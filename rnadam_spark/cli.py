@@ -9,7 +9,8 @@ plus the north-star curation command over a documents table:
 
   rnadam-spark curate DOCUMENTS OUTPUT [-quality_min X]
       [-chunk_chars N] [-chunk_overlap N] [-partition_by COL]
-      [-skip_normalize] [-c4] [-dedup_lines] [-max_dup_5gram X]
+      [-skip_normalize] [-c4] [-dedup_lines] [-span_dedup N]
+      [-max_dup_5gram X]
       [-max_perplexity X -lm_sample_frac F]
       [-classifier_weights PQ -classifier_intercept B -classifier_min P]
       [-mixture_alpha A -mixture_group COL]
@@ -131,6 +132,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "-dedup_lines",
         action="store_true",
         help="drop corpus-wide repeated lines (C4-style boilerplate dedup)",
+    )
+    c.add_argument(
+        "-span_dedup",
+        type=int,
+        default=0,
+        help="delete every exact duplicated span of >= N tokens "
+        "(Lee et al. 2021 substring dedup); runs on the dedup survivors",
     )
     c.add_argument(
         "-max_dup_5gram",
@@ -374,6 +382,18 @@ def _run_curate(spark, args) -> None:
             F.col("node").alias("doc_id")
         )
         curated = curated.join(losers, "doc_id", "left_anti")
+    if args.span_dedup:
+        from rnadam_spark.operators.spans import remove_duplicated_spans
+
+        # after doc-level dedup (whole-document copies already collapsed
+        # to canonicals), delete the remaining verbatim passages shared
+        # ACROSS distinct documents — then drop docs the cut emptied
+        curated = (
+            remove_duplicated_spans(curated, min_tokens=args.span_dedup)
+            .filter(F.col("n_tokens_before") > F.col("n_tokens_removed"))
+            .select("doc_id", "text")
+            .join(curated.drop("text"), "doc_id")
+        )
     if args.mixture_alpha is not None:
         from rnadam_spark.operators import lm
 

@@ -1,0 +1,175 @@
+"""Cross-document duplicated-span detection and removal.
+
+Document-level dedup (exact / MinHash / SimHash, operators/dedup.py)
+misses the most common real-world duplication: long verbatim passages —
+license blocks, navigation boilerplate, quoted articles — embedded in
+otherwise-distinct documents. Lee et al. 2021 ("Deduplicating Training
+Data Makes Language Models Better") remove every exact substring of
+>= 50 tokens that occurs more than once in the corpus; this module is
+that operator, Spark-first.
+
+The paper builds a single corpus-wide suffix array — inherently
+sequential and memory-hungry. The distributed re-expression: a span of
+``min_tokens`` is duplicated iff every length-``min_tokens`` token
+window inside it is duplicated, so detecting duplicated WINDOWS and
+merging overlapping hits per document reconstructs exactly the maximal
+duplicated spans, with only bulk-synchronous primitives:
+
+1. every document's length-``min_tokens`` token windows hash in-row
+   (``xxhash64`` over the window's joined tokens — JVM, no Python);
+2. one groupBy(window_hash) marks hashes occurring >= 2 times in the
+   corpus (map-side partial counts; the count cap means the aggregate
+   state per key is one BIGINT no matter how hot a boilerplate gram is);
+3. hits join back on the hash and re-group by doc_id — per-document
+   state is its own hit-position list, bounded by document length like
+   every in-row kernel here;
+4. hit positions merge into maximal spans with one in-row fold.
+
+Total cost: two shuffles (window hash, doc_id) + one hash-keyed join —
+the same shape as ``ngram_jaccard_pairs``. No suffix array, no sort of
+the corpus, nothing on the driver.
+
+Caveats, pinned in tests: windows hash — two different windows colliding
+under xxhash64 (p ~ 2^-64 per pair) would over-mark; removal operates at
+token granularity and re-joins kept tokens with single spaces (run
+``normalize_text`` upstream so whitespace is already canonical);
+documents duplicated IN WHOLE are entirely duplicated spans — run exact
+dedup (keep one copy) first, or both copies are emptied, which is the
+correct Lee-et-al semantics but rarely what a pipeline wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.shingles import token_ngrams, tokens
+
+
+def _window_hashes(text_col: str, min_tokens: int) -> Column:
+    """In-row BIGINT hashes of every ``min_tokens``-token window."""
+    return F.transform(token_ngrams(text_col, min_tokens), lambda g: F.xxhash64(g))
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal token spans
+    (0-based, inclusive token indices) whose every ``min_tokens`` window
+    occurs >= 2 times corpus-wide — i.e. the passages Lee et al. 2021
+    would delete. A span's tokens are ``[span_start, span_end]`` and
+    ``span_tokens = span_end − span_start + 1 >= min_tokens``.
+
+    Occurrences count across AND within documents (a passage pasted
+    twice into one document is duplicated text all the same).
+    """
+    if min_tokens < 1:
+        raise ValueError("min_tokens must be >= 1")
+    windows = docs.select(
+        F.col(id_col), F.posexplode(_window_hashes(text_col, min_tokens)).alias("pos", "wh")
+    )
+    dup = (
+        windows.groupBy("wh")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("wh")
+    )
+    # hit windows per doc; the dup set is unbounded (boilerplate-heavy
+    # corpora mark most windows) so the join stays AQE-planned, not
+    # force-broadcast
+    hits = windows.join(dup, "wh").groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_hits")
+    )
+    spans = _merge_hit_positions(F.col("_hits"), min_tokens)
+    return hits.select(F.col(id_col), F.explode(spans).alias("s")).select(
+        id_col,
+        F.col("s.s").cast("bigint").alias("span_start"),
+        F.col("s.e").cast("bigint").alias("span_end"),
+        (F.col("s.e") - F.col("s.s") + 1).cast("bigint").alias("span_tokens"),
+    )
+
+
+def _merge_hit_positions(hits: Column, min_tokens: int) -> Column:
+    """Fold a SORTED array of duplicated-window start positions into
+    maximal disjoint spans: window ``p`` covers tokens [p, p+L−1], and
+    a window starting at or before ``end + 1`` extends the open span
+    (touching spans cover contiguous tokens, so they merge). One
+    ``F.aggregate`` — JVM-side, per-row state bounded by the hit list.
+    """
+    acc_t = "struct<spans: array<struct<s: int, e: int>>, cs: int, ce: int>"
+    init = F.struct(
+        F.array().cast("array<struct<s: int, e: int>>").alias("spans"),
+        F.lit(None).cast("int").alias("cs"),
+        F.lit(None).cast("int").alias("ce"),
+    ).cast(acc_t)
+
+    def step(acc: Column, p: Column) -> Column:
+        w_end = (p + F.lit(min_tokens - 1)).cast("int")
+        open_new = F.struct(acc["spans"].alias("spans"), p.cast("int").alias("cs"), w_end.alias("ce"))
+        extend = F.struct(
+            acc["spans"].alias("spans"),
+            acc["cs"].alias("cs"),
+            F.greatest(acc["ce"], w_end).alias("ce"),
+        )
+        close_and_open = F.struct(
+            F.concat(
+                acc["spans"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            ).alias("spans"),
+            p.cast("int").alias("cs"),
+            w_end.alias("ce"),
+        )
+        return (
+            F.when(acc["cs"].isNull(), open_new.cast(acc_t))
+            .when(p <= acc["ce"] + 1, extend.cast(acc_t))
+            .otherwise(close_and_open.cast(acc_t))
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["cs"].isNull(), acc["spans"]).otherwise(
+            F.concat(acc["spans"], F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))))
+        )
+
+    return F.aggregate(hits, init, step, finish)
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text, n_tokens_before, n_tokens_removed): the corpus
+    with every duplicated span's tokens deleted — the Lee et al. 2021
+    cleaning step. Pass ``spans`` (from :func:`duplicated_spans`,
+    possibly filtered/audited first) to skip re-detection; kept tokens
+    re-join with single spaces (normalize whitespace upstream).
+
+    Documents with no duplicated span pass through with their token-
+    normalized text (LEFT join on the span table — a row never vanishes
+    from the corpus here; dropping now-empty documents is the caller's
+    ``filter("n_tokens_before > n_tokens_removed")``).
+    """
+    if spans is None:
+        spans = duplicated_spans(docs, min_tokens, text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))).alias(
+            "_spans"
+        )
+    )
+    toks = tokens(text_col)
+    joined = docs.join(per_doc, id_col, "left")
+    sp = F.coalesce(F.col("_spans"), F.array().cast("array<struct<s: bigint, e: bigint>>"))
+    covered = lambda i: F.exists(sp, lambda s: (s["s"] <= i) & (i <= s["e"]))  # noqa: E731
+    kept = F.filter(toks, lambda t, i: ~covered(i.cast("bigint")))
+    n_before = F.size(toks).cast("bigint")
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        n_before.alias("n_tokens_before"),
+        (n_before - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )

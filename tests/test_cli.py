@@ -493,3 +493,24 @@ def test_cli_ann_index_and_query(spark, tmp_path, capsys):
     # reranked scores are exact cosines, descending
     coss = [r["cos"] for r in got["results"]]
     assert coss == sorted(coss, reverse=True)
+
+
+def test_cli_curate_span_dedup(spark, tmp_path):
+    # an 8-token boilerplate passage shared by two otherwise-distinct
+    # docs; -span_dedup 4 deletes it from both, keeps both docs
+    boiler = "all rights reserved contact the site administrator promptly"
+    a = "Fresh article about mountain hiking routes and gear. " + boiler
+    b = boiler + " Completely different essay on baking sourdough bread well."
+    c = "A clean document with no shared passages in it at all today."
+    rows = [(1, a, "en", "web", len(a)), (2, b, "en", "web", len(b)),
+            (3, c, "en", "web", len(c))]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    cli.main(["curate", src, out, "-quality_min", "0.0", "-span_dedup", "4"])
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).select("doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}
+    assert "rights reserved" not in got[1] and "rights reserved" not in got[2]
+    assert "mountain hiking" in got[1] and "sourdough" in got[2]

@@ -1,0 +1,134 @@
+"""Duplicated-span detection/removal (operators/spans.py) vs a pure
+Python reference of the Lee et al. 2021 semantics: a maximal token span
+is duplicated iff every ``min_tokens`` window inside it occurs >= 2
+times corpus-wide."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from rnadam_spark.operators.spans import duplicated_spans, remove_duplicated_spans
+
+
+def _py_spans(texts: dict[int, str], L: int) -> dict[int, list[tuple[int, int]]]:
+    """Reference: hash-free window counting + interval merge."""
+    toks = {d: t.split() for d, t in texts.items()}
+    counts: Counter = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - L + 1):
+            counts[tuple(ts[i : i + L])] += 1
+    out: dict[int, list[tuple[int, int]]] = {}
+    for d, ts in toks.items():
+        hits = [i for i in range(len(ts) - L + 1) if counts[tuple(ts[i : i + L])] >= 2]
+        spans: list[tuple[int, int]] = []
+        for p in hits:
+            e = p + L - 1
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((p, e))
+        if spans:
+            out[d] = spans
+    return out
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _text(seq: list[int]) -> str:
+    return " ".join(WORDS[i % len(WORDS)] + str(i) for i in seq)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    shared = list(range(100, 108))  # an 8-token passage pasted into docs 1 and 2
+    texts = {
+        1: _text(list(range(0, 20)) + shared + list(range(40, 50))),
+        2: _text(list(range(60, 70)) + shared + list(range(80, 95))),
+        3: _text(list(range(200, 230))),  # clean document
+        4: _text(list(range(300, 310)) + list(range(300, 310))),  # self-repeat
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id bigint, text string"
+    )
+    return texts, df
+
+
+def test_spans_match_python_reference(corpus):
+    texts, df = corpus
+    for L in (4, 8):
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicated_spans(df, min_tokens=L).collect()
+        }
+        want = {
+            (d, s, e) for d, spans in _py_spans(texts, L).items() for s, e in spans
+        }
+        assert got == want, f"L={L}"
+
+
+def test_span_tokens_at_least_min(corpus):
+    _, df = corpus
+    rows = duplicated_spans(df, min_tokens=4).collect()
+    assert rows and all(r["span_tokens"] >= 4 for r in rows)
+
+
+def test_removal_leaves_no_duplicated_spans(corpus):
+    _, df = corpus
+    cleaned = remove_duplicated_spans(df, min_tokens=4)
+    rows = {r["doc_id"]: r for r in cleaned.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # no document vanishes
+    assert rows[3]["n_tokens_removed"] == 0
+    assert rows[1]["n_tokens_removed"] >= 8
+    # re-detect on the cleaned corpus: nothing left
+    assert duplicated_spans(cleaned, min_tokens=4).count() == 0
+
+
+def test_removal_matches_reference_token_sets(corpus):
+    texts, df = corpus
+    want_spans = _py_spans(texts, 4)
+    rows = {r["doc_id"]: r for r in remove_duplicated_spans(df, min_tokens=4).collect()}
+    for d, text in texts.items():
+        ts = text.split()
+        drop = {
+            i for s, e in want_spans.get(d, []) for i in range(s, e + 1)
+        }
+        want = " ".join(t for i, t in enumerate(ts) if i not in drop)
+        assert rows[d]["text"] == want
+        assert rows[d]["n_tokens_before"] == len(ts)
+        assert rows[d]["n_tokens_removed"] == len(drop)
+
+
+def test_partitioning_invariance(corpus):
+    _, df = corpus
+    a = sorted(map(tuple, duplicated_spans(df, min_tokens=4).collect()))
+    b = sorted(map(tuple, duplicated_spans(df.repartition(7), min_tokens=4).collect()))
+    assert a == b
+
+
+def test_precomputed_spans_path(corpus):
+    _, df = corpus
+    spans = duplicated_spans(df, min_tokens=4)
+    via_spans = remove_duplicated_spans(df, min_tokens=4, spans=spans)
+    direct = remove_duplicated_spans(df, min_tokens=4)
+    assert sorted(map(tuple, via_spans.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_short_docs_yield_no_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    # 3-token docs, 5-token windows: nothing to mark even though the
+    # docs are exact duplicates (that is exact dedup's job)
+    assert duplicated_spans(df, min_tokens=5).count() == 0
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, min_tokens=5).collect()}
+    assert out[1]["text"] == "a b c" and out[1]["n_tokens_removed"] == 0
+
+
+def test_no_python_boundary(corpus):
+    _, df = corpus
+    plan = duplicated_spans(df, min_tokens=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
