@@ -190,6 +190,7 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
 
     from rnadam_spark.operators import lm as lmod
     from rnadam_spark.operators import repetition, similarity, text, web
+    from rnadam_spark.operators import spans as spans_mod
     from rnadam_spark.operators.sampling import hash_sample
     from rnadam_spark.sources.tables import load_table
 
@@ -243,6 +244,12 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
         "repetition_stats": timed(lambda: repetition.repetition_stats(docs)),
         "dedup_lines": timed(lambda: repetition.dedup_lines(docs)),
         "url_stats": timed(lambda: web.url_stats(docs)),
+        # detection + removal in one plan (removal recomputes spans —
+        # the honest single-pass cost; L=13 matches the decontamination
+        # window so the driver corpus has hittable windows)
+        "remove_duplicated_spans": timed(
+            lambda: spans_mod.remove_duplicated_spans(docs, min_tokens=13)
+        ),
         "redact_pii": timed(lambda: text.redact_pii(docs)),
         "lm_train_and_perplexity": timed(lambda: lmod.lm_perplexity(docs, model)),
         "classifier_score": timed(lambda: lmod.classifier_score(docs, weights)),

@@ -9,7 +9,7 @@ plus the north-star curation command over a documents table:
 
   rnadam-spark curate DOCUMENTS OUTPUT [-quality_min X]
       [-chunk_chars N] [-chunk_overlap N] [-partition_by COL]
-      [-skip_normalize] [-c4] [-dedup_lines] [-span_dedup N]
+      [-skip_normalize] [-c4] [-gopher] [-dedup_lines] [-span_dedup N]
       [-max_dup_5gram X]
       [-max_perplexity X -lm_sample_frac F]
       [-classifier_weights PQ -classifier_intercept B -classifier_min P]
@@ -89,6 +89,13 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="apply the C4 line+page heuristic cleaning rules (drops "
         "non-keep_doc pages, keeps only qualifying lines)",
+    )
+    c.add_argument(
+        "-gopher",
+        action="store_true",
+        help="drop documents failing the Gopher document-quality rules "
+        "(word count, mean word length, symbol ratio, bullet/ellipsis "
+        "lines, alphabetic-word fraction, stop words)",
     )
     c.add_argument(
         "-near_dedup",
@@ -308,6 +315,11 @@ def _run_curate(spark, args) -> None:
             .select("doc_id", "text")
             .join(docs.drop("text"), "doc_id")
         )
+    if args.gopher:
+        # document-level drops only (no text rewrite): one projection
+        # computes the rule stats, the filter rides the same scan
+        keep = text.gopher_quality(docs).filter(F.col("keep_doc")).select("doc_id")
+        docs = docs.join(keep, "doc_id")
     scrubbed = text.redact_pii(docs).join(docs.drop("text"), "doc_id")
     if args.dedup_lines:
         scrubbed = repetition.dedup_lines(scrubbed).select("doc_id", "text").join(

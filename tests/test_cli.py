@@ -514,3 +514,19 @@ def test_cli_curate_span_dedup(spark, tmp_path):
     assert set(got) == {1, 2, 3}
     assert "rights reserved" not in got[1] and "rights reserved" not in got[2]
     assert "mountain hiking" in got[1] and "sourdough" in got[2]
+
+
+def test_cli_curate_gopher(spark, tmp_path):
+    good = ("The dataset pipeline needs to be clean and it must have documents "
+            "that read like prose with normal words of sensible length so the "
+            "filters keep them here today. ") * 3
+    bullets = "\n".join("• item " + str(i) for i in range(10))
+    rows = [(1, good, "en", "web", len(good)), (2, bullets, "en", "web", len(bullets))]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    cli.main(["curate", src, out, "-quality_min", "0.0", "-gopher"])
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1}
