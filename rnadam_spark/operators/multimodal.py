@@ -471,6 +471,49 @@ def dhash_hamming_pairs(
     )
 
 
+def video_near_pairs(
+    assets: DataFrame,
+    n_frames: int = 4,
+    max_distance: int = 6,
+    min_matching_frames: int = 2,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """(video_a, video_b, n_frame_matches): near-duplicate VIDEO pairs —
+    two videos count as near-dups when at least ``min_matching_frames``
+    of their sampled frames perceptually match (dHash within
+    ``max_distance`` bits), at ANY frame position, so re-trimmed or
+    re-muxed copies still collide.
+
+    Pure composition of the existing kernels: :func:`sample_frames`
+    slices each video into ``n_frames`` frame payloads (JVM byte
+    slicing), each frame dHashes like an image
+    (:func:`dhash_assets` — real decode where the frame bytes are a
+    decodable image, marked fake otherwise), frame-level candidates come
+    from the same 64-bit pigeonhole banding
+    (:func:`dhash_hamming_pairs`), and one groupBy counts matching frame
+    pairs per video pair. Frame identity rides as
+    ``asset_id · n_frames + frame_idx`` so the pair machinery needs no
+    schema change; same-video frame pairs drop before the count."""
+    frames = sample_frames(assets, n_frames)
+    frame_assets = frames.select(
+        (F.col("asset_id") * n_frames + F.col("frame_idx")).alias("asset_id"),
+        F.col("frame_data").alias("data"),
+    )
+    fh = dhash_assets(frame_assets)
+    pairs = dhash_hamming_pairs(fh, max_distance=max_distance, max_bucket=max_bucket)
+    va = F.floor(F.col("asset_a") / n_frames)
+    vb = F.floor(F.col("asset_b") / n_frames)
+    return (
+        pairs.select(
+            F.least(va, vb).alias("video_a"), F.greatest(va, vb).alias("video_b")
+        )
+        .filter(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count("*").cast("bigint").alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= min_matching_frames)
+    )
+
+
 RESIZED = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

@@ -121,3 +121,31 @@ def test_fake_path_is_deterministic(spark):
     a = mm.dhash_assets(df).collect()[0].dhash
     b = mm.dhash_assets(df.repartition(3)).collect()[0].dhash
     assert a == b
+
+
+def test_video_near_pairs(spark):
+    # videos as concatenations of 4 equal-size BMP "frames":
+    # sample_frames' equal-byte slicing then recovers each BMP exactly,
+    # so the per-frame dHash runs the REAL decode path end-to-end
+    rng = np.random.RandomState(23)
+    imgs = [rng.randint(0, 256, size=(16, 16)).astype("uint8") for _ in range(8)]
+    frames_a = [imgs[0], imgs[1], imgs[2], imgs[3]]
+    # shares two frames with A (one brightness-shifted), different ends
+    shifted = np.clip(imgs[1].astype(int) + 4, 0, 255).astype("uint8")
+    frames_b = [imgs[4], shifted, imgs[2], imgs[5]]
+    frames_c = [imgs[6], imgs[7], imgs[6], imgs[7]]  # unrelated
+    def vid(frames):
+        return bytearray(b"".join(_bmp_with_pixels(f) for f in frames))
+    rows = [
+        (1, "video", vid(frames_a), {}),
+        (2, "video", vid(frames_b), {}),
+        (3, "video", vid(frames_c), {}),
+    ]
+    got = {
+        (r.video_a, r.video_b): r.n_frame_matches
+        for r in mm.video_near_pairs(
+            spark.createDataFrame(rows, mm.ASSETS), min_matching_frames=2
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in p for p in got)
