@@ -268,6 +268,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="append the new shard's signatures to the store afterwards",
     )
 
+    dif = sub.add_parser(
+        "diff",
+        help="per-document delta between two corpus snapshots (added/"
+        "removed/changed/unchanged); prints the summary JSON and "
+        "optionally writes the added+changed slice for incremental "
+        "re-processing",
+    )
+    dif.add_argument("old", help="parquet: previous snapshot")
+    dif.add_argument("new", help="parquet: current snapshot")
+    dif.add_argument(
+        "-changed_out",
+        default=None,
+        help="write the new snapshot's added+changed documents here "
+        "(the slice to feed dedup-index/ingest and embedding stages)",
+    )
+
     pr = sub.add_parser(
         "profile", help="one-pass corpus profile (sizes, dup rate, language mix)"
     )
@@ -615,6 +631,23 @@ def main(argv: list[str] | None = None) -> None:
             dedup.minhash_signatures(new_docs).write.mode("append").parquet(
                 args.signature_store
             )
+    elif args.command == "diff":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from rnadam_spark.operators.diffing import corpus_diff, diff_summary
+
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        diff = corpus_diff(old, new)
+        if args.changed_out:
+            slice_df = new.join(
+                diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+                "doc_id",
+            )
+            slice_df.write.mode("overwrite").parquet(args.changed_out)
+        print(json.dumps(diff_summary(diff)))
     elif args.command == "profile":
         _run_profile(spark, args)
     elif args.command == "index":

@@ -530,3 +530,22 @@ def test_cli_curate_gopher(spark, tmp_path):
     cli.main(["curate", src, out, "-quality_min", "0.0", "-gopher"])
     kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert kept == {1}
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    import json
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "a", "en", "w", 1), (2, "b", "en", "w", 1)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b CHANGED", "en", "w", 9), (3, "c", "en", "w", 1)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(new)
+    out = str(tmp_path / "delta")
+    cli.main(["diff", old, new, "-changed_out", out])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line) == {"added": 1, "removed": 1, "changed": 1, "unchanged": 0}
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2, 3}
