@@ -43,6 +43,52 @@ def corpus_diff(
     )
 
 
+def vocabulary_shift(
+    old: DataFrame,
+    new: DataFrame,
+    top_k: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, p_old, p_new, js_contribution): token-distribution drift
+    between two corpus snapshots — the monitoring stat that catches a
+    crawl suddenly full of spam, a language mix shift, or a broken
+    extraction stage BEFORE the tokens reach training. ``p_*`` are term
+    frequencies normalized per snapshot; ``js_contribution`` is the
+    token's summand of the Jensen-Shannon divergence
+    (``½·p·ln(p/m) + ½·q·ln(q/m)``, ``m = (p+q)/2`` — finite with
+    zeros, no smoothing needed, and the contributions SUM to the JS
+    divergence, so ``agg(sum(js_contribution))`` is the scalar drift
+    number). ``top_k`` keeps the biggest movers via TakeOrdered.
+
+    Shape: each vocabulary is one explode + one token groupBy (partial
+    aggregates map-side; output bounded by the language's vocabulary,
+    not corpus size), then a token-keyed full-outer join of the two
+    bounded tables with broadcast scalar totals."""
+    from rnadam_spark.operators.text import vocabulary
+
+    def probs(df: DataFrame, name: str) -> DataFrame:
+        v = vocabulary(df, text_col=text_col).select("token", "tf")
+        tot = v.agg(F.sum("tf").alias("_tot"))
+        return v.crossJoin(F.broadcast(tot)).select(
+            "token", (F.col("tf").cast("double") / F.col("_tot")).alias(name)
+        )
+
+    joined = probs(old, "p_old").join(probs(new, "p_new"), "token", "full_outer")
+    p = F.coalesce(F.col("p_old"), F.lit(0.0))
+    q = F.coalesce(F.col("p_new"), F.lit(0.0))
+    m = (p + q) / 2
+    term = lambda x: F.when(x > 0, 0.5 * x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    out = joined.select(
+        "token",
+        p.alias("p_old"),
+        q.alias("p_new"),
+        (term(p) + term(q)).alias("js_contribution"),
+    )
+    if top_k is not None:
+        return out.orderBy(F.col("js_contribution").desc(), "token").limit(top_k)
+    return out
+
+
 def diff_summary(diff: DataFrame) -> dict[str, int]:
     """{status: count} from a :func:`corpus_diff` result — four scalars
     to the driver (the bounded-loop-state pattern), for release notes
