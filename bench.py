@@ -190,6 +190,8 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
 
     from rnadam_spark.operators import lm as lmod
     from rnadam_spark.operators import repetition, similarity, text, web
+    from rnadam_spark.operators import diffing
+    from rnadam_spark.operators import multimodal as mmod
     from rnadam_spark.operators import spans as spans_mod
     from rnadam_spark.operators.sampling import hash_sample
     from rnadam_spark.sources.tables import load_table
@@ -251,6 +253,26 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
             lambda: spans_mod.remove_duplicated_spans(docs, min_tokens=13)
         ),
         "redact_pii": timed(lambda: text.redact_pii(docs)),
+        "gopher_quality": timed(lambda: text.gopher_quality(docs)),
+        # snapshot-monitoring pair, driven over a deterministic halving
+        # of the corpus standing in for two snapshot versions
+        "corpus_diff": timed(
+            lambda: diffing.corpus_diff(
+                docs.filter(F.col("doc_id") % 3 != 0), docs.filter(F.col("doc_id") % 3 != 1)
+            )
+        ),
+        "vocabulary_shift": timed(
+            lambda: diffing.vocabulary_shift(
+                docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+            )
+        ),
+        # image-modality dedup end-to-end: per-asset dHash (Arrow-batched
+        # Python — the one extras row allowed off the JVM) + banded pairs
+        "dhash_pairs": timed(
+            lambda: mmod.dhash_hamming_pairs(
+                mmod.dhash_assets(mmod.assets_from_documents(docs))
+            )
+        ),
         "lm_train_and_perplexity": timed(lambda: lmod.lm_perplexity(docs, model)),
         "classifier_score": timed(lambda: lmod.classifier_score(docs, weights)),
         "pack_sequences": timed(lambda: lmod.pack_sequences(docs, budget=2048)),
