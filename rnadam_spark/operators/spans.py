@@ -153,6 +153,13 @@ def remove_duplicated_spans(
     normalized text (LEFT join on the span table — a row never vanishes
     from the corpus here; dropping now-empty documents is the caller's
     ``filter("n_tokens_before > n_tokens_removed")``).
+
+    One pass deletes every window duplicated in the INPUT, but tokens
+    made adjacent by a cut can form new duplicated windows — the same
+    property the paper's single pass has. The standard pipeline runs one
+    pass; iterate to a fixpoint if required (each pass with any span
+    strictly shrinks the corpus, so iteration terminates — pinned by the
+    convergence property test).
     """
     if spans is None:
         spans = duplicated_spans(docs, min_tokens, text_col=text_col, id_col=id_col)

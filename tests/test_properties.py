@@ -97,3 +97,42 @@ def test_c4_clean_kept_lines_are_a_subset(spark, texts):
         assert all(any(k == o for o in it) for k in kept), (original_lines, kept)
         assert r.n_lines_kept == len(kept)
         assert r.n_lines_kept + r.n_lines_dropped == len(original_lines)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=24).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_span_removal_shrinks_and_converges(spark, texts):
+    """One removal pass deletes every CURRENTLY-duplicated window, but
+    tokens made adjacent by a cut can form NEW duplicated windows (the
+    same property Lee et al.'s single pass has) — so the invariants are
+    monotone shrinking and convergence under iteration, not single-pass
+    idempotence. A tiny alphabet maximizes accidental collisions."""
+    from rnadam_spark.operators.spans import duplicated_spans, remove_duplicated_spans
+
+    L = 3
+    cur = [t for t in texts]
+    total = sum(len(t.split()) for t in cur)
+    for _ in range(total // L + 2):
+        df = _df(spark, cur)
+        if duplicated_spans(df, min_tokens=L).count() == 0:
+            break
+        rows = {r.doc_id: r for r in remove_duplicated_spans(df, min_tokens=L).collect()}
+        nxt = [rows[i]["text"] for i in range(len(cur))]
+        for i in range(len(cur)):
+            assert rows[i]["n_tokens_before"] == len(cur[i].split())
+            assert rows[i]["n_tokens_removed"] >= 0
+        new_total = sum(len(t.split()) for t in nxt)
+        assert new_total < total  # every pass with spans strictly shrinks
+        cur, total = nxt, new_total
+    else:
+        raise AssertionError("span removal did not converge")
