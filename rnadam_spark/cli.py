@@ -268,6 +268,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="append the new shard's signatures to the store afterwards",
     )
 
+    se = sub.add_parser(
+        "search",
+        help="BM25 top-k over a documents table (one corpus-stats "
+        "aggregate + a zero-shuffle scoring pass)",
+    )
+    se.add_argument("documents", help="parquet: documents table")
+    se.add_argument("query", help="free-text query")
+    se.add_argument("-k", type=int, default=10)
+
     dif = sub.add_parser(
         "diff",
         help="per-document delta between two corpus snapshots (added/"
@@ -631,6 +640,17 @@ def main(argv: list[str] | None = None) -> None:
             dedup.minhash_signatures(new_docs).write.mode("append").parquet(
                 args.signature_store
             )
+    elif args.command == "search":
+        import json
+
+        from rnadam_spark.operators.search import bm25_topk
+
+        docs = spark.read.parquet(args.documents)
+        rows = [
+            {"doc_id": r.doc_id, "score": r.score}
+            for r in bm25_topk(docs, args.query, k=args.k).collect()
+        ]
+        print(json.dumps({"query": args.query, "results": rows}))
     elif args.command == "diff":
         import json
 

@@ -549,3 +549,20 @@ def test_cli_diff(spark, tmp_path, capsys):
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     assert json.loads(line) == {"added": 1, "removed": 1, "changed": 1, "unchanged": 0}
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2, 3}
+
+
+def test_cli_search(spark, tmp_path, capsys):
+    import json
+    rows = [
+        (1, "the solar telescope observed a distant comet in the night sky", "en", "w", 1),
+        (2, "recipes for bread and pastry with butter and flour", "en", "w", 1),
+        (3, "a telescope guide for amateur astronomy and comet watching", "en", "w", 1),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    cli.main(["search", src, "comet telescope", "-k", "2"])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+    assert {r["doc_id"] for r in got["results"]} == {1, 3}
