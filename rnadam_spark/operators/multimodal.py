@@ -471,6 +471,41 @@ def dhash_hamming_pairs(
     )
 
 
+def near_dup_image_clusters(
+    assets: DataFrame,
+    max_distance: int = 4,
+    max_bucket: int | None = 10_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(asset_id, component, keep): group perceptually-near-duplicate
+    images into clusters and pick one canonical per cluster (smallest
+    id) — the image twin of the text near-dup pipeline (LSH pairs →
+    connected components → canonical anti-join). Composition of
+    :func:`dhash_assets` → :func:`dhash_hamming_pairs` → the shared
+    large-star/small-star connected-components loop; callers drop
+    near-dups with ``.filter("keep")``. Images whose hash pairs with
+    nothing form their own singleton component."""
+    from rnadam_spark.operators.clustering import connected_components
+
+    hashes = dhash_assets(assets)
+    pairs = dhash_hamming_pairs(hashes, max_distance=max_distance, max_bucket=max_bucket)
+    comp = connected_components(
+        pairs.select(F.col("asset_a").alias("src"), F.col("asset_b").alias("dst")),
+        src="src",
+        dst="dst",
+        checkpoint_dir=checkpoint_dir,
+    )
+    return (
+        hashes.select("asset_id")
+        .join(comp.withColumnRenamed("node", "asset_id"), "asset_id", "left")
+        .select(
+            "asset_id",
+            F.coalesce("component", F.col("asset_id")).alias("component"),
+            (F.coalesce("component", F.col("asset_id")) == F.col("asset_id")).alias("keep"),
+        )
+    )
+
+
 def video_near_pairs(
     assets: DataFrame,
     n_frames: int = 4,

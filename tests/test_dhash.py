@@ -149,3 +149,28 @@ def test_video_near_pairs(spark):
     }
     assert (1, 2) in got and got[(1, 2)] >= 2
     assert all(3 not in p for p in got)
+
+
+def test_near_dup_image_clusters(spark):
+    rng = np.random.RandomState(31)
+    base = rng.randint(0, 256, size=(48, 48)).astype("uint8")
+    near1 = np.clip(base.astype(int) + 3, 0, 255).astype("uint8")
+    near2 = np.clip(base.astype(int) - 3, 0, 255).astype("uint8")
+    other = rng.randint(0, 256, size=(48, 48)).astype("uint8")
+    rows = [
+        (1, "image", bytearray(_bmp_with_pixels(base)), {}),
+        (2, "image", bytearray(_bmp_with_pixels(near1)), {}),
+        (3, "image", bytearray(_bmp_with_pixels(near2)), {}),
+        (4, "image", bytearray(_bmp_with_pixels(other)), {}),
+    ]
+    got = {
+        r.asset_id: (r.component, r.keep)
+        for r in mm.near_dup_image_clusters(
+            spark.createDataFrame(rows, mm.ASSETS), max_distance=6
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # every image keeps a row
+    assert got[1] == (1, True)  # canonical of the near-dup cluster
+    assert got[2][0] == 1 and not got[2][1]
+    assert got[3][0] == 1 and not got[3][1]
+    assert got[4] == (4, True)  # singleton stays its own canonical
