@@ -252,3 +252,27 @@ def test_streaming_c4_and_pq_encode_match_batch(spark, sf_dir):
         for r in similarity.pq_encode(load_table(spark, sf_dir, "embeddings"), books).collect()
     }
     assert s == b and s
+
+
+def test_streaming_dhash_matches_batch(spark, sf_dir):
+    # dhash_assets is a stateless Arrow-batched mapInPandas — it
+    # composes on an unbounded source like the JVM projections do, so
+    # the image-dedup front door (hash arriving assets, pair against a
+    # persisted hash store) works at ingest time. Stream the documents
+    # table, build the binary asset column in-stream, and require exact
+    # agreement with the batch hashes.
+    from rnadam_spark.operators import multimodal as mm
+    from rnadam_spark.sources.tables import load_table
+
+    stream_docs = se.read_table_stream(spark, sf_dir, "documents")
+    got = se.run_to_memory(
+        mm.dhash_assets(mm.assets_from_documents(stream_docs)), "dhash_stream_out"
+    )
+    s = {(r.asset_id, r.dhash) for r in got.collect()}
+    b = {
+        (r.asset_id, r.dhash)
+        for r in mm.dhash_assets(
+            mm.assets_from_documents(load_table(spark, sf_dir, "documents"))
+        ).collect()
+    }
+    assert s == b and s
