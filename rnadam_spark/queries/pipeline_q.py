@@ -412,9 +412,74 @@ _QUALITY_SQL = rf"""
     """
 
 
-@query("quality_scores", oracle=_QUALITY_SQL)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword quality heuristics. Deregistered round 6
+    (rotation, fourth wave) in favor of ``gopher_quality``: the quality
+    column expressions stay hash-verified through ``curated_documents``
+    (the composite inlines them) and ``quality_quantile_filter`` (which
+    thresholds on them); ``_QUALITY_SQL`` remains their oracle for the
+    local harness."""
     return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in text.GOPHER_STOPWORDS) + "]"
+
+_GOPHER_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> length(x) > 0) AS lns
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_len,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+               / greatest(len(toks), 1) AS sym_ratio,
+             CAST(len(list_filter(lns, x -> substring(x, 1, 1) IN ('•', '-', '*'))) AS DOUBLE)
+               / greatest(len(lns), 1) AS bullet_frac,
+             CAST(len(list_filter(lns, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS DOUBLE)
+               / greatest(len(lns), 1) AS ellipsis_frac,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS alpha_frac,
+             len(list_filter({_GOPHER_STOPWORDS_SQL},
+                             s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+               AS n_stop
+      FROM t),
+    d AS (
+      SELECT *,
+             CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                  WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_len'
+                  WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+                  WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+                  WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+                  WHEN alpha_frac < 0.8 THEN 'alpha_words'
+                  WHEN n_stop < 2 THEN 'stopwords'
+                  ELSE NULL END AS drop_reason
+      FROM r)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           floor(mean_len * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+           floor(sym_ratio * 1000000.0 + 0.5) / 1000000.0 AS symbol_word_ratio,
+           floor(bullet_frac * 1000000.0 + 0.5) / 1000000.0 AS bullet_line_frac,
+           floor(ellipsis_frac * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_line_frac,
+           floor(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,
+           CAST(n_stop AS BIGINT) AS n_stopwords_present,
+           drop_reason IS NULL AS keep_doc,
+           drop_reason
+    FROM d
+    """
+
+
+@query("gopher_quality", oracle=_GOPHER_SQL)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021 table A1) as
+    one zero-shuffle projection; the oracle reruns the exact regex/list
+    arithmetic in DuckDB so thresholds, first-failing drop_reason, and
+    the 6dp-rounded stats hash-compare across engines."""
+    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
 
 
 _LANGS = sorted(text.LANG_MARKERS)
