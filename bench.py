@@ -37,10 +37,17 @@ def _bench_queries() -> dict:
     from the 50-entry correctness gate but stay timed here (their
     semantics remain pinned: fraction_of_group via em_two_steps' alpha1
     CTE, simhash_16 inside simhash_hamming_pairs' oracle)."""
-    from rnadam_spark.queries.pipeline_q import simhash_16
+    from rnadam_spark.queries.pipeline_q import quality_scores, simhash_16
     from rnadam_spark.queries.windows_q import fraction_of_group
 
-    return {**QUERIES, "fraction_of_group": fraction_of_group, "simhash_16": simhash_16}
+    return {
+        **QUERIES,
+        "fraction_of_group": fraction_of_group,
+        "simhash_16": simhash_16,
+        # deregistered round 6 (gopher_quality rotation) but pinned in
+        # the headline set for round-over-round comparability
+        "quality_scores": quality_scores,
+    }
 
 # Headline set: the reference's hot path (k-mer count → classes), the
 # EM building blocks, representative relational shapes, and the
