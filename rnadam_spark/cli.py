@@ -387,6 +387,7 @@ def _run_curate(spark, args) -> None:
                 docs,
                 quality_min=args.quality_min,
                 use_c4=args.c4,
+                use_gopher=args.gopher,
                 max_dup_5gram=args.max_dup_5gram,
             ).collect()
         ]

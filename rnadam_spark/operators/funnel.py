@@ -20,33 +20,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FUNNEL_STAGES = ("c4", "quality", "repetition", "exact_dup")
+FUNNEL_STAGES = ("c4", "gopher", "quality", "repetition", "exact_dup")
 
 
 def curation_funnel(
     docs: DataFrame,
     quality_min: float = 0.9,
     use_c4: bool = True,
+    use_gopher: bool = False,
     max_dup_5gram: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(stage, n_dropped, n_remaining): documents dropped at each
-    curation stage, in pipeline order (c4 → quality → repetition →
-    exact_dup), plus an ``input`` row anchoring the starting count.
-    Disabled stages (``use_c4=False`` / ``max_dup_5gram=None``) appear
-    with ``n_dropped = 0`` so the funnel shape is stable for
-    dashboards. ``n_remaining`` after ``exact_dup`` is the corpus the
-    ``curate`` CLI would hand to chunking/sharding under the same
-    thresholds."""
+    curation stage, in pipeline order (c4 → gopher → quality →
+    repetition → exact_dup), plus an ``input`` row anchoring the
+    starting count. Disabled stages (``use_c4=False`` /
+    ``use_gopher=False`` / ``max_dup_5gram=None``) appear with
+    ``n_dropped = 0`` so the funnel shape is stable for dashboards.
+    ``n_remaining`` after ``exact_dup`` is the corpus the ``curate``
+    CLI would hand to chunking/sharding under the same thresholds."""
     from rnadam_spark.operators.repetition import repetition_stats
-    from rnadam_spark.operators.text import c4_clean, quality_scores
+    from rnadam_spark.operators.text import c4_clean, gopher_quality, quality_scores
 
     pass_c4 = (
         c4_clean(docs, text_col=text_col, id_col=id_col)
         .select(id_col, F.col("keep_doc").alias("_p_c4"))
         if use_c4
         else docs.select(id_col, F.lit(True).alias("_p_c4"))
+    )
+    pass_g = (
+        gopher_quality(docs, text_col=text_col, id_col=id_col)
+        .select(id_col, F.col("keep_doc").alias("_p_g"))
+        if use_gopher
+        else docs.select(id_col, F.lit(True).alias("_p_g"))
     )
     pass_q = quality_scores(docs, text_col=text_col, id_col=id_col).select(
         id_col, (F.col("quality") >= quality_min).alias("_p_q")
@@ -61,11 +68,12 @@ def curation_funnel(
     flagged = (
         docs.select(id_col, F.md5(F.col(text_col)).alias("_h"))
         .join(pass_c4, id_col)
+        .join(pass_g, id_col)
         .join(pass_q, id_col)
         .join(pass_rep, id_col)
     )
     # survivors of the projection stages compete for exact-dup canonical
-    surv = flagged.filter("_p_c4 AND _p_q AND _p_rep")
+    surv = flagged.filter("_p_c4 AND _p_g AND _p_q AND _p_rep")
     canon = surv.groupBy("_h").agg(F.min(id_col).alias("_canonical"))
     # hash-keyed join, NOT broadcast: canon has one row per distinct
     # surviving content hash — corpus-scale, never driver-size
@@ -74,6 +82,7 @@ def curation_funnel(
     )
     first_fail = (
         F.when(~F.col("_p_c4"), "c4")
+        .when(~F.col("_p_g"), "gopher")
         .when(~F.col("_p_q"), "quality")
         .when(~F.col("_p_rep"), "repetition")
         .when(~F.coalesce(F.col("_p_dup"), F.lit(False)), "exact_dup")

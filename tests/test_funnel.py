@@ -56,3 +56,25 @@ def test_funnel_matches_sequential_pipeline(spark, sf_dir):
     assert got["quality"].n_dropped == n0 - n1
     assert got["repetition"].n_dropped == n1 - n2
     assert got["exact_dup"].n_remaining == n3
+
+
+def test_funnel_gopher_stage(spark):
+    good = ("The dataset pipeline needs to be clean and it must have documents "
+            "that read like prose with normal words of sensible length so the "
+            "filters keep them here today. ") * 3
+    bullets = "\n".join("• item number " + str(i) for i in range(10))
+    docs = spark.createDataFrame([(1, good), (2, bullets)], ["doc_id", "text"])
+    got = {
+        r.stage: (r.n_dropped, r.n_remaining)
+        for r in curation_funnel(
+            docs, quality_min=0.0, use_c4=False, use_gopher=True
+        ).collect()
+    }
+    assert got["gopher"] == (1, 1)  # the bullet page
+    assert got["exact_dup"] == (0, 1)
+    # default off: stage present with zero drops (stable funnel shape)
+    off = {
+        r.stage: r.n_dropped
+        for r in curation_funnel(docs, quality_min=0.0, use_c4=False).collect()
+    }
+    assert off["gopher"] == 0
