@@ -1,1 +1,1 @@
-from rnadam_spark.operators import dedup, funnel, graph, search, similarity, text, unigram  # noqa: F401
+from rnadam_spark.operators import bpe, clustering, dedup, diffing, funnel, graph, lm, multimodal, repetition, sampling, search, similarity, spans, text, unigram, web  # noqa: F401
