@@ -124,6 +124,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("-max_contamination", type=float, default=0.05)
     c.add_argument(
+        "-decontaminate_excise",
+        action="store_true",
+        help="with -decontaminate: excise the leaked 13-gram spans and "
+        "keep the documents, instead of dropping whole documents over "
+        "-max_contamination",
+    )
+    c.add_argument(
         "-bad_phrases",
         default=None,
         help="parquet (phrase): large blocklist — docs containing any "
@@ -397,12 +404,24 @@ def _run_curate(spark, args) -> None:
         kept = text.filter_bad_phrases(kept, phrases)
     if args.decontaminate is not None:
         bench = spark.read.parquet(args.decontaminate)
-        cont = text.contamination_scores(kept, bench).select(
-            "doc_id", "contamination"
-        )
-        kept = kept.join(cont, "doc_id").filter(
-            F.col("contamination") <= args.max_contamination
-        )
+        if args.decontaminate_excise:
+            from rnadam_spark.operators.spans import remove_contaminated_spans
+
+            # surgical mode: delete exactly the leaked 13-gram spans,
+            # keep the documents (minus any the excision emptied)
+            kept = (
+                remove_contaminated_spans(kept, bench)
+                .filter(F.col("n_tokens_before") > F.col("n_tokens_removed"))
+                .select("doc_id", "text")
+                .join(kept.drop("text"), "doc_id")
+            )
+        else:
+            cont = text.contamination_scores(kept, bench).select(
+                "doc_id", "contamination"
+            )
+            kept = kept.join(cont, "doc_id").filter(
+                F.col("contamination") <= args.max_contamination
+            )
     canon = dedup.exact_dup_groups(kept).select(
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )

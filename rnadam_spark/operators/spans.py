@@ -136,6 +136,75 @@ def _merge_hit_positions(hits: Column, min_tokens: int) -> Column:
     return F.aggregate(hits, init, step, finish)
 
 
+def contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal corpus
+    spans whose every ``min_tokens`` window appears anywhere in the
+    BENCHMARK corpus — the surgical form of decontamination.
+    ``text.contamination_scores`` answers "how contaminated is this
+    document" (drop above a threshold); this answers "exactly WHICH
+    passage leaked" so :func:`remove_contaminated_spans` can excise the
+    eval text and keep the rest of the document.
+
+    Same shape as :func:`duplicated_spans` with the duplicated-window
+    set swapped for the benchmark's window set: eval suites are tiny
+    next to a 100 TB corpus, so the distinct benchmark hashes broadcast
+    (``broadcast_benchmark=False`` for corpus-vs-corpus overlap) and
+    the corpus-side scan never shuffles until the per-doc re-group."""
+    windows = docs.select(
+        F.col(id_col), F.posexplode(_window_hashes(text_col, min_tokens)).alias("pos", "wh")
+    )
+    bench = benchmark.select(
+        F.explode(_window_hashes(bench_text_col, min_tokens)).alias("wh")
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = windows.join(bench, "wh").groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_hits")
+    )
+    spans = _merge_hit_positions(F.col("_hits"), min_tokens)
+    return hits.select(F.col(id_col), F.explode(spans).alias("s")).select(
+        id_col,
+        F.col("s.s").cast("bigint").alias("span_start"),
+        F.col("s.e").cast("bigint").alias("span_end"),
+        (F.col("s.e") - F.col("s.s") + 1).cast("bigint").alias("span_tokens"),
+    )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text, n_tokens_before, n_tokens_removed): the corpus
+    with benchmark-leaked passages excised — keep the document, delete
+    the eval text. Every row survives (dropping documents the excision
+    emptied is the caller's filter, as in
+    :func:`remove_duplicated_spans`, whose removal kernel this
+    reuses)."""
+    spans = contaminated_spans(
+        docs,
+        benchmark,
+        min_tokens,
+        text_col=text_col,
+        id_col=id_col,
+        bench_text_col=bench_text_col,
+    )
+    return remove_duplicated_spans(
+        docs, min_tokens, spans=spans, text_col=text_col, id_col=id_col
+    )
+
+
 def remove_duplicated_spans(
     docs: DataFrame,
     min_tokens: int = 50,

@@ -566,3 +566,29 @@ def test_cli_search(spark, tmp_path, capsys):
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     got = json.loads(line)
     assert {r["doc_id"] for r in got["results"]} == {1, 3}
+
+
+def test_cli_curate_decontaminate_excise(spark, tmp_path):
+    eval_text = ("what is the tallest mountain on earth the answer is everest "
+                 "measured from sea level to the summit")
+    doc = ("A long article about mountains begins with context here. "
+           + eval_text + " And then the article continues with original prose.")
+    rows = [(1, doc, "en", "web", len(doc))]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9, eval_text, "en", "eval", len(eval_text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(bench)
+    out = str(tmp_path / "out")
+    cli.main([
+        "curate", src, out, "-quality_min", "0.0", "-skip_normalize",
+        "-decontaminate", bench, "-decontaminate_excise",
+    ])
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).select("doc_id", "text").collect()}
+    assert set(got) == {1}  # doc kept, not dropped
+    assert "everest" not in got[1]
+    assert "article about mountains" in got[1] and "original prose" in got[1]

@@ -132,3 +132,36 @@ def test_no_python_boundary(corpus):
     _, df = corpus
     plan = duplicated_spans(df, min_tokens=4)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_contaminated_spans_excise_eval_text(spark):
+    eval_passage = "what is the capital of france paris is the capital"
+    doc1 = "Intro words about geography quizzes here. " + eval_passage + " Closing remarks follow the quiz text."
+    doc2 = "Nothing from any benchmark appears inside this clean document at all."
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "quiz: " + eval_passage + " end of answer key")],
+        "doc_id bigint, text string",
+    )
+    from rnadam_spark.operators.spans import (
+        contaminated_spans,
+        remove_contaminated_spans,
+    )
+
+    spans = contaminated_spans(docs, bench, min_tokens=5)
+    assert {r["doc_id"] for r in spans.collect()} == {1}
+    cleaned = {r["doc_id"]: r for r in remove_contaminated_spans(docs, bench, min_tokens=5).collect()}
+    assert set(cleaned) == {1, 2}  # both docs keep rows
+    assert "capital of france" not in cleaned[1]["text"]
+    assert "Intro words" in cleaned[1]["text"] and "Closing remarks" in cleaned[1]["text"]
+    assert cleaned[2]["text"] == doc2 and cleaned[2]["n_tokens_removed"] == 0
+    # excised text no longer overlaps the benchmark at the window size
+    assert contaminated_spans(
+        spark.createDataFrame(
+            [(1, cleaned[1]["text"])], "doc_id bigint, text string"
+        ),
+        bench,
+        min_tokens=5,
+    ).count() == 0
