@@ -426,6 +426,20 @@ def _run_curate(spark, args) -> None:
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )
     curated = kept.join(canon, "doc_id")
+    if args.near_dedup or args.span_dedup:
+        from rnadam_spark.lineage import truncate_lineage
+
+        # stage boundary: every chained filter stage re-attaches the
+        # passthrough columns with a doc_id self-join, so the lazy plan
+        # tree roughly DOUBLES per enabled stage — and the near-dup
+        # machinery (LSH → verify → connected-components loop) and the
+        # span-dedup window groupBy each traverse the curated corpus
+        # several times. Materializing here bounds both: downstream
+        # passes read the materialized rows instead of re-executing the
+        # whole upstream chain per traversal (without this, all-stages
+        # runs hang; at cluster scale this is the same
+        # checkpoint-between-phases discipline as the EM loop).
+        curated = truncate_lineage(curated)
     if args.near_dedup:
         from rnadam_spark.operators.clustering import connected_components
 

@@ -592,3 +592,72 @@ def test_cli_curate_decontaminate_excise(spark, tmp_path):
     assert set(got) == {1}  # doc kept, not dropped
     assert "everest" not in got[1]
     assert "article about mountains" in got[1] and "original prose" in got[1]
+
+
+def test_cli_curate_all_stages_compose(spark, tmp_path):
+    # every text-pipeline stage enabled at once: normalize -> c4 ->
+    # gopher -> PII scrub -> line dedup -> quality -> repetition ->
+    # exact dedup -> near dedup -> span dedup -> decontaminate-excise ->
+    # chunking. Interaction coverage: a rotation or schema change in any
+    # stage that breaks composition fails here even when each stage's
+    # own e2e test passes. Docs are built to PASS c4 (>= 3 kept lines,
+    # >= 5 words each, terminal punctuation) and gopher (>= 50 words,
+    # sane ratios); the shared passage sits INSIDE differing lines so
+    # line dedup does not fire and span dedup is genuinely exercised.
+    s1 = "The quick brown fox jumps over the lazy dog near the river bank every single day."
+    s2 = "It was a sunny afternoon and everyone enjoyed the warm weather outside with friends."
+    s3 = "Children played their games while adults talked about plans for the coming week."
+    boiler = "all rights reserved contact the site administrator promptly today"
+    eval_text = ("what is the tallest mountain on earth the answer is everest "
+                 "measured from sea level to the summit")
+    doc1 = "\n".join([
+        s1, s2,
+        "Alpha readers can write to a.person@example.com with notes because " + boiler + " indeed.",
+        s3,
+    ])
+    doc2 = "\n".join([
+        "A different essay begins with patient notes about baking bread daily at home.",
+        "Beta readers should remember that " + boiler + " whenever the site goes down.",
+        "The loaf is done when the kitchen smells right and the crust crackles softly.",
+        "Patience and care turn simple flour and water into something worth the wait.",
+    ])
+    doc4 = "\n".join([
+        "An article with leaked evaluation text follows right here and now for everyone.",
+        "Quiz answer: " + eval_text + " as most people already know quite well.",
+        "Then the article continues onward with entirely new words and original prose.",
+        "Its closing line wraps the mountain discussion with a tidy final thought today.",
+    ])
+    rows = [
+        (1, doc1, "en", "w", 1),
+        (2, doc2, "en", "w", 1),
+        (3, doc1, "en", "w", 1),  # exact dup of 1
+        (4, doc4, "en", "w", 1),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9, eval_text, "en", "eval", len(eval_text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(bench)
+    out = str(tmp_path / "out")
+    cli.main([
+        "curate", src, out,
+        "-quality_min", "-10", "-c4", "-gopher", "-dedup_lines",
+        "-max_dup_5gram", "0.9", "-near_dedup", "-span_dedup", "4",
+        "-decontaminate", bench, "-decontaminate_excise",
+        "-chunk_chars", "256", "-chunk_overlap", "32", "-audit",
+    ])
+    back = spark.read.parquet(out)
+    got = {}
+    for r in back.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert set(got) and 3 not in got            # exact dup collapsed
+    text_all = " ".join(r.text for rs in got.values() for r in rs)
+    assert "a.person@example.com" not in text_all   # PII scrubbed
+    assert "everest" not in text_all                # eval span excised
+    assert "rights reserved" not in text_all        # shared span deduped
+    assert "bread" in text_all                      # surrounding prose kept
+    assert all(len(r.text) <= 256 for rs in got.values() for r in rs)
