@@ -357,6 +357,16 @@ def _run_curate(spark, args) -> None:
         scrubbed = repetition.dedup_lines(scrubbed).select("doc_id", "text").join(
             scrubbed.drop("text"), "doc_id"
         )
+    if args.max_perplexity is not None or args.classifier_weights is not None:
+        from rnadam_spark.lineage import truncate_lineage
+
+        # stage boundary (same rationale as the pre-near-dedup one): the
+        # model stages traverse the scrubbed corpus several times — the
+        # LM trains on a hash sample of it, scoring re-reads it, and the
+        # threshold chain joins back into it — so without materializing
+        # here each traversal re-executes the whole normalize/c4/redact/
+        # line-dedup plan (measured 179s → seconds on the probe corpus)
+        scrubbed = truncate_lineage(scrubbed)
     quality = text.quality_scores(scrubbed).select("doc_id", "quality")
     kept = scrubbed.join(quality, "doc_id").filter(F.col("quality") >= args.quality_min)
     if args.max_dup_5gram is not None:
@@ -426,7 +436,7 @@ def _run_curate(spark, args) -> None:
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )
     curated = kept.join(canon, "doc_id")
-    if args.near_dedup or args.span_dedup:
+    if args.near_dedup or args.span_dedup or args.mixture_alpha is not None:
         from rnadam_spark.lineage import truncate_lineage
 
         # stage boundary: every chained filter stage re-attaches the
