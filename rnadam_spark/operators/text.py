@@ -106,9 +106,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def lang_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, predicted_lang, best_score): argmax over per-language
-    marker-token hit ratios, ties broken by language code order."""
+def lang_columns(text_col: str | Column = "text") -> tuple[Column, Column]:
+    """(predicted_lang, best_score) as Columns: argmax over per-language
+    marker-token hit ratios, ties broken by language code order —
+    exposed so both document- and paragraph-granularity lang-ID share
+    one kernel."""
     toks = tokens(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
 
@@ -124,8 +126,44 @@ def lang_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         improved = s > best_score
         best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(improved, s).otherwise(best_score)
+    return best_lang, best_score
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, predicted_lang, best_score): argmax over per-language
+    marker-token hit ratios, ties broken by language code order."""
+    best_lang, best_score = lang_columns(text_col)
     return docs.select(
         F.col(id_col),
+        best_lang.alias("predicted_lang"),
+        hround(best_score, 6).alias("best_score"),
+    )
+
+
+def paragraph_lang_scores(
+    docs: DataFrame,
+    split_pattern: str = r"\n{2,}",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, para_idx, n_tokens, predicted_lang, best_score):
+    segment-granularity language ID — real web documents mix languages
+    (an English page quoting German, boilerplate in the site's locale),
+    and a document-level argmax silently averages them away. Split on
+    ``split_pattern`` (default: blank-line paragraphs), score each
+    segment with the shared :func:`lang_columns` kernel, and let the
+    caller route segments to per-language pipelines or drop documents
+    whose paragraphs disagree. Empty segments are dropped; one explode,
+    zero shuffles — scan-speed like the other projections."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("para_idx", "_para"),
+    ).filter(F.length(F.trim(F.col("_para"))) > 0)
+    best_lang, best_score = lang_columns(F.col("_para"))
+    return paras.select(
+        id_col,
+        "para_idx",
+        F.size(tokens(F.col("_para"))).cast("bigint").alias("n_tokens"),
         best_lang.alias("predicted_lang"),
         hround(best_score, 6).alias("best_score"),
     )

@@ -110,3 +110,26 @@ def test_no_python_boundary_and_no_shuffle(spark):
     df = spark.createDataFrame([(1, GOOD)], "doc_id bigint, text string")
     plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_paragraph_lang_scores(spark):
+    from rnadam_spark.operators.text import paragraph_lang_scores
+
+    en = "the cat and the dog of the house is here and the day is long"
+    de = "der hund und die katze ist da und das haus ist der ort"
+    doc = en + "\n\n" + de + "\n\n" + "   \n\n" + en
+    df = spark.createDataFrame([(1, doc), (2, de)], "doc_id bigint, text string")
+    rows = paragraph_lang_scores(df).collect()
+    by_key = {(r["doc_id"], r["para_idx"]): r["predicted_lang"] for r in rows}
+    # doc 1: en / de / en (the whitespace-only paragraph is dropped)
+    assert by_key[(1, 0)] == "en" and by_key[(1, 1)] == "de" and by_key[(1, 3)] == "en"
+    assert (1, 2) not in by_key
+    assert by_key[(2, 0)] == "de"
+    # per-paragraph argmax agrees with document-level lang_scores run on
+    # the paragraph text alone (shared kernel)
+    from rnadam_spark.operators.text import lang_scores
+
+    solo = lang_scores(
+        spark.createDataFrame([(0, en), (1, de)], "doc_id bigint, text string")
+    ).collect()
+    assert {r["doc_id"]: r["predicted_lang"] for r in solo} == {0: "en", 1: "de"}
