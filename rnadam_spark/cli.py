@@ -409,6 +409,14 @@ def _run_curate(spark, args) -> None:
             ).collect()
         ]
         print(json.dumps({"funnel": funnel_rows}))
+    if args.bad_phrases is not None or args.decontaminate is not None:
+        from rnadam_spark.lineage import truncate_lineage
+
+        # stage boundary: the phrase filter scans the corpus once per
+        # distinct phrase length and decontamination traverses it for
+        # the gram join plus the threshold join-back — materialize so
+        # each pass reads rows, not the whole upstream plan
+        kept = truncate_lineage(kept)
     if args.bad_phrases is not None:
         phrases = spark.read.parquet(args.bad_phrases)
         kept = text.filter_bad_phrases(kept, phrases)
