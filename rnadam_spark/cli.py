@@ -333,30 +333,48 @@ def _run_curate(spark, args) -> None:
     from rnadam_spark.sources.sink import write_partitioned
 
     docs = spark.read.parquet(args.documents)
+    # the stateless prefix (normalize → C4 → Gopher → PII scrub →
+    # quality) fuses into ONE projection via the operators' expression
+    # builders — the same fusion the streaming chain uses. The staged
+    # alternative (each stage re-attaching passthrough columns with a
+    # doc_id self-join) costs a corpus-wide shuffle PER STAGE and
+    # doubles the plan tree each time; fused, the whole prefix rides
+    # the scan. Stage semantics and order are identical (each builder
+    # is the same expression its standalone operator selects, pinned by
+    # the stream-vs-batch agreement tests).
+    passthrough = [c for c in docs.columns if c != "text"]
+    text_expr = F.col("text")
     if not args.skip_normalize:
-        docs = text.normalize_text(docs).select("doc_id", "text").join(
-            docs.drop("text"), "doc_id"
-        )
+        text_expr = text.normalized_column(text_expr)
+    keep = F.lit(True)
     if args.c4:
-        # page-level drops happen here (the only stage that removes
-        # documents outright before dedup); surviving pages keep only
-        # their qualifying lines
-        docs = (
-            text.c4_clean(docs)
-            .filter(F.col("keep_doc"))
-            .select("doc_id", "text")
-            .join(docs.drop("text"), "doc_id")
-        )
+        # page-level drops (the only pre-dedup stage that removes
+        # documents outright); surviving pages keep only qualifying lines
+        c4 = text.c4_columns(text_expr)
+        keep = keep & c4["keep_doc"]
+        text_expr = c4["text"]
     if args.gopher:
-        # document-level drops only (no text rewrite): one projection
-        # computes the rule stats, the filter rides the same scan
-        keep = text.gopher_quality(docs).filter(F.col("keep_doc")).select("doc_id")
-        docs = docs.join(keep, "doc_id")
-    scrubbed = text.redact_pii(docs).join(docs.drop("text"), "doc_id")
+        keep = keep & text.gopher_columns(text_expr)["keep_doc"]
+    cleaned, n_red = text.redaction_columns(text_expr)
+    scrubbed = docs.select(
+        *passthrough,
+        cleaned.alias("text"),
+        n_red.alias("n_redactions"),
+        keep.alias("_keep"),
+    )
+    if args.c4 or args.gopher:
+        scrubbed = scrubbed.filter("_keep")
+    scrubbed = scrubbed.drop("_keep")
     if args.dedup_lines:
         scrubbed = repetition.dedup_lines(scrubbed).select("doc_id", "text").join(
             scrubbed.drop("text"), "doc_id"
         )
+    # quality scores the text the thresholds will see — i.e. AFTER the
+    # corpus-global line dedup when that stage is on; still a pure
+    # projection either way
+    scrubbed = scrubbed.withColumn(
+        "quality", text.quality_columns("text")["quality"]
+    )
     if args.max_perplexity is not None or args.classifier_weights is not None:
         from rnadam_spark.lineage import truncate_lineage
 
@@ -367,8 +385,7 @@ def _run_curate(spark, args) -> None:
         # here each traversal re-executes the whole normalize/c4/redact/
         # line-dedup plan (measured 179s → seconds on the probe corpus)
         scrubbed = truncate_lineage(scrubbed)
-    quality = text.quality_scores(scrubbed).select("doc_id", "quality")
-    kept = scrubbed.join(quality, "doc_id").filter(F.col("quality") >= args.quality_min)
+    kept = scrubbed.filter(F.col("quality") >= args.quality_min)
     if args.max_dup_5gram is not None:
         rep = repetition.repetition_stats(scrubbed).select(
             "doc_id", "dup_5gram_char_frac"

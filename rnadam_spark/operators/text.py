@@ -365,6 +365,75 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _BULLET_PREFIXES = ("•", "-", "*")
 
 
+def gopher_columns(
+    text_col: str | Column = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """The :func:`gopher_quality` expressions as named Columns — the
+    single source of the rule arithmetic, exposed so fused
+    single-projection pipelines (the batch/streaming curate chains)
+    can apply the Gopher page filter without a join."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(text)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / nw
+    )
+    n_symbols = (
+        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\.|…"))
+    )
+    symbol_ratio = n_symbols.cast("double") / nw
+    lns = F.filter(
+        F.transform(F.split(text, "\n"), lambda t: F.trim(t)), lambda t: F.length(t) > 0
+    )
+    nl = F.greatest(F.size(lns), F.lit(1)).cast("double")
+    is_bullet = lambda ln: F.substring(ln, 1, 1).isin(*_BULLET_PREFIXES)  # noqa: E731
+    bullet_frac = F.size(F.filter(lns, is_bullet)).cast("double") / nl
+    ellipsis_frac = (
+        F.size(F.filter(lns, lambda ln: ln.rlike(r"(\.\.\.|…)$"))).cast("double") / nl
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nw
+    )
+    low_toks = F.transform(toks, lambda t: F.lower(t))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low_toks, s),
+        )
+    )
+    drop_reason = (
+        F.when((n_words < min_words) | (n_words > max_words), "word_count")
+        .when((mean_len < min_mean_word_len) | (mean_len > max_mean_word_len), "mean_word_len")
+        .when(symbol_ratio > max_symbol_ratio, "symbol_ratio")
+        .when(bullet_frac > max_bullet_frac, "bullet_lines")
+        .when(ellipsis_frac > max_ellipsis_frac, "ellipsis_lines")
+        .when(alpha_frac < min_alpha_word_frac, "alpha_words")
+        .when(n_stop < min_stopwords, "stopwords")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": hround(mean_len, 6),
+        "symbol_word_ratio": hround(symbol_ratio, 6),
+        "bullet_line_frac": hround(bullet_frac, 6),
+        "ellipsis_line_frac": hround(ellipsis_frac, 6),
+        "alpha_word_frac": hround(alpha_frac, 6),
+        "n_stopwords_present": n_stop.cast("bigint"),
+        "keep_doc": drop_reason.isNull(),
+        "drop_reason": drop_reason,
+    }
+
+
 def gopher_quality(
     docs: DataFrame,
     min_words: int = 50,
@@ -403,55 +472,19 @@ def gopher_quality(
     ``.filter("keep_doc")``) so audits can aggregate drop_reason.
     Every column is a function of one input row — scan speed at 100 TB,
     and stream-composable like the other stateless curation ops."""
-    text = F.col(text_col)
-    toks = tokens(text)
-    n_words = F.size(toks)
-    nw = F.greatest(n_words, F.lit(1)).cast("double")
-    mean_len = (
-        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / nw
+    cols = gopher_columns(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stopwords=min_stopwords,
     )
-    n_symbols = (
-        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\.|…"))
-    )
-    symbol_ratio = n_symbols.cast("double") / nw
-    lns = F.filter(
-        F.transform(F.split(text, "\n"), lambda t: F.trim(t)), lambda t: F.length(t) > 0
-    )
-    nl = F.greatest(F.size(lns), F.lit(1)).cast("double")
-    is_bullet = lambda ln: F.substring(ln, 1, 1).isin(*_BULLET_PREFIXES)  # noqa: E731
-    bullet_frac = F.size(F.filter(lns, is_bullet)).cast("double") / nl
-    ellipsis_frac = (
-        F.size(F.filter(lns, lambda ln: ln.rlike(r"(\.\.\.|…)$"))).cast("double") / nl
-    )
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nw
-    )
-    low_toks = F.transform(toks, lambda t: F.lower(t))
-    n_stop = F.size(
-        F.filter(F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]), lambda s: F.array_contains(low_toks, s))
-    )
-    drop_reason = (
-        F.when((n_words < min_words) | (n_words > max_words), "word_count")
-        .when((mean_len < min_mean_word_len) | (mean_len > max_mean_word_len), "mean_word_len")
-        .when(symbol_ratio > max_symbol_ratio, "symbol_ratio")
-        .when(bullet_frac > max_bullet_frac, "bullet_lines")
-        .when(ellipsis_frac > max_ellipsis_frac, "ellipsis_lines")
-        .when(alpha_frac < min_alpha_word_frac, "alpha_words")
-        .when(n_stop < min_stopwords, "stopwords")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    return docs.select(
-        F.col(id_col),
-        n_words.cast("bigint").alias("n_words"),
-        hround(mean_len, 6).alias("mean_word_len"),
-        hround(symbol_ratio, 6).alias("symbol_word_ratio"),
-        hround(bullet_frac, 6).alias("bullet_line_frac"),
-        hround(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        hround(alpha_frac, 6).alias("alpha_word_frac"),
-        n_stop.cast("bigint").alias("n_stopwords_present"),
-        drop_reason.isNull().alias("keep_doc"),
-        drop_reason.alias("drop_reason"),
-    )
+    return docs.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
 
 
 def filter_bad_phrases(
