@@ -387,12 +387,10 @@ def _run_curate(spark, args) -> None:
         scrubbed = truncate_lineage(scrubbed)
     kept = scrubbed.filter(F.col("quality") >= args.quality_min)
     if args.max_dup_5gram is not None:
-        rep = repetition.repetition_stats(scrubbed).select(
-            "doc_id", "dup_5gram_char_frac"
-        )
-        kept = kept.join(rep, "doc_id").filter(
-            F.col("dup_5gram_char_frac") <= args.max_dup_5gram
-        )
+        # in-row stat: threshold as a fused projection filter, no join
+        kept = kept.withColumn(
+            "dup_5gram_char_frac", repetition.dup_5gram_char_frac_column("text")
+        ).filter(F.col("dup_5gram_char_frac") <= args.max_dup_5gram)
     if args.max_perplexity is not None:
         from rnadam_spark.operators import lm
         from rnadam_spark.operators.sampling import hash_sample

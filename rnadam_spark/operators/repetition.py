@@ -64,6 +64,14 @@ def _dup_mass_frac(vc: Column) -> Column:
     return mass(F.filter(vc, lambda x: x["cnt"] >= 2)) / F.greatest(mass(vc), F.lit(1.0))
 
 
+def dup_5gram_char_frac_column(text_col: str | Column = "text") -> Column:
+    """``dup_5gram_char_frac`` of :func:`repetition_stats` as one
+    Column (6dp-rounded, identical values) — exposed so fused
+    single-projection pipelines can threshold on it without a join."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return hround(_dup_mass_frac(value_counts(token_ngrams(c, 5))), 6)
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
