@@ -725,9 +725,14 @@ def main(argv: list[str] | None = None) -> None:
 
         from rnadam_spark.operators.diffing import corpus_diff, diff_summary
 
+        from rnadam_spark.lineage import truncate_lineage
+
         old = spark.read.parquet(args.old)
         new = spark.read.parquet(args.new)
-        diff = corpus_diff(old, new)
+        # materialized once: both the changed_out write and the summary
+        # read the small (id, status) table instead of re-running the
+        # snapshot join per consumer
+        diff = truncate_lineage(corpus_diff(old, new))
         if args.changed_out:
             slice_df = new.join(
                 diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),

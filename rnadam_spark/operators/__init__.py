@@ -1,1 +1,21 @@
-from rnadam_spark.operators import bpe, clustering, dedup, diffing, funnel, graph, lm, multimodal, repetition, sampling, search, similarity, spans, text, unigram, web  # noqa: F401
+# Light (pure-pyspark) operator modules import eagerly; multimodal and
+# unigram import pandas at module top for their Arrow-batched kernels,
+# so they stay lazy — `from rnadam_spark.operators import multimodal`
+# still works, but a CLI command that never touches them does not pay
+# (or require) the pandas import.
+from rnadam_spark.operators import (  # noqa: F401
+    bpe,
+    clustering,
+    dedup,
+    diffing,
+    funnel,
+    graph,
+    lm,
+    repetition,
+    sampling,
+    search,
+    similarity,
+    spans,
+    text,
+    web,
+)

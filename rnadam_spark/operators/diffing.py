@@ -31,8 +31,13 @@ def corpus_diff(
     (both, different content hash), ``unchanged``. Feed
     ``.filter("status in ('added','changed')")`` joined back to the new
     snapshot into the incremental stages."""
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_new"))
+    # NULL text hashes to a sentinel, not NULL: a document whose text
+    # went null between snapshots (a broken extraction stage — exactly
+    # what diffing should catch) must report 'changed', not vanish into
+    # 'removed'/'added' because md5(NULL) is NULL
+    h = lambda c: F.coalesce(F.md5(F.col(c)), F.lit("<null-text>"))  # noqa: E731
+    o = old.select(F.col(id_col), h(text_col).alias("_h_old"))
+    n = new.select(F.col(id_col), h(text_col).alias("_h_new"))
     return o.join(n, id_col, "full_outer").select(
         id_col,
         F.when(F.col("_h_old").isNull(), "added")

@@ -43,14 +43,19 @@ def curation_funnel(
     from rnadam_spark.operators.repetition import repetition_stats
     from rnadam_spark.operators.text import c4_clean, gopher_quality, quality_scores
 
-    pass_c4 = (
-        c4_clean(docs, text_col=text_col, id_col=id_col)
-        .select(id_col, F.col("keep_doc").alias("_p_c4"))
-        if use_c4
-        else docs.select(id_col, F.lit(True).alias("_p_c4"))
-    )
+    if use_c4:
+        c4 = c4_clean(docs, text_col=text_col, id_col=id_col)
+        pass_c4 = c4.select(id_col, F.col("keep_doc").alias("_p_c4"))
+        # gopher must judge the text the PIPELINE's gopher stage sees —
+        # the C4-rewritten lines, not the raw page (C4 line-filtering
+        # changes word and line counts, so raw-text gopher counts would
+        # disagree with actual drops)
+        gopher_input = c4.select(id_col, F.col(text_col))
+    else:
+        pass_c4 = docs.select(id_col, F.lit(True).alias("_p_c4"))
+        gopher_input = docs.select(id_col, F.col(text_col))
     pass_g = (
-        gopher_quality(docs, text_col=text_col, id_col=id_col)
+        gopher_quality(gopher_input, text_col=text_col, id_col=id_col)
         .select(id_col, F.col("keep_doc").alias("_p_g"))
         if use_gopher
         else docs.select(id_col, F.lit(True).alias("_p_g"))

@@ -367,6 +367,11 @@ def _dhash_bits(gray, hash_size: int = 8) -> int:
     returned as a SIGNED 64-bit value (Spark LongType)."""
     import numpy as np
 
+    if hash_size != 8:
+        # the DHASH schema, the signed-64 packing, and the banding in
+        # dhash_hamming_pairs are all 64-bit; other sizes would overflow
+        # the LongType silently-wrongly, so refuse loudly
+        raise ValueError("hash_size must be 8 (64-bit dHash)")
     g = np.atleast_2d(gray)
     if g.shape[0] < hash_size or g.shape[1] < hash_size + 1:
         # tiny images tile up deterministically so every block is non-empty
@@ -429,6 +434,23 @@ def dhash_hamming_pairs(
     with one explode(+1 band rows per asset), one band-keyed shuffle,
     and ``max_bucket`` capping degenerate bands (e.g. a constant-color
     thumbnail corpus hashing to all-zeros)."""
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    if max_distance == 0:
+        # exact-duplicate hashing: a plain self-equi-join on the hash —
+        # no banding (a single 64-bit band's mask literal would not fit
+        # LongType anyway)
+        a0 = hashes.select(F.col(id_col).alias("_ia"), F.col(hash_col).alias("_h"))
+        b0 = hashes.select(F.col(id_col).alias("_ib"), F.col(hash_col).alias("_h"))
+        return (
+            a0.join(b0, "_h")
+            .filter(F.col("_ia") < F.col("_ib"))
+            .select(
+                F.col("_ia").alias("asset_a"),
+                F.col("_ib").alias("asset_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
     n_bands = max_distance + 1
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
@@ -538,13 +560,24 @@ def video_near_pairs(
     pairs = dhash_hamming_pairs(fh, max_distance=max_distance, max_bucket=max_bucket)
     va = F.floor(F.col("asset_a") / n_frames)
     vb = F.floor(F.col("asset_b") / n_frames)
+    swap = va > vb
+    # "k matching frames" counts DISTINCT frames on EACH side: one frame
+    # of A matching all four near-identical frames of a slideshow B is
+    # one match, not four — count distinct per side, take the smaller
     return (
         pairs.select(
-            F.least(va, vb).alias("video_a"), F.greatest(va, vb).alias("video_b")
+            F.when(swap, vb).otherwise(va).alias("video_a"),
+            F.when(swap, va).otherwise(vb).alias("video_b"),
+            F.when(swap, F.col("asset_b")).otherwise(F.col("asset_a")).alias("_fa"),
+            F.when(swap, F.col("asset_a")).otherwise(F.col("asset_b")).alias("_fb"),
         )
         .filter(F.col("video_a") != F.col("video_b"))
         .groupBy("video_a", "video_b")
-        .agg(F.count("*").cast("bigint").alias("n_frame_matches"))
+        .agg(
+            F.least(F.countDistinct("_fa"), F.countDistinct("_fb"))
+            .cast("bigint")
+            .alias("n_frame_matches")
+        )
         .filter(F.col("n_frame_matches") >= min_matching_frames)
     )
 

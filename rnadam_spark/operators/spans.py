@@ -215,8 +215,10 @@ def remove_duplicated_spans(
     """(doc_id, text, n_tokens_before, n_tokens_removed): the corpus
     with every duplicated span's tokens deleted — the Lee et al. 2021
     cleaning step. Pass ``spans`` (from :func:`duplicated_spans`,
-    possibly filtered/audited first) to skip re-detection; kept tokens
-    re-join with single spaces (normalize whitespace upstream).
+    possibly filtered/audited first) to skip re-detection. Rows a cut
+    touched re-join their kept tokens with single spaces (normalize
+    whitespace upstream); rows with no span keep their text
+    byte-for-byte.
 
     Documents with no duplicated span pass through with their token-
     normalized text (LEFT join on the span table — a row never vanishes
@@ -243,9 +245,15 @@ def remove_duplicated_spans(
     covered = lambda i: F.exists(sp, lambda s: (s["s"] <= i) & (i <= s["e"]))  # noqa: E731
     kept = F.filter(toks, lambda t, i: ~covered(i.cast("bigint")))
     n_before = F.size(toks).cast("bigint")
+    n_removed = (n_before - F.size(kept)).cast("bigint")
+    # documents with NO span keep their text byte-for-byte — only rows
+    # the cut actually touched pay the token-rejoin whitespace
+    # normalization (otherwise a corpus-wide run would flatten every
+    # untouched document's newline/paragraph structure)
+    new_text = F.when(n_removed > 0, F.array_join(kept, " ")).otherwise(F.col(text_col))
     return joined.select(
         F.col(id_col),
-        F.array_join(kept, " ").alias(text_col),
+        new_text.alias(text_col),
         n_before.alias("n_tokens_before"),
-        (n_before - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+        n_removed.alias("n_tokens_removed"),
     )

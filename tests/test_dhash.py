@@ -174,3 +174,36 @@ def test_near_dup_image_clusters(spark):
     assert got[2][0] == 1 and not got[2][1]
     assert got[3][0] == 1 and not got[3][1]
     assert got[4] == (4, True)  # singleton stays its own canonical
+
+
+def test_hamming_pairs_max_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43)], "asset_id bigint, dhash bigint"
+    )
+    rows = mm.dhash_hamming_pairs(df, max_distance=0).collect()
+    assert {(r.asset_a, r.asset_b, r.hamming) for r in rows} == {(1, 2, 0)}
+
+
+def test_video_slideshow_counts_distinct_frames(spark):
+    rng = np.random.RandomState(41)
+    shared = rng.randint(0, 256, size=(16, 16)).astype("uint8")
+    others = [rng.randint(0, 256, size=(16, 16)).astype("uint8") for _ in range(3)]
+    def vid(frames):
+        return bytearray(b"".join(_bmp_with_pixels(f) for f in frames))
+    rows = [
+        (1, "video", vid([shared] + others[:3]), {}),     # one shared frame
+        (2, "video", vid([shared, shared, shared, shared]), {}),  # slideshow
+    ]
+    pairs = mm.video_near_pairs(
+        spark.createDataFrame(rows, mm.ASSETS), min_matching_frames=2
+    ).collect()
+    # only ONE distinct frame of video 1 matches: not a near-dup pair
+    assert pairs == []
+
+
+def test_dhash_rejects_non64bit_hash_size(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "image", bytearray(b"xx"), {})], mm.ASSETS)
+    with _pytest.raises(Exception):
+        mm.dhash_assets(df, hash_size=16).collect()

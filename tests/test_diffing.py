@@ -68,3 +68,10 @@ def test_vocabulary_shift_identical_corpora_zero(spark):
     df = spark.createDataFrame([(1, "same words here")], "doc_id bigint, text string")
     rows = vocabulary_shift(df, df, top_k=None).collect()
     assert all(abs(r["js_contribution"]) < 1e-15 for r in rows)
+
+
+def test_corpus_diff_null_text_is_changed(spark):
+    old = spark.createDataFrame([(5, "x"), (6, None)], "doc_id bigint, text string")
+    new = spark.createDataFrame([(5, None), (6, None)], "doc_id bigint, text string")
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {5: "changed", 6: "unchanged"}

@@ -165,3 +165,15 @@ def test_contaminated_spans_excise_eval_text(spark):
         bench,
         min_tokens=5,
     ).count() == 0
+
+
+def test_untouched_docs_keep_text_verbatim(spark):
+    multiline = "first line here\n\nsecond paragraph stays intact\n\tindented too"
+    df = spark.createDataFrame(
+        [(1, multiline), (2, "a b c d a b c d")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, min_tokens=2).collect()}
+    # doc 1 has no duplicated span: its newlines/tabs survive byte-for-byte
+    assert out[1]["text"] == multiline and out[1]["n_tokens_removed"] == 0
+    # doc 2 (self-repeat) was actually cut
+    assert out[2]["n_tokens_removed"] > 0
