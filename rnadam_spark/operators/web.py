@@ -87,6 +87,56 @@ def filter_blocklisted_domains(
     return docs.join(offenders, id_col, "left_anti")
 
 
+def domain_quality_prior(
+    docs: DataFrame,
+    pagerank: DataFrame | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, avg_quality, exact_dup_rate,
+    [pagerank]): the per-source quality table a crawl scheduler
+    prioritizes by — which domains yield clean, novel text and which
+    yield boilerplate. One groupBy over in-row stats (quality heuristic,
+    content hash) plus an optional broadcast join of
+    :func:`operators.graph.pagerank` scores keyed by lowercased source.
+
+    ``exact_dup_rate`` is 1 − distinct(content)/docs within the source —
+    approximate at scale via the HLL sketch (``approx_count_distinct``),
+    which partial-aggregates map-side so a hot domain never funnels one
+    task."""
+    from rnadam_spark.functions.rounding import hround
+    from rnadam_spark.functions.shingles import tokens
+    from rnadam_spark.operators.text import quality_columns
+
+    per_source = (
+        docs.select(
+            F.lower(F.col(source_col)).alias("source"),
+            F.size(tokens(text_col)).alias("_nt"),
+            quality_columns(text_col)["quality"].alias("_q"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            hround(F.avg("_q"), 6).alias("avg_quality"),
+            hround(
+                F.lit(1.0)
+                - F.approx_count_distinct("_h").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+        )
+    )
+    if pagerank is None:
+        return per_source
+    pr = F.broadcast(
+        pagerank.select(F.lower(F.col("node")).alias("source"), F.col("rank").alias("pagerank"))
+    )
+    return per_source.join(pr, "source", "left")
+
+
 def domain_edges(
     docs: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

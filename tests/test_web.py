@@ -111,3 +111,32 @@ def test_domain_edges_feed_pagerank(spark):
     # the doubly-linked hub outranks every source and the singly-linked domain
     assert max(ranks, key=ranks.get) == "hub.example"
     assert ranks["hub.example"] > ranks["other.io"]
+
+
+def test_domain_quality_prior(spark):
+    from rnadam_spark.operators.graph import pagerank
+    from rnadam_spark.operators.web import domain_edges, domain_quality_prior
+
+    good = ("The article is a clean one and it reads like prose with the usual "
+            "words of sensible length here today.")
+    rows = [
+        (1, good, "en", "GoodSite", 1),
+        (2, good + " More fresh text follows in this one.", "en", "goodsite", 1),
+        (3, "spam123 456789 !!!! ####", "en", "spamsite", 1),
+        (4, "spam123 456789 !!!! ####", "en", "spamsite", 1),  # exact dup
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    got = {r.source: r for r in domain_quality_prior(docs).collect()}
+    assert set(got) == {"goodsite", "spamsite"}  # sources lowercased+merged
+    assert got["goodsite"].n_docs == 2 and got["goodsite"].exact_dup_rate == 0.0
+    assert got["spamsite"].exact_dup_rate > 0.4  # one of two is a dup
+    assert got["goodsite"].avg_quality > got["spamsite"].avg_quality
+    # optional pagerank join keys by lowercased source
+    edges = spark.createDataFrame(
+        [("goodsite", "spamsite"), ("spamsite", "goodsite")], "src string, dst string"
+    )
+    pr = pagerank(edges, iterations=3)
+    with_pr = {r.source: r.pagerank for r in domain_quality_prior(docs, pagerank=pr).collect()}
+    assert with_pr["goodsite"] is not None and with_pr["goodsite"] > 0
