@@ -137,9 +137,11 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     clear, so the numbers are comparable run-to-run and the measured
     winner — not a stale commit-message claim — justifies the default.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from rnadam_spark.operators import dedup, text
+    from rnadam_spark.lineage import truncate_lineage
+    from rnadam_spark.operators import dedup, repetition, similarity, text
     from rnadam_spark.queries.genomics_q import em_quantify
     from rnadam_spark.queries.pipeline_q import _BENCH_MOD, DECONTAM_N, LSH_MAX_BUCKET
     from rnadam_spark.sources.tables import load_table
@@ -150,7 +152,59 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         )
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
+
+    # ADC table-delivery A/B: codes materialized once so both variants
+    # time the SCORING pass, not the shared encode
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_books = similarity.train_pq(emb, m=8, nbits=4, max_iterations=3)
+    pq_codes = truncate_lineage(similarity.pq_encode(emb, pq_books))
+    pq_query = [v for sub in range(len(pq_books)) for v in pq_books[sub][0]]
+
+    def dedup_lines_window(d):
+        # the row_number() twin of repetition.dedup_lines — identical
+        # outputs, but the per-line window funnels each hot boilerplate
+        # line through ONE task (the docstring's scale argument; this
+        # A/B keeps the claim measurement-backed at sf0.1)
+        exploded = d.select(
+            F.col("doc_id"),
+            F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
+        )
+        participating = F.length(F.trim(F.col("line"))) >= 8
+        w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+        flagged = exploded.withColumn(
+            "keep", ~participating | (F.row_number().over(w) == 1)
+        )
+        kept = F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep"), F.struct(F.col("line_no").alias("p"), F.col("line").alias("l")))
+            )
+        )
+        return flagged.groupBy("doc_id").agg(
+            F.array_join(F.transform(kept, lambda x: x["l"]), "\n").alias("text"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_lines_kept"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_lines_dropped"),
+        )
+
     return {
+        # VERDICT r6 #5: plan-literal ADC vs broadcast-join ADC over the
+        # same persisted codes (m=8, nbits=4 → 128 table entries;
+        # auto-switch flips to join above PQ_LITERAL_MAX)
+        "pq_topk_on_codes": {
+            "literal_table": timed(
+                lambda: similarity.pq_topk_on_codes(pq_codes, pq_query, pq_books)
+            ),
+            "broadcast_join_table": timed(
+                lambda: similarity.pq_topk_on_codes(
+                    pq_codes, pq_query, pq_books, strategy="join"
+                )
+            ),
+        },
+        # VERDICT r6 #8: the dedup_lines aggregate-then-join form vs its
+        # window twin
+        "dedup_lines": {
+            "aggregate_join": timed(lambda: repetition.dedup_lines(docs)),
+            "window_rownum": timed(lambda: dedup_lines_window(docs)),
+        },
         "lsh_candidate_pairs": {
             "inrow_capped": timed(
                 lambda: dedup.lsh_candidate_pairs(docs, max_bucket=LSH_MAX_BUCKET)

@@ -421,6 +421,16 @@ def _run_curate(spark, args) -> None:
                 use_c4=args.c4,
                 use_gopher=args.gopher,
                 max_dup_5gram=args.max_dup_5gram,
+                skip_normalize=args.skip_normalize,
+                # model stages reuse the run's own trained artifacts so
+                # the audit covers the full `curate` surface
+                lm_model=model if args.max_perplexity is not None else None,
+                max_perplexity=args.max_perplexity,
+                classifier_weights=(
+                    weights if args.classifier_weights is not None else None
+                ),
+                classifier_min=args.classifier_min,
+                classifier_intercept=args.classifier_intercept,
             ).collect()
         ]
         print(json.dumps({"funnel": funnel_rows}))
@@ -442,6 +452,12 @@ def _run_curate(spark, args) -> None:
 
             # surgical mode: delete exactly the leaked 13-gram spans,
             # keep the documents (minus any the excision emptied)
+            # keep only documents with tokens REMAINING after the cut.
+            # Deliberately strict (ADVICE r6): a zero-token document —
+            # whether the excision emptied it or an upstream stage
+            # (e.g. line dedup) already had — is dropped here; empty
+            # docs carry nothing to train on, and this is the last
+            # token-aware stage before chunking/sharding.
             kept = (
                 remove_contaminated_spans(kept, bench)
                 .filter(F.col("n_tokens_before") > F.col("n_tokens_removed"))
@@ -492,6 +508,9 @@ def _run_curate(spark, args) -> None:
         # after doc-level dedup (whole-document copies already collapsed
         # to canonicals), delete the remaining verbatim passages shared
         # ACROSS distinct documents — then drop docs the cut emptied
+        # keep only documents with tokens remaining — deliberately also
+        # drops documents that arrived empty (see the excise filter's
+        # comment; ADVICE r6 documented-drop semantics)
         curated = (
             remove_duplicated_spans(curated, min_tokens=args.span_dedup)
             .filter(F.col("n_tokens_before") > F.col("n_tokens_removed"))

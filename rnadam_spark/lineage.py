@@ -1,4 +1,4 @@
-"""Lineage truncation for iterative loops (EM, connected components).
+"""Lineage truncation for iterative loops (EM, CC, PageRank).
 
 Iterative DataFrame loops grow their logical plan linearly with
 iteration count — the reference's EM loop had the same hazard in RDD

@@ -295,14 +295,9 @@ def simhash_hamming_pairs(
         id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from rnadam_spark.operators.guards import drop_oversize_buckets
 
-        w = Window.partitionBy("band", "band_val")
-        banded = (
-            banded.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        banded = drop_oversize_buckets(banded, ["band", "band_val"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -344,16 +339,12 @@ def ngram_jaccard_pairs(
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     if max_gram_df is not None:
-        from pyspark.sql import Window
+        from rnadam_spark.operators.guards import drop_oversize_buckets
 
-        # the df window shares the join's (gram) partitioning — no
-        # extra exchange beyond the one the self-join needs anyway
-        w = Window.partitionBy("gram")
-        grams = (
-            grams.withColumn("_df", F.count("*").over(w))
-            .filter(F.col("_df") <= max_gram_df)
-            .drop("_df")
-        )
+        # aggregate-then-broadcast-anti-join, NOT a df window: a window
+        # count would funnel every occurrence of a df=10⁶ stopword gram
+        # into one task — the exact hot key the cap guards against
+        grams = drop_oversize_buckets(grams, ["gram"], max_gram_df)
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (

@@ -7,12 +7,21 @@ predicate as a column in a single scan, attributes each document to its
 FIRST failing stage (the same sequential semantics the ``curate`` CLI
 applies), and aggregates one tiny funnel table.
 
-Cost shape: the stage predicates (C4, quality, repetition) are the same
-zero-shuffle projections the pipeline itself uses; the only exchanges
-are the exact-dup canonical groupBy over stage-survivors (which the
-real pipeline pays anyway) and the final stages-sized aggregation.
-Contrast with the naive audit — re-running the pipeline k times with k
-prefixes — which scans the corpus k times.
+Fidelity contract: each predicate judges the text THAT STAGE actually
+sees in the pipeline, built from the same fused expression chain the
+CLI composes — normalize → C4 rewrite → Gopher → PII redaction →
+quality/repetition thresholds — so a document whose raw text clears a
+threshold but whose redacted text doesn't is attributed exactly the way
+the real run drops it (pinned by the ``-audit``-vs-actual-run agreement
+test). The exact-dup stage likewise hashes the redacted text the
+pipeline dedups, over the survivors of every earlier stage.
+
+Cost shape: the whole stage chain is ONE zero-join projection (the
+same fusion the batch and streaming curate paths use); the only
+exchanges are the exact-dup canonical groupBy over stage-survivors
+(which the real pipeline pays anyway) and the final stages-sized
+aggregation. Contrast with the naive audit — re-running the pipeline k
+times with k prefixes — which scans the corpus k times.
 """
 
 from __future__ import annotations
@@ -20,7 +29,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FUNNEL_STAGES = ("c4", "gopher", "quality", "repetition", "exact_dup")
+FUNNEL_STAGES = (
+    "c4",
+    "gopher",
+    "quality",
+    "repetition",
+    "perplexity",
+    "classifier",
+    "exact_dup",
+)
 
 
 def curation_funnel(
@@ -29,56 +46,95 @@ def curation_funnel(
     use_c4: bool = True,
     use_gopher: bool = False,
     max_dup_5gram: float | None = None,
+    skip_normalize: bool = False,
+    lm_model: DataFrame | None = None,
+    max_perplexity: float | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_min: float = 0.5,
+    classifier_intercept: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(stage, n_dropped, n_remaining): documents dropped at each
     curation stage, in pipeline order (c4 → gopher → quality →
-    repetition → exact_dup), plus an ``input`` row anchoring the
-    starting count. Disabled stages (``use_c4=False`` /
-    ``use_gopher=False`` / ``max_dup_5gram=None``) appear with
-    ``n_dropped = 0`` so the funnel shape is stable for dashboards.
-    ``n_remaining`` after ``exact_dup`` is the corpus the ``curate``
-    CLI would hand to chunking/sharding under the same thresholds."""
-    from rnadam_spark.operators.repetition import repetition_stats
-    from rnadam_spark.operators.text import c4_clean, gopher_quality, quality_scores
+    repetition → perplexity → classifier → exact_dup), plus an
+    ``input`` row anchoring the starting count. Disabled stages
+    (``use_c4=False`` / ``use_gopher=False`` / ``max_dup_5gram=None`` /
+    no model) appear with ``n_dropped = 0`` so the funnel shape is
+    stable for dashboards. ``n_remaining`` after ``exact_dup`` is the
+    corpus the ``curate`` CLI would hand to chunking/sharding under the
+    same thresholds (``skip_normalize`` mirrors the CLI flag; the
+    corpus-global line-dedup stage is not modeled — audit with it off).
 
+    The model stages are corpus-dependent, so they mirror the CLI by
+    taking the TRAINED artifacts: ``lm_model`` is
+    ``lm.train_char_lm(...)`` output (the CLI trains it on a hash
+    sample of the scrubbed corpus) with drops above ``max_perplexity``;
+    ``classifier_weights`` is a (bucket, weight) table with drops below
+    ``classifier_min`` probability. Both score the scrubbed text,
+    exactly as ``curate`` does."""
+    from rnadam_spark.operators.repetition import dup_5gram_char_frac_column
+    from rnadam_spark.operators.text import (
+        c4_columns,
+        gopher_columns,
+        normalized_column,
+        quality_columns,
+        redaction_columns,
+    )
+
+    text_expr = F.col(text_col)
+    if not skip_normalize:
+        text_expr = normalized_column(text_expr)
     if use_c4:
-        c4 = c4_clean(docs, text_col=text_col, id_col=id_col)
-        pass_c4 = c4.select(id_col, F.col("keep_doc").alias("_p_c4"))
-        # gopher must judge the text the PIPELINE's gopher stage sees —
-        # the C4-rewritten lines, not the raw page (C4 line-filtering
-        # changes word and line counts, so raw-text gopher counts would
-        # disagree with actual drops)
-        gopher_input = c4.select(id_col, F.col(text_col))
+        c4 = c4_columns(text_expr)
+        p_c4 = c4["keep_doc"]
+        # downstream stages see the C4-REWRITTEN text (kept lines only),
+        # exactly as the pipeline hands it forward
+        text_expr = c4["text"]
     else:
-        pass_c4 = docs.select(id_col, F.lit(True).alias("_p_c4"))
-        gopher_input = docs.select(id_col, F.col(text_col))
-    pass_g = (
-        gopher_quality(gopher_input, text_col=text_col, id_col=id_col)
-        .select(id_col, F.col("keep_doc").alias("_p_g"))
-        if use_gopher
-        else docs.select(id_col, F.lit(True).alias("_p_g"))
-    )
-    pass_q = quality_scores(docs, text_col=text_col, id_col=id_col).select(
-        id_col, (F.col("quality") >= quality_min).alias("_p_q")
-    )
-    pass_rep = (
-        repetition_stats(docs, text_col=text_col, id_col=id_col).select(
-            id_col, (F.col("dup_5gram_char_frac") <= max_dup_5gram).alias("_p_rep")
-        )
+        p_c4 = F.lit(True)
+    p_g = gopher_columns(text_expr)["keep_doc"] if use_gopher else F.lit(True)
+    # PII redaction rewrites the text unconditionally in the pipeline;
+    # quality, repetition, and the exact-dup hash all judge the
+    # REDACTED text (the CLI's `scrubbed`), not the raw page
+    scrubbed, _n_red = redaction_columns(text_expr)
+    p_q = quality_columns(scrubbed)["quality"] >= quality_min
+    p_rep = (
+        dup_5gram_char_frac_column(scrubbed) <= max_dup_5gram
         if max_dup_5gram is not None
-        else docs.select(id_col, F.lit(True).alias("_p_rep"))
+        else F.lit(True)
     )
-    flagged = (
-        docs.select(id_col, F.md5(F.col(text_col)).alias("_h"))
-        .join(pass_c4, id_col)
-        .join(pass_g, id_col)
-        .join(pass_q, id_col)
-        .join(pass_rep, id_col)
+    flagged = docs.select(
+        F.col(id_col),
+        F.md5(scrubbed).alias("_h"),
+        p_c4.alias("_p_c4"),
+        p_g.alias("_p_g"),
+        p_q.alias("_p_q"),
+        p_rep.alias("_p_rep"),
     )
+    # optional model stages: doc_id-keyed score joins over the SCRUBBED
+    # text — the same shape (and cost) the CLI's model stages pay
+    scrubbed_docs = docs.select(F.col(id_col), scrubbed.alias(text_col))
+    if lm_model is not None and max_perplexity is not None:
+        from rnadam_spark.operators.lm import lm_perplexity
+
+        ppl = lm_perplexity(scrubbed_docs, lm_model).select(
+            id_col, (F.col("perplexity") <= max_perplexity).alias("_p_ppl")
+        )
+        flagged = flagged.join(ppl, id_col)
+    else:
+        flagged = flagged.withColumn("_p_ppl", F.lit(True))
+    if classifier_weights is not None:
+        from rnadam_spark.operators.lm import classifier_score
+
+        prob = classifier_score(
+            scrubbed_docs, classifier_weights, intercept=classifier_intercept
+        ).select(id_col, (F.col("prob") >= classifier_min).alias("_p_cls"))
+        flagged = flagged.join(prob, id_col)
+    else:
+        flagged = flagged.withColumn("_p_cls", F.lit(True))
     # survivors of the projection stages compete for exact-dup canonical
-    surv = flagged.filter("_p_c4 AND _p_g AND _p_q AND _p_rep")
+    surv = flagged.filter("_p_c4 AND _p_g AND _p_q AND _p_rep AND _p_ppl AND _p_cls")
     canon = surv.groupBy("_h").agg(F.min(id_col).alias("_canonical"))
     # hash-keyed join, NOT broadcast: canon has one row per distinct
     # surviving content hash — corpus-scale, never driver-size
@@ -90,6 +146,8 @@ def curation_funnel(
         .when(~F.col("_p_g"), "gopher")
         .when(~F.col("_p_q"), "quality")
         .when(~F.col("_p_rep"), "repetition")
+        .when(~F.col("_p_ppl"), "perplexity")
+        .when(~F.col("_p_cls"), "classifier")
         .when(~F.coalesce(F.col("_p_dup"), F.lit(False)), "exact_dup")
         .otherwise(F.lit(None).cast("string"))
     )

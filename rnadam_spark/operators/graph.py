@@ -15,9 +15,10 @@ Scale shape, mirroring the engine's other driver-loop algorithms (EM
   a reused partitioning serves every iteration) + one groupBy(dst)
   whose sum partial-aggregates map-side;
 - dangling nodes (no out-edges) leak their mass; the standard fix
-  redistributes it uniformly — the dangling sum is ONE scalar to the
-  driver per iteration (the bounded-loop-state pattern), folded into
-  the teleport term;
+  redistributes it uniformly — the dangling sum rides IN the plan as a
+  broadcast one-row aggregate over the previous (materialized) ranks,
+  folded into the teleport term, so an iteration is exactly ONE action
+  (the eager truncation) and nothing crosses to the driver;
 - lineage truncates every iteration (``checkpoint_dir`` switches to
   reliable checkpoints, as everywhere else).
 """
@@ -60,9 +61,13 @@ def pagerank(
     ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "_deg")
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
     for _ in range(iterations):
-        dangling = (
-            ranks.filter(F.col("_deg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass as a broadcast 1-row aggregate over the PREVIOUS
+        # (materialized) ranks — never a driver collect, and the whole
+        # iteration is the single action the truncation runs
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
         )
         contrib = (
             e.join(ranks, "node")
@@ -70,13 +75,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        teleport = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
-                    F.lit(teleport) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n) * F.col("_dang")
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
                 "_deg",
             )

@@ -471,14 +471,9 @@ def dhash_hamming_pairs(
         F.col(id_col), h.alias("_h"), F.explode(bands).alias("b")
     ).select(id_col, "_h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from rnadam_spark.operators.guards import drop_oversize_buckets
 
-        w = Window.partitionBy("band", "val")
-        banded = (
-            banded.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        banded = drop_oversize_buckets(banded, ["band", "val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "val"])
@@ -550,7 +545,10 @@ def video_near_pairs(
     (:func:`dhash_hamming_pairs`), and one groupBy counts matching frame
     pairs per video pair. Frame identity rides as
     ``asset_id · n_frames + frame_idx`` so the pair machinery needs no
-    schema change; same-video frame pairs drop before the count."""
+    schema change (asset ids must stay below 2⁶³ / n_frames — the
+    packing overflows LongType beyond that); recovery uses integer
+    ``div``, exact over the full packed range. Same-video frame pairs
+    drop before the count."""
     frames = sample_frames(assets, n_frames)
     frame_assets = frames.select(
         (F.col("asset_id") * n_frames + F.col("frame_idx")).alias("asset_id"),
@@ -558,8 +556,10 @@ def video_near_pairs(
     )
     fh = dhash_assets(frame_assets)
     pairs = dhash_hamming_pairs(fh, max_distance=max_distance, max_bucket=max_bucket)
-    va = F.floor(F.col("asset_a") / n_frames)
-    vb = F.floor(F.col("asset_b") / n_frames)
+    # integer `div`, not floor(a / b): double division loses exactness
+    # for frame ids above 2^53, silently mis-grouping matches (ADVICE r6)
+    va = F.expr(f"asset_a div {n_frames}")
+    vb = F.expr(f"asset_b div {n_frames}")
     swap = va > vb
     # "k matching frames" counts DISTINCT frames on EACH side: one frame
     # of A matching all four near-identical frames of a slideshow B is

@@ -26,7 +26,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_PLANES = 8
@@ -269,12 +269,9 @@ def cell_near_pairs(
         "vec_id", cell.cast("bigint").alias("cell"), F.col("embedding")
     )
     if max_cell is not None:
-        w = Window.partitionBy("cell")
-        with_cell = (
-            with_cell.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_cell)
-            .drop("_n")
-        )
+        from rnadam_spark.operators.guards import drop_oversize_buckets
+
+        with_cell = drop_oversize_buckets(with_cell, ["cell"], max_cell)
     a = with_cell.alias("a")
     b = with_cell.alias("b")
     return (
@@ -401,8 +398,10 @@ def train_pq(
     (seconds at m=8/nbits=4 — visible at toy scale in the bench extras,
     amortized to noise over a corpus-scale scan). The alternative — a
     broadcast codebook table joined per subspace — trades that constant
-    for a per-row join probe and an explode; plan-literal wins whenever
-    the scan is large, which is the regime this engine targets."""
+    for a per-row join probe and one exchange; it is implemented for
+    the ADC query path (``pq_topk_on_codes(strategy="join")``, chosen
+    automatically above ``PQ_LITERAL_MAX`` table entries) where big-m
+    8-bit configs would otherwise blow the codegen constant pool."""
     k = 2**nbits
     d_sub = dim // m
     assert m * d_sub == dim, "dim must be divisible by m"
@@ -516,23 +515,69 @@ def _query_tables(
     ]
 
 
+# Above this many ADC table entries (m · 2^nbits), the literal-table
+# expression's constant Catalyst/codegen cost stops amortizing and the
+# auto strategy switches to the broadcast-join form (a real 8-bit
+# m=64 config is 16,384 entries — plan-size territory).
+PQ_LITERAL_MAX = 4096
+
+
 def pq_topk_on_codes(
     codes: DataFrame,
     query_vec: list[float],
     codebooks: list[list[list[float]]],
     k: int = 20,
     dim: int = DIM,
+    strategy: str | None = None,
 ) -> DataFrame:
     """(vec_id, score): ADC top-k over a STORED codes table — the
     encode-once / query-many production shape. :func:`pq_topk`
     re-encodes the float corpus per query; at 100 TB the corpus is
     encoded once (:func:`pq_encode`, 64× smaller), persisted, and every
-    query runs m array lookups + a sum per row over the code table with
-    a TakeOrdered reduction — no float vectors are ever read again."""
+    query scores the code table with a TakeOrdered reduction — no float
+    vectors are ever read again.
+
+    ``strategy`` picks how the m·2^nbits query·centroid lookup table
+    reaches the executors (default: "literal" when the table has at
+    most ``PQ_LITERAL_MAX`` entries, else "join"; both produce
+    identical rows — pinned by tests):
+
+    - "literal": the table inlines as plan literals; scoring is m array
+      lookups + a sum per row, ZERO shuffle, TakeOrdered. Catalyst pays
+      a constant analysis/codegen cost proportional to the table size —
+      the right trade whenever the scan is large and the table small.
+    - "join": the table broadcasts as a (sub, code, qdot) DataFrame;
+      codes posexplode to (vec_id, sub, code), probe the broadcast, and
+      a vec_id groupBy re-sums (map-side partial, one exchange carrying
+      ~1 row per vec_id). Plan size stays O(1) in the PQ config — the
+      right trade for big-m/8-bit codebooks where the literal plan
+      would blow the codegen constant pool."""
     tables = _query_tables(list(query_vec), codebooks, dim)
-    score = _adc_score(tables)
+    if strategy is None:
+        n_entries = sum(len(t) for t in tables)
+        strategy = "literal" if n_entries <= PQ_LITERAL_MAX else "join"
+    if strategy == "literal":
+        score = _adc_score(tables)
+        return (
+            codes.select(
+                "vec_id", (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("score")
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(k)
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown ADC strategy: {strategy!r}")
+    tbl = codes.sparkSession.createDataFrame(
+        [(sub, code, float(v)) for sub, t in enumerate(tables) for code, v in enumerate(t)],
+        "sub INT, code INT, qdot DOUBLE",
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode(F.col("codes").cast("array<int>")).alias("sub", "code")
+    )
     return (
-        codes.select("vec_id", (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
+        exploded.join(F.broadcast(tbl), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg((F.floor(F.sum("qdot") * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(k)
     )
@@ -718,16 +763,14 @@ def bucket_near_pairs(
     """(vec_a, vec_b, cos): cosine for pairs sharing an LSH bucket —
     the ANN candidate verification step. ``max_bucket`` drops buckets
     larger than the cap before the self-join (a bucket of n emits n²
-    pairs); the windowed count shares the join's (bucket) partitioning,
-    so the guard adds no extra exchange."""
+    pairs) via the skew-safe aggregate-then-broadcast-anti-join guard
+    (``operators.guards``) — never a per-bucket window, which would
+    funnel the hot bucket into one task."""
     with_bucket = lsh_buckets(embeddings, seed, dim, n_planes).join(embeddings, "vec_id")
     if max_bucket is not None:
-        w = Window.partitionBy("bucket")
-        with_bucket = (
-            with_bucket.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        from rnadam_spark.operators.guards import drop_oversize_buckets
+
+        with_bucket = drop_oversize_buckets(with_bucket, ["bucket"], max_bucket)
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     return (

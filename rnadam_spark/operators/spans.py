@@ -25,9 +25,12 @@ duplicated spans, with only bulk-synchronous primitives:
    every in-row kernel here;
 4. hit positions merge into maximal spans with one in-row fold.
 
-Total cost: two shuffles (window hash, doc_id) + one hash-keyed join —
-the same shape as ``ngram_jaccard_pairs``. No suffix array, no sort of
-the corpus, nothing on the driver.
+Total cost: ONE scan of the corpus (the window table materializes at a
+stage boundary so its two consumers — the dup-count aggregate and the
+hits join — don't re-execute the tokenize/hash subtree), two shuffles
+(window hash, doc_id) + one hash-keyed join — the same shape as
+``ngram_jaccard_pairs``. No suffix array, no sort of the corpus,
+nothing on the driver.
 
 Caveats, pinned in tests: windows hash — two different windows colliding
 under xxhash64 (p ~ 2^-64 per pair) would over-mark; removal operates at
@@ -56,6 +59,7 @@ def duplicated_spans(
     min_tokens: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens): maximal token spans
     (0-based, inclusive token indices) whose every ``min_tokens`` window
@@ -65,11 +69,24 @@ def duplicated_spans(
 
     Occurrences count across AND within documents (a passage pasted
     twice into one document is duplicated text all the same).
+
+    The ``windows`` table feeds BOTH the duplicate-count aggregate and
+    the hits join, so it is materialized here (the same stage-boundary
+    discipline as the curate CLI; ``checkpoint_dir`` switches to
+    reliable checkpoints) — without that, Spark re-executes the
+    scan → tokenize → window-hash → posexplode subtree, the dominant
+    cost of the whole pass, once per consumer.
     """
     if min_tokens < 1:
         raise ValueError("min_tokens must be >= 1")
-    windows = docs.select(
-        F.col(id_col), F.posexplode(_window_hashes(text_col, min_tokens)).alias("pos", "wh")
+    from rnadam_spark.lineage import truncate_lineage
+
+    windows = truncate_lineage(
+        docs.select(
+            F.col(id_col),
+            F.posexplode(_window_hashes(text_col, min_tokens)).alias("pos", "wh"),
+        ),
+        checkpoint_dir,
     )
     dup = (
         windows.groupBy("wh")
@@ -211,6 +228,7 @@ def remove_duplicated_spans(
     spans: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, text, n_tokens_before, n_tokens_removed): the corpus
     with every duplicated span's tokens deleted — the Lee et al. 2021
@@ -233,7 +251,9 @@ def remove_duplicated_spans(
     convergence property test).
     """
     if spans is None:
-        spans = duplicated_spans(docs, min_tokens, text_col=text_col, id_col=id_col)
+        spans = duplicated_spans(
+            docs, min_tokens, text_col=text_col, id_col=id_col, checkpoint_dir=checkpoint_dir
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))).alias(
             "_spans"

@@ -388,10 +388,12 @@ def gopher_columns(
     mean_len = (
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / nw
     )
-    n_symbols = (
-        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\.|…"))
-    )
-    symbol_ratio = n_symbols.cast("double") / nw
+    # Rae et al. table A1 thresholds EACH symbol's ratio separately
+    # ("symbol-to-word ratio greater than 0.1 for either the hash
+    # symbol or the ellipsis") — a summed ratio would drop strictly
+    # more documents than the cited rule (ADVICE r6)
+    hash_ratio = F.regexp_count(text, F.lit("#")).cast("double") / nw
+    ellipsis_sym_ratio = F.regexp_count(text, F.lit(r"\.\.\.|…")).cast("double") / nw
     lns = F.filter(
         F.transform(F.split(text, "\n"), lambda t: F.trim(t)), lambda t: F.length(t) > 0
     )
@@ -414,7 +416,10 @@ def gopher_columns(
     drop_reason = (
         F.when((n_words < min_words) | (n_words > max_words), "word_count")
         .when((mean_len < min_mean_word_len) | (mean_len > max_mean_word_len), "mean_word_len")
-        .when(symbol_ratio > max_symbol_ratio, "symbol_ratio")
+        .when(
+            (hash_ratio > max_symbol_ratio) | (ellipsis_sym_ratio > max_symbol_ratio),
+            "symbol_ratio",
+        )
         .when(bullet_frac > max_bullet_frac, "bullet_lines")
         .when(ellipsis_frac > max_ellipsis_frac, "ellipsis_lines")
         .when(alpha_frac < min_alpha_word_frac, "alpha_words")
@@ -424,7 +429,8 @@ def gopher_columns(
     return {
         "n_words": n_words.cast("bigint"),
         "mean_word_len": hround(mean_len, 6),
-        "symbol_word_ratio": hround(symbol_ratio, 6),
+        "hash_word_ratio": hround(hash_ratio, 6),
+        "ellipsis_word_ratio": hround(ellipsis_sym_ratio, 6),
         "bullet_line_frac": hround(bullet_frac, 6),
         "ellipsis_line_frac": hround(ellipsis_frac, 6),
         "alpha_word_frac": hround(alpha_frac, 6),
@@ -448,9 +454,10 @@ def gopher_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, n_words, mean_word_len, symbol_word_ratio,
-    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-    n_stopwords_present, keep_doc, drop_reason): the Gopher document-
+    """(doc_id, n_words, mean_word_len, hash_word_ratio,
+    ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stopwords_present, keep_doc, drop_reason): the
+    Gopher document-
     level quality rules (Rae et al. 2021, "Scaling Language Models",
     table A1) as ONE shuffle-free projection — the companion to
     :func:`repetition_stats`' Gopher repetition rules and
@@ -462,7 +469,9 @@ def gopher_quality(
     - word count outside [``min_words``, ``max_words``];
     - mean word length outside [``min_mean_word_len``,
       ``max_mean_word_len``];
-    - (# of '#' or ellipsis occurrences) / words > ``max_symbol_ratio``;
+    - (# of '#' occurrences) / words > ``max_symbol_ratio``, OR
+      (# of ellipsis occurrences) / words > ``max_symbol_ratio``
+      (each symbol thresholded separately, per table A1);
     - > ``max_bullet_frac`` of lines start with a bullet ('•','-','*');
     - > ``max_ellipsis_frac`` of lines end with an ellipsis;
     - < ``min_alpha_word_frac`` of words contain an alphabetic char;

@@ -348,16 +348,14 @@ def em_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("t_id", hround("abundance", 8).alias("mu"))
 
 
-@query(
-    "substring_extract",
-    oracle="""
-    SELECT doc_id, substring(text, 11, 20) AS region
-    FROM documents WHERE n_chars >= 30
-    """,
-)
 def substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: region extraction ≡ substring over [start, end)
-    (Index.scala:84-86; oracle semantics QuantifySuite.scala:33-36)."""
+    (Index.scala:84-86; oracle semantics QuantifySuite.scala:33-36).
+
+    Not registered (gate rotation r7): P1 is exercised inside
+    ``equivalence_classes``' oracle chain (the transcript-extraction
+    step of the index pipeline), so the standalone row retired to make
+    room for ``bm25_topk``/``corpus_diff``."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(F.col("n_chars") >= 30).select(
         "doc_id", F.substring("text", 11, 20).alias("region")

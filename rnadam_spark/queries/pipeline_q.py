@@ -183,9 +183,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_MAX_DF = 100  # scale guard: a gram with df=d contributes d² join rows
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle=f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     g AS (SELECT DISTINCT doc_id, gram FROM (
       SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
@@ -204,12 +202,19 @@ NGRAM_MAX_DF = 100  # scale guard: a gram with df=d contributes d² join rows
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_shared / CAST(sa.n_grams + sb.n_grams - n_shared AS DOUBLE) >= 0.03
-    """,
-)
+    """  # kept for the rows-equal pytest cross-check below
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs via shared-shingle join,
     with the gram-document-frequency cap ON (stopword-ish grams drive
-    Σdf² without it); the oracle mirrors the cap."""
+    Σdf² without it).
+
+    Not registered (gate rotation r7): the explode-join kernel is
+    pinned by the ``lsh_candidate_pairs`` oracle plus the
+    ``verify_pairs`` goldens, and ``_NGRAM_JACCARD_SQL`` remains its
+    DuckDB cross-check in ``tests/test_dedup.py`` — slot rotated to
+    ``bm25_topk``/``corpus_diff``."""
     df = dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents", widen=True), max_gram_df=NGRAM_MAX_DF
     )
@@ -435,9 +440,10 @@ _GOPHER_SQL = rf"""
              len(toks) AS n_words,
              CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
                / greatest(len(toks), 1) AS mean_len,
-             CAST(len(regexp_extract_all(text, '#'))
-                  + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
-               / greatest(len(toks), 1) AS sym_ratio,
+             CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+               / greatest(len(toks), 1) AS hash_ratio,
+             CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+               / greatest(len(toks), 1) AS ell_sym_ratio,
              CAST(len(list_filter(lns, x -> substring(x, 1, 1) IN ('•', '-', '*'))) AS DOUBLE)
                / greatest(len(lns), 1) AS bullet_frac,
              CAST(len(list_filter(lns, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS DOUBLE)
@@ -452,7 +458,7 @@ _GOPHER_SQL = rf"""
       SELECT *,
              CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
                   WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_len'
-                  WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+                  WHEN hash_ratio > 0.1 OR ell_sym_ratio > 0.1 THEN 'symbol_ratio'
                   WHEN bullet_frac > 0.9 THEN 'bullet_lines'
                   WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
                   WHEN alpha_frac < 0.8 THEN 'alpha_words'
@@ -462,7 +468,8 @@ _GOPHER_SQL = rf"""
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            floor(mean_len * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
-           floor(sym_ratio * 1000000.0 + 0.5) / 1000000.0 AS symbol_word_ratio,
+           floor(hash_ratio * 1000000.0 + 0.5) / 1000000.0 AS hash_word_ratio,
+           floor(ell_sym_ratio * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_word_ratio,
            floor(bullet_frac * 1000000.0 + 0.5) / 1000000.0 AS bullet_line_frac,
            floor(ellipsis_frac * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_line_frac,
            floor(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,
@@ -949,3 +956,88 @@ def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same regexes (Java and RE2 agree on this subset) over DuckDB list
     functions, so the rewritten text itself hash-compares."""
     return text.c4_clean(load_table(spark, sf_dir, "documents", widen=True))
+
+
+# -------------------------------------------------------- search / diff
+
+BM25_QUERY = "the data and system"
+BM25_K = 20
+_BM25_TERMS = sorted(set(BM25_QUERY.split()))
+
+_BM25_TF = ", ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF = ", ".join(
+    f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_SCORE = " + ".join(
+    f"(ln((s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0) * tf_{i} * 2.2 "
+    f"/ (tf_{i} + 1.2 * (0.25 + 0.75 * dl / s.avgdl)))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {_BM25_TF} FROM t),
+    s AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl, {_BM25_DF} FROM t)
+    SELECT doc_id,
+           floor(({_BM25_SCORE}) * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM d, s
+    WHERE ({_BM25_SCORE}) > 0
+    ORDER BY score DESC, doc_id LIMIT {BM25_K}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k (Robertson; k1=1.2, b=0.75) for a fixed query
+    over the documents table. The Spark side is the two-pass shape from
+    ``operators/search.py`` — one corpus-stats aggregate (N, avgdl,
+    per-term df as conditional sums; no token explode), then idf-literal
+    zero-shuffle scoring + TakeOrdered. The oracle recomputes the same
+    formula with the same fixed term order, so scores hash-compare to
+    1e-6."""
+    from rnadam_spark.operators import search
+
+    return search.bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY, k=BM25_K
+    )
+
+
+@query(
+    "corpus_diff",
+    oracle="""
+    WITH o AS (SELECT doc_id, coalesce(md5(text), '<null-text>') AS h_old
+               FROM documents WHERE doc_id % 97 != 3),
+    n AS (SELECT doc_id,
+                 coalesce(md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                                   ELSE text END), '<null-text>') AS h_new
+          FROM documents WHERE doc_id % 89 != 5)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                WHEN h_old = h_new THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/diffing.py): two deterministic
+    snapshot views of the documents table — "old" drops ids ≡ 3 (mod
+    97) (they appear 'added'), "new" drops ids ≡ 5 (mod 89) ('removed')
+    and rewrites text for ids ≡ 0 (mod 7) ('changed') — compared by
+    (id, md5) full-outer join. Text never crosses the join
+    (plan-asserted in tests/test_diffing.py)."""
+    from rnadam_spark.operators.diffing import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 97 != 3)
+    new = docs.filter(F.col("doc_id") % 89 != 5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [v2]")))
+        .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)

@@ -326,9 +326,11 @@ def test_cli_profile_funnel(spark, sf_dir, capsys):
     report = json.loads(line)
     funnel = {f["stage"]: f for f in report["funnel"]}
     assert funnel["input"]["n_remaining"] == report["n_docs"]
-    assert set(funnel) == {"input", "c4", "gopher", "quality", "repetition", "exact_dup"}
+    from rnadam_spark.operators.funnel import FUNNEL_STAGES
+
+    assert set(funnel) == {"input", *FUNNEL_STAGES}
     # monotone: remaining never increases, drops sum to input - final
-    stages = ["input", "c4", "gopher", "quality", "repetition", "exact_dup"]
+    stages = ["input", *FUNNEL_STAGES]
     rem = [funnel[s]["n_remaining"] for s in stages]
     assert all(a >= b for a, b in zip(rem, rem[1:]))
     assert sum(funnel[s]["n_dropped"] for s in stages) == report["n_docs"] - rem[-1]

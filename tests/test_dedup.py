@@ -112,6 +112,26 @@ def test_ngram_jaccard(spark):
     assert not any({a, b} & {3} for a, b in pairs)
 
 
+def test_ngram_jaccard_matches_retired_oracle(spark, sf_dir):
+    # gate rotation r7 retired the ngram_jaccard_pairs CORRECTNESS row;
+    # its DuckDB oracle lives on here so the kernel stays cross-checked
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _NGRAM_JACCARD_SQL, ngram_jaccard_pairs
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.n_shared, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_NGRAM_JACCARD_SQL).fetchall()))
+    assert got == want and got
+
+
 def test_verify_pairs_exact_jaccard(spark):
     from rnadam_spark.operators.dedup import lsh_candidate_pairs, verify_pairs
 

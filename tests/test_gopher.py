@@ -18,8 +18,8 @@ def _py_gopher(body: str, min_words=50, max_words=100_000) -> dict:
     toks = [t for t in re.split(r"\s+", body) if t]
     nw = max(len(toks), 1)
     mean_len = sum(len(t) for t in toks) / nw
-    n_sym = body.count("#") + len(re.findall(r"\.\.\.|…", body))
-    sym_ratio = n_sym / nw
+    hash_ratio = body.count("#") / nw
+    ell_sym_ratio = len(re.findall(r"\.\.\.|…", body)) / nw
     lines = [ln.strip() for ln in body.split("\n") if ln.strip()]
     nl = max(len(lines), 1)
     bullet = sum(1 for ln in lines if ln[:1] in ("•", "-", "*")) / nl
@@ -31,7 +31,7 @@ def _py_gopher(body: str, min_words=50, max_words=100_000) -> dict:
         reason = "word_count"
     elif mean_len < 3.0 or mean_len > 10.0:
         reason = "mean_word_len"
-    elif sym_ratio > 0.1:
+    elif hash_ratio > 0.1 or ell_sym_ratio > 0.1:
         reason = "symbol_ratio"
     elif bullet > 0.9:
         reason = "bullet_lines"
@@ -46,7 +46,8 @@ def _py_gopher(body: str, min_words=50, max_words=100_000) -> dict:
     return {
         "n_words": len(toks),
         "mean_word_len": _hr(mean_len),
-        "symbol_word_ratio": _hr(sym_ratio),
+        "hash_word_ratio": _hr(hash_ratio),
+        "ellipsis_word_ratio": _hr(ell_sym_ratio),
         "bullet_line_frac": _hr(bullet),
         "ellipsis_line_frac": _hr(ellipsis),
         "alpha_word_frac": _hr(alpha),

