@@ -281,6 +281,14 @@ def simhash_hamming_pairs(
     e.g. near-empty documents piling into one signature)."""
     n_bands, band_bits = 4, 4
     sigs = simhash16(docs, text_col, id_col)
+    if max_bucket is not None:
+        # the guard's count aggregate plus the self-join's two sides
+        # would each re-run the signature aggregation; materialize the
+        # 1-row-per-doc signature table once at the boundary instead
+        # (same stage-boundary discipline as duplicated_spans)
+        from rnadam_spark.lineage import truncate_lineage
+
+        sigs = truncate_lineage(sigs)
     bands = F.array(
         *[
             F.struct(
@@ -337,6 +345,12 @@ def ngram_jaccard_pairs(
     grams = docs.select(
         F.col(id_col), F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
     )
+    if max_gram_df is not None:
+        # four consumers scan the gram table when capped (sizes, the
+        # guard count, both self-join sides) — materialize it once
+        from rnadam_spark.lineage import truncate_lineage
+
+        grams = truncate_lineage(grams)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     if max_gram_df is not None:
         from rnadam_spark.operators.guards import drop_oversize_buckets

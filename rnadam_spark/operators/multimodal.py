@@ -471,8 +471,13 @@ def dhash_hamming_pairs(
         F.col(id_col), h.alias("_h"), F.explode(bands).alias("b")
     ).select(id_col, "_h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
     if max_bucket is not None:
+        from rnadam_spark.lineage import truncate_lineage
         from rnadam_spark.operators.guards import drop_oversize_buckets
 
+        # materialize the slim banded table so the guard's count and
+        # both self-join sides never re-run the upstream hash pipeline
+        # (which may include the Arrow-batched Python dHash pass)
+        banded = truncate_lineage(banded)
         banded = drop_oversize_buckets(banded, ["band", "val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -263,7 +263,9 @@ def cell_near_pairs(
     shuffle); the self-join shuffles on cell once; ``max_cell`` drops
     cells above the cap before the join (a cell of n emits n² pairs, and
     at 100 TB a boilerplate-heavy cell is guaranteed — same guard as
-    ``bucket_near_pairs``/``lsh_candidate_pairs``)."""
+    ``bucket_near_pairs``/``lsh_candidate_pairs``). The guard's count
+    aggregate re-evaluates the centroid argmax once more (a projection;
+    measured ~5% on semantic_dedup at sf0.1) — the skew-safe trade."""
     cell = F.array_max(_centroid_scores(_as_double("embedding"), centroids))["cid"]
     with_cell = embeddings.select(
         "vec_id", cell.cast("bigint").alias("cell"), F.col("embedding")
@@ -766,11 +768,17 @@ def bucket_near_pairs(
     pairs) via the skew-safe aggregate-then-broadcast-anti-join guard
     (``operators.guards``) — never a per-bucket window, which would
     funnel the hot bucket into one task."""
-    with_bucket = lsh_buckets(embeddings, seed, dim, n_planes).join(embeddings, "vec_id")
+    # guard on the SLIM bucket projection before attaching the float
+    # embeddings: the guard's count aggregate and anti-join probe then
+    # re-evaluate only the hyperplane-sign projection (cheap), never
+    # the vec_id join — and the join itself runs over the already-
+    # filtered ids
+    buckets = lsh_buckets(embeddings, seed, dim, n_planes)
     if max_bucket is not None:
         from rnadam_spark.operators.guards import drop_oversize_buckets
 
-        with_bucket = drop_oversize_buckets(with_bucket, ["bucket"], max_bucket)
+        buckets = drop_oversize_buckets(buckets, ["bucket"], max_bucket)
+    with_bucket = buckets.join(embeddings, "vec_id")
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     return (
