@@ -52,4 +52,6 @@ def drop_oversize_buckets(
         .filter(F.col("_n") > max_bucket)
         .select(*keys)
     )
-    return df.join(F.broadcast(oversize), keys, "left_anti")
+    # re-select the input's column order: the equi-join would otherwise
+    # move the join keys first, silently reordering the caller's schema
+    return df.join(F.broadcast(oversize), keys, "left_anti").select(*df.columns)

@@ -769,15 +769,16 @@ def bucket_near_pairs(
     (``operators.guards``) — never a per-bucket window, which would
     funnel the hot bucket into one task."""
     # guard on the SLIM bucket projection before attaching the float
-    # embeddings: the guard's count aggregate and anti-join probe then
-    # re-evaluate only the hyperplane-sign projection (cheap), never
-    # the vec_id join — and the join itself runs over the already-
-    # filtered ids
+    # embeddings: the (vec_id, bucket) table materializes once at the
+    # boundary (16 bytes/row), the guard's count and anti-join probe
+    # scan those rows, and the vec_id join runs over already-filtered
+    # ids — the float embeddings never evaluate for the guard at all
     buckets = lsh_buckets(embeddings, seed, dim, n_planes)
     if max_bucket is not None:
+        from rnadam_spark.lineage import truncate_lineage
         from rnadam_spark.operators.guards import drop_oversize_buckets
 
-        buckets = drop_oversize_buckets(buckets, ["bucket"], max_bucket)
+        buckets = drop_oversize_buckets(truncate_lineage(buckets), ["bucket"], max_bucket)
     with_bucket = buckets.join(embeddings, "vec_id")
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
