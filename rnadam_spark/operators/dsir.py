@@ -1,0 +1,215 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+Selects raw-corpus documents that look like a small high-quality target
+corpus (e.g. Wikipedia + books) by importance weights over hashed
+n-gram features — the published recipe behind several open pre-training
+corpora, and the piece of the curation surface between the pure
+heuristics (``text.quality_scores``) and the trained models
+(``lm.lm_perplexity``, ``lm.classifier_score``): it needs no labels and
+no gradient training, just two bag-of-ngrams distributions.
+
+Recipe (paper §3, re-expressed Spark-first):
+
+1. **Features**: each document is a bag of word uni+bigrams hashed into
+   ``n_buckets`` integer buckets (the paper's "hashed n-gram features").
+   Hashing reuses the engine's portable polynomial family
+   (``functions/hashing.py``) so the oracle reproduces bucket ids
+   bit-for-bit.
+2. **Distributions**: bucket-count tables for the target and raw
+   corpora — one explode + one groupBy each, output bounded by
+   ``n_buckets`` rows regardless of corpus size, so both models always
+   broadcast (same boundedness argument as ``lm.train_char_lm``).
+3. **Log importance weight** per raw document::
+
+       log w(d) = Σ_{g ∈ features(d)} [ ln p_target(bucket(g))
+                                       − ln p_raw(bucket(g)) ]
+
+   with add-α smoothed probabilities ``(cnt+α)/(total+α·B)`` so unseen
+   buckets stay finite. The corpus is exploded once, joined against the
+   broadcast (bucket → log-ratio) table, and re-aggregated by doc_id —
+   exactly one exchange, map-side partial agg.
+4. **Gumbel-top-k resampling**: sampling without replacement with
+   probability ∝ w(d) is equivalent to taking the top fraction by
+   ``log w(d) + Gumbel noise``. The noise is deterministic —
+   ``−ln(−ln(u))`` with ``u`` from a universal hash of doc_id
+   (``sampling._sample_code``) — so the selected set is reproducible
+   across runs, partitionings, and engines. Selection uses the
+   broadcast-threshold form (one aggregate + projection filter, no
+   global sort, no window): the skew-safe shape from
+   ``sampling.top_fraction_per_group_threshold``.
+
+Scale: steps 1–2 are bounded-output aggregations; step 3 shuffles the
+corpus once on doc_id; step 4 is an aggregate plus a pushdown-friendly
+filter. Nothing is quadratic, nothing funnels a hot key into one task,
+and the only broadcast tables are O(n_buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rnadam_spark.functions.hashing import MOD, poly_hash_col
+from rnadam_spark.functions.rounding import hround
+from rnadam_spark.functions.shingles import token_ngrams
+from rnadam_spark.operators.sampling import _sample_code
+
+HASH_CHARS = 8  # chars of each n-gram fed to the polynomial hash
+
+
+def _bucket_of(gram: Column, n_buckets: int) -> Column:
+    """Bucket id in [0, n_buckets) of an n-gram string — polynomial
+    hash of the gram right-padded to ``HASH_CHARS`` chars (the
+    ``simhash16`` convention), reduced mod n_buckets. Portable: the
+    oracle computes the identical BIGINT."""
+    return poly_hash_col(F.rpad(gram, HASH_CHARS, "_"), HASH_CHARS) % F.lit(n_buckets)
+
+
+def doc_feature_buckets(
+    text_col: str | Column = "text", n_buckets: int = 10_000, ns: tuple[int, ...] = (1, 2)
+) -> Column:
+    """Array column of hashed n-gram feature buckets for one document
+    (with multiplicity — DSIR weights count every occurrence)."""
+    grams = F.concat(*[token_ngrams(text_col, n) for n in ns])
+    return F.transform(grams, lambda g: _bucket_of(g, n_buckets))
+
+
+def bucket_counts(
+    corpus: DataFrame,
+    n_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, cnt): hashed-n-gram bucket counts of a corpus — the
+    distribution table for one side of the importance ratio. Output is
+    ≤ ``n_buckets`` rows however large the corpus, so it broadcasts at
+    any scale; the groupBy partial-aggregates map-side."""
+    return (
+        corpus.select(
+            F.explode(doc_feature_buckets(text_col, n_buckets, ns)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def _log_ratio_table(
+    target_counts: DataFrame, raw_counts: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, log_ratio): ln p̂_target(b) − ln p̂_raw(b) with add-α
+    smoothing. Totals ride the plan as broadcast 1-row aggregates (the
+    PageRank dangling-mass trick) — no driver collect. Buckets unseen
+    by BOTH corpora are absent; scoring treats them as log_ratio 0,
+    which equals the smoothed value ln(α/(T+αB)) − ln(α/(R+αB)) only
+    when T=R — callers wanting the exact smoothed tail can densify, but
+    a bucket no corpus ever produced cannot appear in a scored doc's
+    features drawn from the raw corpus used here, so the fast path is
+    exact for :func:`dsir_log_weights` on the same raw corpus."""
+    t_total = target_counts.agg(F.sum("cnt").alias("_t_total"))
+    r_total = raw_counts.agg(F.sum("cnt").alias("_r_total"))
+    t = target_counts.select("bucket", F.col("cnt").alias("_t_cnt"))
+    r = raw_counts.select("bucket", F.col("cnt").alias("_r_cnt"))
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+    )
+    b = float(n_buckets)
+    log_ratio = (
+        F.log(F.coalesce(F.col("_t_cnt"), F.lit(0)) + F.lit(alpha))
+        - F.log(F.coalesce(F.col("_t_total"), F.lit(0)) + F.lit(alpha * b))
+        - F.log(F.coalesce(F.col("_r_cnt"), F.lit(0)) + F.lit(alpha))
+        + F.log(F.coalesce(F.col("_r_total"), F.lit(0)) + F.lit(alpha * b))
+    )
+    return joined.select("bucket", log_ratio.alias("log_ratio"))
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    ns: tuple[int, ...] = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_features, log_weight): per-document log importance
+    weight under the hashed-n-gram bag model. Documents with no tokens
+    keep n_features 0 and log_weight 0.0 (an audit row never vanishes —
+    the ``lm_perplexity`` convention).
+
+    Plan: corpus exploded once → broadcast join on the ≤n_buckets
+    log-ratio table → map-side-partial doc_id re-aggregation. One
+    exchange total."""
+    ratios = F.broadcast(_log_ratio_table(target_counts, raw_counts, n_buckets, alpha))
+    feats = raw_docs.select(
+        F.col(id_col),
+        F.explode_outer(doc_feature_buckets(text_col, n_buckets, ns)).alias("bucket"),
+    )
+    scored = feats.join(ratios, "bucket", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("bucket").cast("bigint").alias("n_features"),
+        hround(F.coalesce(F.sum("log_ratio"), F.lit(0.0)), 6).alias("log_weight"),
+    )
+
+
+def gumbel_key(log_weight: Column, id_code: Column) -> Column:
+    """Gumbel-top-k sampling key: log w + G where G = −ln(−ln u) and
+    u ∈ (0,1) is derived from the deterministic id hash. Taking the top
+    fraction by this key draws without replacement with probability
+    ∝ w — the Gumbel-max trick, reproducible because u is a hash."""
+    u = (id_code + F.lit(1.0)) / F.lit(float(MOD + 1))
+    return log_weight - F.log(-F.log(u))
+
+
+def dsir_select(
+    weights: DataFrame,
+    fraction: float,
+    seed: int = 29,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by Gumbel-top-k over ``weight_col`` —
+    the resampling step of DSIR. Deterministic in (id, seed).
+
+    Selection is the broadcast-threshold shape, not a global sort: one
+    exact ``percentile`` aggregate over the Gumbel keys (partial-merges
+    per partition) broadcast back as a literal-like 1-row table, then a
+    projection filter. Ties at the boundary all survive. Swap the
+    aggregate for ``percentile_approx`` at high row counts if the exact
+    value→count map grows too large; keys here are 6-dp-rounded doubles
+    plus continuous noise, so use the approx form beyond ~10⁸ rows."""
+    keyed = weights.withColumn(
+        "_gk", gumbel_key(F.col(weight_col), _sample_code(F.col(id_col), seed))
+    )
+    thr = keyed.agg(F.expr(f"percentile(_gk, {1.0 - fraction})").alias("_thr"))
+    return (
+        keyed.crossJoin(F.broadcast(thr))
+        .filter(F.col("_gk") >= F.col("_thr"))
+        .drop("_gk", "_thr")
+    )
+
+
+def dsir(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    fraction: float,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    ns: tuple[int, ...] = (1, 2),
+    seed: int = 29,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_features, log_weight): the ~``fraction`` of
+    ``raw_docs`` whose hashed-n-gram profile best matches
+    ``target_docs``, end to end: distributions → log weights →
+    Gumbel-top-k resample. Join the result back to the corpus on
+    ``doc_id`` to materialize the selected text."""
+    tc = bucket_counts(target_docs, n_buckets, ns, text_col)
+    rc = bucket_counts(raw_docs, n_buckets, ns, text_col)
+    w = dsir_log_weights(
+        raw_docs, tc, rc, n_buckets, alpha, ns, text_col, id_col
+    )
+    return dsir_select(w, fraction, seed, "log_weight", id_col)

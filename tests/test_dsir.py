@@ -1,0 +1,210 @@
+"""DSIR importance resampling (operators/dsir.py): python-reference
+goldens for the full hashed-ngram → log-weight → Gumbel-top-k chain,
+plus a DuckDB cross-check of the weight arithmetic and the selection
+invariants (determinism, monotonicity in the target distribution)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from rnadam_spark.functions.hashing import MOD, hash_family
+from rnadam_spark.operators import dsir
+
+N_BUCKETS = 64  # small so test buckets collide like real ones do
+ALPHA = 1.0
+
+TARGET = [
+    (100, "the cat sat on the mat"),
+    (101, "the dog sat on the log"),
+    (102, "a cat and a dog sat together"),
+]
+RAW = [
+    (1, "the cat sat on the mat again"),   # in-domain
+    (2, "the dog sat on a log"),            # in-domain
+    (3, "zqxj vvkw zzz qqq"),               # garbage
+    (4, "buy cheap pills online now"),      # off-domain
+    (5, "a cat and a dog"),                 # in-domain
+    (6, ""),                                # empty: 0 features
+]
+
+
+def _tokens(t):
+    return [x for x in re.split(r"\s+", t) if x]
+
+
+def _ngrams(t, n):
+    toks = _tokens(t)
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _bucket(gram):
+    s = (gram + "_" * 8)[:8] if len(gram) < 8 else gram[:8]
+    acc = ord(s[0])
+    for ch in s[1:]:
+        acc = (acc * 31 + ord(ch)) % MOD
+    return acc % N_BUCKETS
+
+
+def _features(t, ns=(1, 2)):
+    out = []
+    for n in ns:
+        out.extend(_bucket(g) for g in _ngrams(t, n))
+    return out
+
+
+def _counts(rows):
+    c = Counter()
+    for _, t in rows:
+        c.update(_features(t))
+    return c
+
+
+def _py_log_weights():
+    tc, rc = _counts(TARGET), _counts(RAW)
+    t_total, r_total = sum(tc.values()), sum(rc.values())
+    out = {}
+    for doc_id, t in RAW:
+        feats = _features(t)
+        lw = sum(
+            math.log(tc.get(b, 0) + ALPHA)
+            - math.log(t_total + ALPHA * N_BUCKETS)
+            - math.log(rc.get(b, 0) + ALPHA)
+            + math.log(r_total + ALPHA * N_BUCKETS)
+            for b in feats
+        )
+        out[doc_id] = (len(feats), math.floor(lw * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def _spark_weights(spark):
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    tc = dsir.bucket_counts(tgt, N_BUCKETS)
+    rc = dsir.bucket_counts(raw, N_BUCKETS)
+    return dsir.dsir_log_weights(raw, tc, rc, N_BUCKETS, ALPHA)
+
+
+def test_bucket_counts_match_python(spark):
+    got = {
+        r.bucket: r.cnt
+        for r in dsir.bucket_counts(
+            spark.createDataFrame(TARGET, ["doc_id", "text"]), N_BUCKETS
+        ).collect()
+    }
+    assert got == dict(_counts(TARGET))
+
+
+def test_log_weights_golden(spark):
+    got = {r.doc_id: (r.n_features, r.log_weight) for r in _spark_weights(spark).collect()}
+    want = _py_log_weights()
+    assert set(got) == set(want)  # empty doc present
+    for doc_id, (n_feats, lw) in want.items():
+        assert got[doc_id][0] == n_feats
+        assert got[doc_id][1] == pytest.approx(lw, abs=1e-9)
+    # in-domain text outweighs garbage and off-domain spam
+    per_feat = {
+        d: got[d][1] / max(got[d][0], 1) for d in got
+    }
+    assert per_feat[1] > per_feat[3]
+    assert per_feat[2] > per_feat[4]
+    assert got[6] == (0, 0.0)
+
+
+def test_log_weights_match_duckdb(spark):
+    """The weight arithmetic cross-checked engine-to-engine: the same
+    hashed-bucket/add-α/log-ratio formula as one DuckDB SQL statement
+    over the same rows."""
+    got = {r.doc_id: (r.n_features, r.log_weight) for r in _spark_weights(spark).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", RAW)
+    con.execute("CREATE TABLE tgt(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tgt VALUES (?, ?)", TARGET)
+
+    def poly8(expr):
+        acc = f"CAST(ascii(substring({expr}, 1, 1)) AS BIGINT)"
+        for i in range(2, 9):
+            acc = f"(({acc}) * 31 + ascii(substring({expr}, {i}, 1))) % {MOD}"
+        return acc
+
+    feats = f"""
+    WITH toks AS (
+        SELECT doc_id, t.tok AS tok, t.i AS i FROM {{src}},
+        LATERAL (
+            SELECT x.tok, x.i FROM (
+                SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok,
+                       generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0), 1) AS i
+            ) x
+        ) t
+    ), grams AS (
+        SELECT doc_id, tok AS gram FROM toks
+        UNION ALL
+        SELECT a.doc_id, a.tok || ' ' || b.tok FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    )
+    SELECT doc_id, ({poly8("rpad(gram, 8, '_')")}) % {N_BUCKETS} AS bucket FROM grams
+    """
+    con.execute(f"CREATE TABLE tfeat AS {feats.format(src='tgt')}")
+    con.execute(f"CREATE TABLE rfeat AS {feats.format(src='raw')}")
+    rows = con.execute(
+        f"""
+        WITH tc AS (SELECT bucket, COUNT(*)::BIGINT cnt FROM tfeat GROUP BY bucket),
+             rc AS (SELECT bucket, COUNT(*)::BIGINT cnt FROM rfeat GROUP BY bucket),
+             tt AS (SELECT SUM(cnt) s FROM tc), rt AS (SELECT SUM(cnt) s FROM rc),
+             ratio AS (
+               SELECT COALESCE(tc.bucket, rc.bucket) bucket,
+                      ln(COALESCE(tc.cnt, 0) + {ALPHA}) - ln(tt.s + {ALPHA * N_BUCKETS})
+                    - ln(COALESCE(rc.cnt, 0) + {ALPHA}) + ln(rt.s + {ALPHA * N_BUCKETS}) AS lr
+               FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, tt, rt)
+        SELECT raw.doc_id,
+               COUNT(rfeat.bucket)::BIGINT AS n_features,
+               floor(COALESCE(SUM(ratio.lr), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS log_weight
+        FROM raw LEFT JOIN rfeat ON raw.doc_id = rfeat.doc_id
+                 LEFT JOIN ratio ON rfeat.bucket = ratio.bucket
+        GROUP BY raw.doc_id
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], r[2]) for r in rows}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-9)
+
+
+def _py_select(fraction, seed=29):
+    import numpy as np
+
+    want = _py_log_weights()
+    a, b = hash_family(1, seed)[0]
+    keys = {}
+    for doc_id, (_, lw) in want.items():
+        code = (doc_id % MOD * a + b) % MOD
+        u = (code + 1.0) / (MOD + 1.0)
+        keys[doc_id] = lw - math.log(-math.log(u))
+    thr = np.percentile(list(keys.values()), (1.0 - fraction) * 100)
+    return {d for d, k in keys.items() if k >= thr}
+
+
+def test_dsir_select_golden_and_deterministic(spark):
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    sel1 = {r.doc_id for r in dsir.dsir(raw, tgt, 0.5, N_BUCKETS).collect()}
+    sel2 = {
+        r.doc_id
+        for r in dsir.dsir(raw.repartition(7), tgt.repartition(3), 0.5, N_BUCKETS).collect()
+    }
+    assert sel1 == sel2 == _py_select(0.5)
+    # schema carries the weight columns for auditability
+    cols = dsir.dsir(raw, tgt, 0.5, N_BUCKETS).columns
+    assert cols == ["doc_id", "n_features", "log_weight"]
+
+
+def test_dsir_select_fraction_one_keeps_all(spark):
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    assert dsir.dsir(raw, tgt, 1.0, N_BUCKETS).count() == len(RAW)
