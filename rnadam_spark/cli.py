@@ -313,6 +313,56 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("-quality_min", type=float, default=0.9)
     pr.add_argument("-max_dup_5gram", type=float, default=None)
+
+    eh = sub.add_parser(
+        "extract-html",
+        help="boilerplate-strip crawled HTML into a documents table "
+        "(jusText-lite block classifier; zero-shuffle projection)",
+    )
+    eh.add_argument("pages", help="parquet with (doc_id, html)")
+    eh.add_argument("output", help="parquet: (doc_id, text, n_blocks, n_kept, link_frac)")
+    eh.add_argument("-html_col", default="html")
+    eh.add_argument("-min_words", type=int, default=3)
+    eh.add_argument("-max_link_density", type=float, default=0.25)
+    eh.add_argument("-min_stopword_frac", type=float, default=0.0)
+    eh.add_argument(
+        "-drop_empty", action="store_true", help="drop pages that extract to empty text"
+    )
+
+    ds = sub.add_parser(
+        "dsir",
+        help="keep the fraction of a raw corpus that best matches a "
+        "target corpus: hashed-n-gram importance weights + deterministic "
+        "Gumbel-top-k resampling (DSIR, Xie et al. 2023)",
+    )
+    ds.add_argument("raw", help="parquet: raw documents")
+    ds.add_argument("target", help="parquet: target-domain documents")
+    ds.add_argument("output", help="parquet: selected docs + n_features/log_weight")
+    ds.add_argument("-fraction", type=float, default=0.25)
+    ds.add_argument("-n_buckets", type=int, default=10_000)
+    ds.add_argument("-seed", type=int, default=29)
+
+    sp = sub.add_parser(
+        "split",
+        help="leakage-safe train/val/test assignment: near-dup clusters "
+        "(LSH -> exact-Jaccard verify -> connected components) stay "
+        "whole in one split; singletons hash their own id",
+    )
+    sp.add_argument("documents", help="parquet: documents table")
+    sp.add_argument("output", help="parquet: (doc_id, group_id, split)")
+    sp.add_argument(
+        "-fractions",
+        default="train=0.9,val=0.05,test=0.05",
+        help="comma list name=frac, must sum to 1",
+    )
+    sp.add_argument("-seed", type=int, default=23)
+    sp.add_argument("-near_jaccard_min", type=float, default=0.8)
+    sp.add_argument("-lsh_max_bucket", type=int, default=1000)
+    sp.add_argument(
+        "-pairs",
+        default=None,
+        help="precomputed near-dup pair parquet (doc_a, doc_b); skips LSH+verify",
+    )
     return p
 
 
@@ -761,6 +811,50 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(diff_summary(diff)))
     elif args.command == "profile":
         _run_profile(spark, args)
+    elif args.command == "extract-html":
+        from pyspark.sql import functions as F
+
+        from rnadam_spark.operators.html import extract_main_text
+
+        pages = spark.read.parquet(args.pages)
+        out = extract_main_text(
+            pages,
+            min_words=args.min_words,
+            max_link_density=args.max_link_density,
+            min_stopword_frac=args.min_stopword_frac,
+            html_col=args.html_col,
+            out_col="text",
+        )
+        if args.drop_empty:
+            out = out.filter(F.length("text") > 0)
+        out.write.mode("overwrite").parquet(args.output)
+    elif args.command == "dsir":
+        from rnadam_spark.operators.dsir import dsir as dsir_select_docs
+
+        raw = spark.read.parquet(args.raw)
+        target = spark.read.parquet(args.target)
+        selected = dsir_select_docs(
+            raw, target, args.fraction, n_buckets=args.n_buckets, seed=args.seed
+        )
+        # join back to carry the text; weight columns stay for audits
+        raw.join(selected, "doc_id").write.mode("overwrite").parquet(args.output)
+    elif args.command == "split":
+        from rnadam_spark.operators import dedup
+        from rnadam_spark.operators.splits import leakage_safe_split
+
+        docs = spark.read.parquet(args.documents)
+        if args.pairs:
+            pairs = spark.read.parquet(args.pairs)
+        else:
+            cands = dedup.lsh_candidate_pairs(docs, max_bucket=args.lsh_max_bucket)
+            pairs = dedup.verify_pairs(cands, docs, threshold=args.near_jaccard_min)
+        fractions = {}
+        for part in args.fractions.split(","):
+            name, _, frac = part.partition("=")
+            fractions[name.strip()] = float(frac)
+        leakage_safe_split(docs, pairs, fractions, seed=args.seed).write.mode(
+            "overwrite"
+        ).parquet(args.output)
     elif args.command == "index":
         from rnadam_spark.algorithms.index import build_index
 

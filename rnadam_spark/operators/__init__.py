@@ -8,14 +8,17 @@ from rnadam_spark.operators import (  # noqa: F401
     clustering,
     dedup,
     diffing,
+    dsir,
     funnel,
     graph,
+    html,
     lm,
     repetition,
     sampling,
     search,
     similarity,
     spans,
+    splits,
     text,
     web,
 )

@@ -663,3 +663,68 @@ def test_cli_curate_all_stages_compose(spark, tmp_path):
     assert "rights reserved" not in text_all        # shared span deduped
     assert "bread" in text_all                      # surrounding prose kept
     assert all(len(r.text) <= 256 for rs in got.values() for r in rs)
+
+
+def test_cli_extract_html_dsir_split(spark, tmp_path):
+    """The three ingestion-side commands compose: extract-html strips
+    boilerplate into a documents table, dsir selects the target-matched
+    fraction, split assigns leakage-safe train/val/test groups."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            (i, "<nav><a href='/'>Home</a> <a href='/a'>A</a> <a href='/b'>B</a></nav>"
+                f"<p>The quick brown fox number {i} jumps over the lazy dog in the "
+                "field and the crowd is amazed at the sight.</p>")
+            for i in range(1, 21)
+        ]
+        + [(99, "<div><a href='x'>x</a><a href='y'>y</a><a href='z'>z</a></div>")],
+        ["doc_id", "html"],
+    )
+    pages_path = str(tmp_path / "pages.parquet")
+    pages.write.parquet(pages_path)
+    docs_path = str(tmp_path / "docs.parquet")
+    cli.main(["extract-html", pages_path, docs_path, "-drop_empty"])
+    docs = spark.read.parquet(docs_path)
+    assert docs.count() == 20  # link-only page extracted empty and dropped
+    assert docs.filter(F.col("text").contains("Home")).count() == 0
+    assert docs.filter(F.col("text").contains("quick brown fox")).count() == 20
+
+    # dsir: target = fox prose; raw = fox prose + spam -> spam ranks last
+    raw = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(1, 9)]
+        + [(100 + i, "buy cheap pills online now discount sale") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    tgt = spark.createDataFrame(
+        [(i, "a quick brown fox jumps over a lazy dog") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    raw_path, tgt_path = str(tmp_path / "raw.parquet"), str(tmp_path / "tgt.parquet")
+    raw.write.parquet(raw_path)
+    tgt.write.parquet(tgt_path)
+    sel_path = str(tmp_path / "selected.parquet")
+    cli.main(["dsir", raw_path, tgt_path, sel_path, "-fraction", "0.5", "-n_buckets", "256"])
+    sel = spark.read.parquet(sel_path)
+    assert {"doc_id", "text", "n_features", "log_weight"} <= set(sel.columns)
+    kept = {r.doc_id for r in sel.select("doc_id").collect()}
+    assert len(kept) == 6
+    assert sum(1 for d in kept if d >= 100) <= 1  # spam (≥100) mostly culled
+
+    # split: duplicate docs must land in one split
+    dup_docs = spark.createDataFrame(
+        [(i, f"unique document number {i} with distinct content entirely") for i in range(1, 30)]
+        + [(51, "the exact same duplicated text appears here verbatim today"),
+           (52, "the exact same duplicated text appears here verbatim today")],
+        ["doc_id", "text"],
+    )
+    dup_path = str(tmp_path / "dup.parquet")
+    dup_docs.write.parquet(dup_path)
+    split_path = str(tmp_path / "splits.parquet")
+    cli.main(["split", dup_path, split_path, "-fractions", "train=0.8,val=0.1,test=0.1"])
+    sp = spark.read.parquet(split_path)
+    assert sp.count() == 31
+    pair = {r.doc_id: (r.group_id, r.split) for r in sp.filter(F.col("doc_id") >= 51).collect()}
+    assert pair[51] == pair[52]
