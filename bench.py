@@ -37,7 +37,11 @@ def _bench_queries() -> dict:
     from the 50-entry correctness gate but stay timed here (their
     semantics remain pinned: fraction_of_group via em_two_steps' alpha1
     CTE, simhash_16 inside simhash_hamming_pairs' oracle)."""
-    from rnadam_spark.queries.pipeline_q import quality_scores, simhash_16
+    from rnadam_spark.queries.pipeline_q import (
+        minhash_signatures,
+        quality_scores,
+        simhash_16,
+    )
     from rnadam_spark.queries.windows_q import fraction_of_group
 
     return {
@@ -47,6 +51,9 @@ def _bench_queries() -> dict:
         # deregistered round 6 (gopher_quality rotation) but pinned in
         # the headline set for round-over-round comparability
         "quality_scores": quality_scores,
+        # deregistered round 7 (lm_perplexity rotation); headline keeps
+        # timing the signature projection round-over-round
+        "minhash_signatures": minhash_signatures,
     }
 
 # Headline set: the reference's hot path (k-mer count → classes), the
@@ -252,8 +259,11 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
     from rnadam_spark.operators import lm as lmod
     from rnadam_spark.operators import repetition, similarity, text, web
     from rnadam_spark.operators import diffing
+    from rnadam_spark.operators import dsir as dsir_mod
+    from rnadam_spark.operators import html as html_mod
     from rnadam_spark.operators import multimodal as mmod
     from rnadam_spark.operators import spans as spans_mod
+    from rnadam_spark.operators import splits as splits_mod
     from rnadam_spark.operators.sampling import hash_sample
     from rnadam_spark.sources.tables import load_table
 
@@ -337,6 +347,37 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
         "lm_train_and_perplexity": timed(lambda: lmod.lm_perplexity(docs, model)),
         "classifier_score": timed(lambda: lmod.classifier_score(docs, weights)),
         "pack_sequences": timed(lambda: lmod.pack_sequences(docs, budget=2048)),
+        # round-7 surface: DSIR end-to-end (both bucket distributions +
+        # weights + Gumbel-top-k selection — the full selection pass a
+        # pipeline pays per corpus), boilerplate extraction over the
+        # corpus text wrapped in a synthetic page shell (nav + footer +
+        # per-paragraph <p> tags; the shell is constant so the timing
+        # isolates the extraction projection), and the split-verdict
+        # projection (leakage_safe_split minus its CC input — pair
+        # generation and clustering are already timed by the LSH rows)
+        "dsir_select": timed(
+            lambda: dsir_mod.dsir(
+                docs, hash_sample(docs, "doc_id", 0.2, seed=31), fraction=0.25
+            )
+        ),
+        "extract_main_text": timed(
+            lambda: html_mod.extract_main_text(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("<nav><a href='/'>Home</a> <a href='/a'>About</a>"
+                              " <a href='/b'>More</a></nav><p>"),
+                        F.regexp_replace(F.col("text"), "\n", "</p><p>"),
+                        F.lit("</p><footer><a href='/t'>Terms</a></footer>"),
+                    ).alias("html"),
+                )
+            )
+        ),
+        "assign_split": timed(
+            lambda: splits_mod.assign_split(
+                docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+            )
+        ),
     }
 
 

@@ -54,11 +54,15 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
-@query("minhash_signatures", oracle=_MINHASH_SQL)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature, shuffle-free on the Spark side
     (shingle array → per-hash transform → array_min in one projection;
-    the oracle's explode+min is the same multiset minimum)."""
+    the oracle's explode+min is the same multiset minimum).
+
+    Not registered (gate rotation r7, second wave): the signature
+    kernel is the first CTE of ``lsh_candidate_pairs``' oracle — every
+    hash of every document still hash-compares there; the standalone
+    row retired to make room for ``lm_perplexity``."""
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents", widen=True))
 
 
@@ -704,7 +708,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-4 sketch of shingle hashes (rolling-hash fingerprint).
 
     Unregistered since round 6 (gate capped at 50; the poly-hash kernel
-    stays hash-verified via ``minhash_signatures``); pinned instead by
+    stays hash-verified via ``lsh_candidate_pairs``' signature CTE); pinned by
     the golden in tests/test_text_curation.py."""
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -1041,3 +1045,119 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return corpus_diff(old, new)
+
+
+# ------------------------------------------------------- model scoring
+
+_LM_N, _LM_V = 3, 128
+
+_LM_PPL_SQL = f"""
+    WITH doc_grams AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), {_LM_N}) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - {_LM_N - 1}, 0) + 1)) AS i
+            FROM documents)
+    ), model AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS gram_cnt FROM doc_grams GROUP BY gram
+    ), prefixes AS (
+      SELECT substring(gram, 1, {_LM_N - 1}) AS prefix,
+             CAST(sum(gram_cnt) AS BIGINT) AS prefix_cnt
+      FROM model GROUP BY substring(gram, 1, {_LM_N - 1})
+    ), scored AS (
+      SELECT dg.doc_id,
+             ln(coalesce(p.prefix_cnt, 0) + {_LM_V}) - ln(coalesce(m.gram_cnt, 0) + 1) AS nlp
+      FROM doc_grams dg
+      LEFT JOIN model m ON dg.gram = m.gram
+      LEFT JOIN prefixes p ON substring(dg.gram, 1, {_LM_N - 1}) = p.prefix
+    )
+    SELECT d.doc_id,
+           CAST(count(s.nlp) AS BIGINT) AS n_grams,
+           {hround_sql("coalesce(avg(s.nlp), 0.0)", 6)} AS avg_neg_log_prob,
+           {hround_sql("exp(coalesce(avg(s.nlp), 0.0))", 6)} AS perplexity
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@query("lm_perplexity", oracle=_LM_PPL_SQL)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring under a char-3-gram add-one LM
+    trained on the corpus itself (operators/lm.py — the model table is
+    bounded by alphabet³ rows so it broadcasts at any corpus size; the
+    exploded corpus shuffles exactly once on doc_id). Self-training
+    makes the query deterministic and the oracle closed-form: DuckDB
+    re-derives the same gram/prefix counts and the same
+    ln(prefix+V) − ln(gram+1) arithmetic, so n_grams, avg_neg_log_prob,
+    and perplexity hash-compare at 6dp. Documents shorter than n keep
+    n_grams=0 / perplexity=1 on both sides (no row vanishes)."""
+    from rnadam_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    model = lm.train_char_lm(docs, n=_LM_N)
+    return lm.lm_perplexity(docs, model, n=_LM_N, vocab_size=_LM_V)
+
+
+DSIR_BUCKETS = 4096
+_DSIR_TARGET_FRAC = 0.2
+_DSIR_SEED = 31
+
+_POLY8_RPAD = poly_hash_sql("rpad(gram, 8, '_')", 8)
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ), grams AS (
+      SELECT doc_id, tok AS gram FROM toks
+      UNION ALL
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), feats AS (
+      SELECT doc_id, ({_POLY8_RPAD}) % {DSIR_BUCKETS} AS bucket FROM grams
+    ), tgt_ids AS (
+      SELECT doc_id FROM documents
+      WHERE ({sampling.sample_code_sql("doc_id", _DSIR_SEED)}) < {int(_DSIR_TARGET_FRAC * MOD)}
+    ), tc AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM feats JOIN tgt_ids USING (doc_id) GROUP BY bucket
+    ), rc AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM feats GROUP BY bucket
+    ), tt AS (SELECT coalesce(sum(cnt), 0) AS s FROM tc),
+    rt AS (SELECT coalesce(sum(cnt), 0) AS s FROM rc),
+    ratio AS (
+      SELECT rc.bucket,
+             ln(coalesce(tc.cnt, 0) + 1.0) - ln(tt.s + {float(DSIR_BUCKETS)})
+           - ln(rc.cnt + 1.0) + ln(rt.s + {float(DSIR_BUCKETS)}) AS lr
+      FROM rc LEFT JOIN tc USING (bucket), tt, rt
+    )
+    SELECT d.doc_id,
+           CAST(count(f.bucket) AS BIGINT) AS n_features,
+           {hround_sql("coalesce(sum(r.lr), 0.0)", 6)} AS log_weight
+    FROM documents d
+    LEFT JOIN feats f ON d.doc_id = f.doc_id
+    LEFT JOIN ratio r ON f.bucket = r.bucket
+    GROUP BY d.doc_id
+    """
+
+
+@query("dsir_log_weights", oracle=_DSIR_SQL)
+def dsir_log_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py; Xie et al. 2023):
+    hashed word uni+bigram bucket distributions for a target corpus (a
+    deterministic 20% hash sample of documents — target ⊆ raw, so the
+    oracle's rc-left-join ratio table equals the operator's full-outer
+    form) and the raw corpus, then per-doc Σ log(p_target/p_raw) with
+    add-1 smoothing. Both model tables are bounded by n_buckets rows
+    (always broadcast); the corpus shuffles once on doc_id. The oracle
+    re-derives buckets with the identical rpad-8 polynomial hash, so
+    n_features and 6dp log_weight hash-compare. The Gumbel-top-k
+    resample step (dsir_select) is pinned by pytest goldens — its
+    percentile threshold is engine-portable but adds nothing to the
+    hash surface beyond this row."""
+    from rnadam_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    target = sampling.hash_sample(docs, "doc_id", _DSIR_TARGET_FRAC, seed=_DSIR_SEED)
+    tc = dsir.bucket_counts(target, DSIR_BUCKETS)
+    rc = dsir.bucket_counts(docs, DSIR_BUCKETS)
+    return dsir.dsir_log_weights(docs, tc, rc, DSIR_BUCKETS)

@@ -60,17 +60,14 @@ def split_count_equally(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "running_customer_spend",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 AS cum_spend
-    FROM orders
-    """,
-)
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per key: ordered frame with unique tiebreak."""
+    """Running total per key: ordered frame with unique tiebreak.
+
+    Not registered (gate rotation r7, second wave): the ordered-frame
+    running-sum kernel stays hash-verified inside ``sessionize_events``
+    (its session ids are a conditional running sum over the same
+    partition-ordered frame shape); the standalone row retired to make
+    room for ``dsir_log_weights``."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")

@@ -132,7 +132,7 @@ def test_fingerprints_matches_python(spark, sf_dir):
     # bottom-4 sketch of 4-shingle poly hashes, cross-checked against a
     # direct Python reimplementation (covers the operator now that its
     # oracle row is retired from the 50-entry gate; the poly-hash kernel
-    # itself stays hash-verified via minhash_signatures)
+    # itself stays hash-verified via lsh_candidate_pairs' signature CTE)
     from rnadam_spark.functions.hashing import BASE, MOD
     from rnadam_spark.sources.tables import load_table
 
