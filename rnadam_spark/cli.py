@@ -857,9 +857,12 @@ def main(argv: list[str] | None = None) -> None:
         ).parquet(args.output)
     elif args.command == "index":
         from rnadam_spark.algorithms.index import build_index
+        from rnadam_spark.sources import bio_formats as bio
 
-        genome = gio.load_genome(spark, args.genome)
-        transcripts = gio.load_transcripts(spark, args.genes)
+        # native formats (FASTA genome, GTF genes) are first-class
+        # inputs, dispatched by extension; parquet stays the default
+        genome = bio.load_genome_any(spark, args.genome)
+        transcripts = bio.load_transcripts_any(spark, args.genes)
         kmer_to_class, class_kmers, class_transcripts = build_index(
             transcripts, genome, args.kmer_length
         )
@@ -867,11 +870,12 @@ def main(argv: list[str] | None = None) -> None:
         class_transcripts.write.mode("overwrite").parquet(args.output + "_members")
     else:
         from rnadam_spark.algorithms.quantify import quantify
+        from rnadam_spark.sources import bio_formats as bio
 
-        reads = gio.load_reads(spark, args.reads)
+        reads = bio.load_reads_any(spark, args.reads)
         kmer_to_class, _ = gio.load_index(spark, args.index)
         class_transcripts = spark.read.parquet(args.index + "_members")
-        transcripts = gio.load_transcripts(spark, args.genes)
+        transcripts = bio.load_transcripts_any(spark, args.genes)
         result = quantify(
             reads,
             kmer_to_class,

@@ -1,0 +1,242 @@
+"""Native genomics text formats: FASTA, FASTQ, GTF — Spark-first.
+
+Closes the ingestion gap the parquet-table boundary left open
+(SURVEY.md §1.4, VERDICT "What's missing #1"): the reference reads its
+inputs through ADAM's SAM/BAM/FASTQ/GTF loaders and a 2bit reference
+file (rice-cli/.../cli/Quantify.scala:73-94, cli/Index.scala:60-62).
+The three TEXT formats parse natively here with zero external
+dependencies; the binary formats (BAM, 2bit) stay a documented
+boundary — they need htslib-class codecs, and their content is
+representable by the same tables these readers produce.
+
+Scale design per format:
+
+- **FASTA** (``read_fasta``): `spark.read.text` with ``lineSep='>'`` —
+  the Hadoop line reader splits the FILE at '>' boundaries, so a
+  multi-gigabyte uncompressed FASTA still scans as parallel splits
+  (records spanning split boundaries are handled by the reader, the
+  same mechanism as ordinary newline records). Each record parses
+  in-row: first line = header, contig = its first token, sequence =
+  the remaining lines concatenated. One projection, no shuffle.
+- **FASTQ** (``read_fastq``): records are 4-line groups, and '@' (the
+  record sigil) legally appears inside quality strings, so no single
+  character is a safe split delimiter. Production FASTQ arrives as
+  many (usually gzipped, hence unsplittable anyway) shard files, so
+  the honest unit of parallelism is the FILE: ``wholetext`` per shard,
+  then an in-row 4-line chunking (``sequence`` + ``transform``), with
+  a malformed-framing guard per file. Memory is bounded by shard size
+  — the layout every engine is stuck with for .fastq.gz.
+- **GTF** (``read_gtf``): plain 9-column TSV → `spark.read.csv` with
+  an explicit schema (splittable, predicate-pushdown-friendly);
+  attributes parse with ``regexp_extract``. ``transcripts_from_gtf``
+  rolls exon rows up to the engine's nested TRANSCRIPTS shape
+  (one groupBy), converting GTF's 1-based inclusive coordinates to
+  the engine's convention: start = gtf_start − 1 (0-based) and
+  end = gtf_end + 1, so the reference's quirky width−1 transcript
+  length (SURVEY P9: length = end − start − 1 per exon) equals the
+  true exon length gtf_end − gtf_start + 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """(contig, description, sequence) from FASTA file(s) at ``path``.
+
+    ``contig`` is the first whitespace token of the header line,
+    ``description`` the rest (null if none). Sequence lines concatenate
+    with all whitespace stripped; empty records (e.g. the text before
+    the first '>') are dropped. CRLF-safe."""
+    raw = spark.read.option("lineSep", ">").text(path)
+    lines = F.split(F.regexp_replace(F.col("value"), "\r", ""), "\n")
+    header = F.element_at(lines, 1)
+    contig = F.element_at(F.split(F.trim(header), r"\s+"), 1)
+    description = F.trim(F.substring(header, F.length(contig) + 1, 2_000_000_000))
+    sequence = F.array_join(F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))), "")
+    return (
+        raw.filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            contig.alias("contig"),
+            F.when(F.length(description) > 0, description).alias("description"),
+            F.regexp_replace(sequence, r"\s", "").alias("sequence"),
+        )
+        .filter(F.length("sequence") > 0)
+    )
+
+
+def read_fastq(spark: SparkSession, path: str) -> DataFrame:
+    """(read_name, sequence, plus, quality, source_file) from FASTQ
+    shard(s) at ``path`` — one input row per FILE (wholetext; see module
+    docstring for why 4-line framing forbids a delimiter split), then
+    in-row 4-line chunking. Raises at execution time if any file's
+    line count is not a multiple of 4 (truncated shard)."""
+    # NB: the kwarg form sets the option Spark actually honors; a
+    # .option("wholetext", ...) string key silently no-ops
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("source_file"), "value"
+    )
+    # trailing newline(s) produce empty tail lines — strip before framing
+    lines = F.filter(
+        F.split(F.regexp_replace(F.col("value"), "\r", ""), "\n"),
+        lambda ln: F.length(ln) > 0,
+    )
+    n = F.size(lines)
+    framed = F.when(
+        n % 4 == 0, F.transform(
+            F.sequence(F.lit(0), (n / 4).cast("int") - 1),
+            lambda i: F.struct(
+                F.regexp_replace(F.element_at(lines, i * 4 + 1), "^@", "").alias("read_name"),
+                F.element_at(lines, i * 4 + 2).alias("sequence"),
+                F.element_at(lines, i * 4 + 3).alias("plus"),
+                F.element_at(lines, i * 4 + 4).alias("quality"),
+            ),
+        )
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("malformed FASTQ (line count % 4 != 0): "), F.col("source_file")
+            )
+        )
+    )
+    return (
+        raw.filter(F.length(F.trim(F.col("value"))) > 0)
+        .select("source_file", F.explode(framed).alias("r"))
+        .select("r.read_name", "r.sequence", "r.plus", "r.quality", "source_file")
+    )
+
+
+def reads_from_fastq(fastq: DataFrame) -> DataFrame:
+    """Adapt FASTQ records to the engine's READS table shape
+    (read_id BIGINT, sequence): read_id is a 64-bit content hash of the
+    read name — deterministic across runs and partitionings, unlike the
+    reference's zipWithUniqueId ids (SURVEY A4's argument). Collisions
+    are the 64-bit birthday bound; quantification counts k-mers and
+    never joins on read_id, so a collision cannot change results."""
+    return fastq.select(
+        F.xxhash64("read_name").alias("read_id"), "sequence"
+    )
+
+
+GTF_SCHEMA = T.StructType(
+    [
+        T.StructField("contig", T.StringType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("feature", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),  # 1-based inclusive
+        T.StructField("end", T.LongType(), False),  # 1-based inclusive
+        T.StructField("score", T.StringType(), True),
+        T.StructField("strand", T.StringType(), True),
+        T.StructField("frame", T.StringType(), True),
+        T.StructField("attributes", T.StringType(), True),
+    ]
+)
+
+
+def _attr(name: str) -> Column:
+    """GTF attribute value: ``name "value";`` (empty string if absent)."""
+    return F.regexp_extract(F.col("attributes"), f'{name} "([^"]*)"', 1)
+
+
+def read_gtf(spark: SparkSession, path: str) -> DataFrame:
+    """Flat GTF feature rows with ``gene_id``/``transcript_id``/
+    ``exon_id`` parsed out of the attribute column. Plain splittable
+    CSV scan — filters on ``feature`` and ``contig`` push down."""
+    raw = spark.read.csv(path, sep="\t", schema=GTF_SCHEMA, comment="#")
+    return raw.select(
+        "contig",
+        "source",
+        "feature",
+        "start",
+        "end",
+        "strand",
+        _attr("gene_id").alias("gene_id"),
+        _attr("transcript_id").alias("transcript_id"),
+        _attr("exon_id").alias("exon_id"),
+    )
+
+
+def transcripts_from_gtf(gtf: DataFrame) -> DataFrame:
+    """Roll GTF exon rows up to the engine's nested TRANSCRIPTS shape
+    (t_id, gene_id, strand, exons array), one groupBy. Coordinates
+    convert 1-based-inclusive → the engine's exon convention (see
+    module docstring); exons sort by start so the hull and the exon
+    order are deterministic. Exons with no exon_id attribute get
+    ``<transcript_id>.e<k>`` by rank."""
+    exons = gtf.filter(F.col("feature") == "exon").select(
+        F.col("transcript_id").alias("t_id"),
+        "gene_id",
+        (F.col("strand") == "+").alias("strand"),
+        F.struct(
+            F.col("exon_id").alias("exon_id"),
+            F.col("contig").alias("contig"),
+            (F.col("start") - 1).alias("start"),
+            (F.col("end") + 1).alias("end"),
+        ).alias("exon"),
+    )
+    rolled = exons.groupBy("t_id").agg(
+        F.first("gene_id").alias("gene_id"),
+        F.first("strand").alias("strand"),
+        F.array_sort(
+            F.collect_list("exon"), lambda a, b: F.when(a["start"] < b["start"], -1)
+            .when(a["start"] > b["start"], 1)
+            .otherwise(0),
+        ).alias("exons"),
+    )
+    # fill missing exon ids positionally after the sort
+    numbered = F.transform(
+        F.col("exons"),
+        lambda e, i: F.struct(
+            F.when(F.length(e["exon_id"]) > 0, e["exon_id"])
+            .otherwise(F.concat(F.col("t_id"), F.lit(".e"), (i + 1).cast("string")))
+            .alias("exon_id"),
+            e["contig"].alias("contig"),
+            e["start"].alias("start"),
+            e["end"].alias("end"),
+        ),
+    )
+    return rolled.select("t_id", "gene_id", "strand", numbered.alias("exons"))
+
+
+# ------------------------------------------------ extension dispatch
+
+_FASTA_EXTS = (".fa", ".fasta", ".fa.gz", ".fasta.gz", ".fna", ".fna.gz")
+_FASTQ_EXTS = (".fq", ".fastq", ".fq.gz", ".fastq.gz")
+_GTF_EXTS = (".gtf", ".gtf.gz", ".gff", ".gff.gz")
+
+
+def _endswith_any(path: str, exts: tuple[str, ...]) -> bool:
+    low = path.rstrip("/").lower()
+    return any(low.endswith(e) for e in exts)
+
+
+def load_genome_any(spark: SparkSession, path: str) -> DataFrame:
+    """Genome table from FASTA or parquet, by extension — the CLI's
+    ingestion dispatch (native formats are first-class inputs, not a
+    conversion step the user runs by hand)."""
+    if _endswith_any(path, _FASTA_EXTS):
+        return read_fasta(spark, path).select("contig", "sequence")
+    from rnadam_spark.sources import genomics
+
+    return genomics.load_genome(spark, path)
+
+
+def load_transcripts_any(spark: SparkSession, path: str) -> DataFrame:
+    """Transcript descriptors from GTF or parquet, by extension."""
+    if _endswith_any(path, _GTF_EXTS):
+        return transcripts_from_gtf(read_gtf(spark, path))
+    from rnadam_spark.sources import genomics
+
+    return genomics.load_transcripts(spark, path)
+
+
+def load_reads_any(spark: SparkSession, path: str) -> DataFrame:
+    """Reads table from FASTQ or parquet, by extension."""
+    if _endswith_any(path, _FASTQ_EXTS):
+        return reads_from_fastq(read_fastq(spark, path))
+    from rnadam_spark.sources import genomics
+
+    return genomics.load_reads(spark, path)

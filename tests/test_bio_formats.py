@@ -1,0 +1,156 @@
+"""Native FASTA/FASTQ/GTF ingestion (sources/bio_formats.py): parse
+goldens, malformed-input guards, coordinate-convention agreement with
+the engine's exon fixtures, and a CLI index+quantify e2e driven
+entirely from native-format files."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+
+import pytest
+
+from rnadam_spark.sources import bio_formats as bio
+
+FASTA = """>chr1 Homo sapiens test contig
+ACGTACGTAC
+GTACGT
+>chr2
+TTTTGGGGCCCCAAAA
+
+>empty_record
+"""
+
+FASTQ = """@read/1 len=8
+ACGTACGT
++
+IIIIIIII
+@read/2
+GGGGCCCC
++read/2
+@@@@@@@@
+"""
+
+GTF = """# comment line
+chr1\thavana\tgene\t1\t100\t.\t+\t.\tgene_id "g1";
+chr1\thavana\texon\t11\t20\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; exon_id "t1e1";
+chr1\thavana\texon\t31\t40\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; exon_id "t1e2";
+chr1\thavana\texon\t5\t14\t.\t-\t.\tgene_id "g1"; transcript_id "t2";
+"""
+
+
+def test_read_fasta_golden(spark, tmp_path):
+    p = tmp_path / "ref.fa"
+    p.write_text(FASTA)
+    rows = {r.contig: r for r in bio.read_fasta(spark, str(p)).collect()}
+    assert set(rows) == {"chr1", "chr2"}  # empty record dropped
+    assert rows["chr1"].sequence == "ACGTACGTACGTACGT"  # lines joined
+    assert rows["chr1"].description == "Homo sapiens test contig"
+    assert rows["chr2"].sequence == "TTTTGGGGCCCCAAAA"
+    assert rows["chr2"].description is None
+
+
+def test_read_fasta_gzip_and_crlf(spark, tmp_path):
+    p = tmp_path / "ref.fa.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(FASTA.replace("\n", "\r\n"))
+    rows = {r.contig: r.sequence for r in bio.read_fasta(spark, str(p)).collect()}
+    assert rows == {"chr1": "ACGTACGTACGTACGT", "chr2": "TTTTGGGGCCCCAAAA"}
+
+
+def test_read_fastq_golden(spark, tmp_path):
+    p = tmp_path / "reads.fastq"
+    p.write_text(FASTQ)
+    rows = {r.read_name: r for r in bio.read_fastq(spark, str(p)).collect()}
+    # '@' inside the quality line of read/2 must not break framing
+    assert set(rows) == {"read/1 len=8", "read/2"}
+    assert rows["read/1 len=8"].sequence == "ACGTACGT"
+    assert rows["read/2"].quality == "@@@@@@@@"
+    ids = bio.reads_from_fastq(bio.read_fastq(spark, str(p)))
+    got = ids.collect()
+    assert len(got) == 2 and all(isinstance(r.read_id, int) for r in got)
+
+
+def test_read_fastq_malformed_raises(spark, tmp_path):
+    p = tmp_path / "bad.fq"
+    p.write_text("@r1\nACGT\n+\n")  # missing quality line
+    with pytest.raises(Exception, match="malformed FASTQ"):
+        bio.read_fastq(spark, str(p)).collect()
+
+
+def test_read_gtf_and_transcript_rollup(spark, tmp_path):
+    p = tmp_path / "genes.gtf"
+    p.write_text(GTF)
+    flat = bio.read_gtf(spark, str(p))
+    assert flat.count() == 4  # comment skipped
+    t = {r.t_id: r for r in bio.transcripts_from_gtf(flat).collect()}
+    assert set(t) == {"t1", "t2"}
+    # 1-based inclusive -> engine convention: start-1 / end+1, sorted
+    e = t["t1"].exons
+    assert [(x.exon_id, x.start, x.end) for x in e] == [
+        ("t1e1", 10, 21),
+        ("t1e2", 30, 41),
+    ]
+    assert t["t1"].strand is True and t["t1"].gene_id == "g1"
+    # missing exon_id filled positionally after the sort
+    assert [(x.exon_id, x.start, x.end) for x in t["t2"].exons] == [("t2.e1", 4, 15)]
+    assert t["t2"].strand is False
+    # the quirky width-1 transcript length equals the true exon length
+    for r, true_len in ((t["t1"], 20), (t["t2"], 10)):
+        quirky = sum(x.end - x.start - 1 for x in r.exons)
+        assert quirky == true_len
+
+
+def test_cli_index_quantify_from_native_formats(spark, tmp_path):
+    """The reference's own I/O story end-to-end: FASTA genome + GTF
+    genes -> index; FASTQ reads -> quantify; uniform abundances for
+    uniformly drawn reads."""
+    import random
+
+    from rnadam_spark import cli
+
+    rng = random.Random(5)
+    t_len = 300
+    seqs = ["".join(rng.choice("ACGT") for _ in range(t_len)) for _ in range(3)]
+    genome_seq = "".join(seqs)
+    fa = tmp_path / "genome.fa"
+    fa.write_text(">chr1\n" + "\n".join(
+        genome_seq[i : i + 60] for i in range(0, len(genome_seq), 60)
+    ) + "\n")
+    gtf_lines = []
+    for i in range(3):
+        # engine convention start0 = i*t_len, end = start0 + t_len + 1
+        # -> GTF 1-based inclusive: start0+1 .. start0+t_len
+        gtf_lines.append(
+            f'chr1\ttest\texon\t{i * t_len + 1}\t{(i + 1) * t_len}\t.\t+\t.\t'
+            f'gene_id "g1"; transcript_id "tx{i}";'
+        )
+    gtf = tmp_path / "genes.gtf"
+    gtf.write_text("\n".join(gtf_lines) + "\n")
+
+    reads = []
+    for j in range(900):
+        t = rng.randrange(3)
+        pos = rng.randrange(t_len - 50)
+        reads.append((f"r{j}", seqs[t][pos : pos + 50]))
+    fq = tmp_path / "reads.fastq"
+    fq.write_text("".join(f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    cli.main(["index", str(fa), str(gtf), "8", idx])
+    cli.main([
+        "quantify", str(fq), idx, str(gtf), "8", out,
+        "-max_iterations", "5", "-disable_kmer_calibration",
+        "-disable_length_calibration",
+    ])
+    got = {}
+    for f in glob.glob(out + "/part-*"):
+        for line in open(f):
+            if line.strip():
+                t_id, ab = line.strip().split(", ")
+                got[t_id] = float(ab)
+    assert set(got) == {"tx0", "tx1", "tx2"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=0.08)
