@@ -179,9 +179,20 @@ def dsir_select(
     projection filter. Ties at the boundary all survive. Swap the
     aggregate for ``percentile_approx`` at high row counts if the exact
     value→count map grows too large; keys here are 6-dp-rounded doubles
-    plus continuous noise, so use the approx form beyond ~10⁸ rows."""
-    keyed = weights.withColumn(
-        "_gk", gumbel_key(F.col(weight_col), _sample_code(F.col(id_col), seed))
+    plus continuous noise, so use the approx form beyond ~10⁸ rows.
+
+    The keyed table materializes at a stage boundary first: the
+    threshold aggregate and the filter are two consumers of the same
+    subtree, and when ``weights`` is the full corpus-scoring chain
+    (:func:`dsir_log_weights`) Spark would otherwise execute that
+    chain twice — the duplicated_spans/guards discipline. The
+    materialized state is one slim row per document."""
+    from rnadam_spark.lineage import truncate_lineage
+
+    keyed = truncate_lineage(
+        weights.withColumn(
+            "_gk", gumbel_key(F.col(weight_col), _sample_code(F.col(id_col), seed))
+        )
     )
     thr = keyed.agg(F.expr(f"percentile(_gk, {1.0 - fraction})").alias("_thr"))
     return (
