@@ -335,9 +335,25 @@ def _build_parser() -> argparse.ArgumentParser:
         "target corpus: hashed-n-gram importance weights + deterministic "
         "Gumbel-top-k resampling (DSIR, Xie et al. 2023)",
     )
-    ds.add_argument("raw", help="parquet: raw documents")
-    ds.add_argument("target", help="parquet: target-domain documents")
+    ds.add_argument("raw", help="parquet: raw documents (or an arriving shard with -model)")
     ds.add_argument("output", help="parquet: selected docs + n_features/log_weight")
+    ds.add_argument(
+        "-target",
+        default=None,
+        help="parquet: target-domain documents (trains both distributions this run)",
+    )
+    ds.add_argument(
+        "-model",
+        default=None,
+        help="distribution model dir from -save_model: score the raw shard "
+        "against the STORED target/raw bucket counts — the incremental "
+        "ingest path; neither the target nor the full corpus is re-read",
+    )
+    ds.add_argument(
+        "-save_model",
+        default=None,
+        help="persist the bucket-count tables + model.json here for -model reuse",
+    )
     ds.add_argument("-fraction", type=float, default=0.25)
     ds.add_argument("-n_buckets", type=int, default=10_000)
     ds.add_argument("-seed", type=int, default=29)
@@ -829,15 +845,53 @@ def main(argv: list[str] | None = None) -> None:
             out = out.filter(F.length("text") > 0)
         out.write.mode("overwrite").parquet(args.output)
     elif args.command == "dsir":
-        from rnadam_spark.operators.dsir import dsir as dsir_select_docs
+        import json
 
+        from rnadam_spark.operators import dsir as dsir_mod
+
+        if (args.target is None) == (args.model is None):
+            raise SystemExit("dsir: pass exactly one of -target / -model")
         raw = spark.read.parquet(args.raw)
-        target = spark.read.parquet(args.target)
-        selected = dsir_select_docs(
-            raw, target, args.fraction, n_buckets=args.n_buckets, seed=args.seed
-        )
+        from rnadam_spark.sources.sink import _qualified_path
+
+        if args.model:
+            fs, jpath = _qualified_path(spark, args.model)
+            stream = fs.open(spark._jvm.org.apache.hadoop.fs.Path(jpath, "model.json"))
+            try:
+                meta = json.loads(
+                    bytes(
+                        spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    ).decode("utf-8")
+                )
+            finally:
+                stream.close()
+            n_buckets = meta["n_buckets"]
+            tc = spark.read.parquet(args.model + "/target_counts")
+            rc = spark.read.parquet(args.model + "/raw_counts")
+        else:
+            n_buckets = args.n_buckets
+            target = spark.read.parquet(args.target)
+            tc = dsir_mod.bucket_counts(target, n_buckets)
+            rc = dsir_mod.bucket_counts(raw, n_buckets)
+        weights = dsir_mod.dsir_log_weights(raw, tc, rc, n_buckets)
+        selected = dsir_mod.dsir_select(weights, args.fraction, seed=args.seed)
         # join back to carry the text; weight columns stay for audits
         raw.join(selected, "doc_id").write.mode("overwrite").parquet(args.output)
+        if args.save_model:
+            tc.write.mode("overwrite").parquet(args.save_model + "/target_counts")
+            rc.write.mode("overwrite").parquet(args.save_model + "/raw_counts")
+            fs, jpath = _qualified_path(spark, args.save_model)
+            out = fs.create(
+                spark._jvm.org.apache.hadoop.fs.Path(jpath, "model.json"), True
+            )
+            try:
+                out.write(
+                    bytearray(
+                        json.dumps({"n_buckets": n_buckets, "ns": [1, 2]}).encode("utf-8")
+                    )
+                )
+            finally:
+                out.close()
     elif args.command == "split":
         from rnadam_spark.operators import dedup
         from rnadam_spark.operators.splits import leakage_safe_split

@@ -706,12 +706,29 @@ def test_cli_extract_html_dsir_split(spark, tmp_path):
     raw.write.parquet(raw_path)
     tgt.write.parquet(tgt_path)
     sel_path = str(tmp_path / "selected.parquet")
-    cli.main(["dsir", raw_path, tgt_path, sel_path, "-fraction", "0.5", "-n_buckets", "256"])
+    model_path = str(tmp_path / "dsir_model")
+    cli.main(["dsir", raw_path, sel_path, "-target", tgt_path,
+              "-fraction", "0.5", "-n_buckets", "256", "-save_model", model_path])
     sel = spark.read.parquet(sel_path)
     assert {"doc_id", "text", "n_features", "log_weight"} <= set(sel.columns)
     kept = {r.doc_id for r in sel.select("doc_id").collect()}
     assert len(kept) == 6
     assert sum(1 for d in kept if d >= 100) <= 1  # spam (≥100) mostly culled
+
+    # incremental path: a new shard scores against the STORED
+    # distributions (n_buckets comes from model.json, not the flag) and
+    # reproduces the same weights the direct computation assigns
+    sel2_path = str(tmp_path / "selected2.parquet")
+    cli.main(["dsir", raw_path, sel2_path, "-model", model_path, "-fraction", "0.5"])
+    again = {
+        r.doc_id: (r.n_features, r.log_weight)
+        for r in spark.read.parquet(sel2_path).collect()
+    }
+    direct = {
+        r.doc_id: (r.n_features, r.log_weight)
+        for r in sel.collect()
+    }
+    assert again == direct
 
     # split: duplicate docs must land in one split
     dup_docs = spark.createDataFrame(
