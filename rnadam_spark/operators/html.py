@@ -60,6 +60,10 @@ def html_blocks(html_col: str | Column = "html") -> Column:
     stopword_frac) for one HTML document — the segmentation +
     per-block features of the jusText scheme, all in-row."""
     c = F.col(html_col) if isinstance(html_col, str) else html_col
+    # null pages behave as empty ones (n_blocks 0, empty main_text) —
+    # without the coalesce, size(split(null)) yields -1 and the audit
+    # columns go nonsensical for exactly the rows most worth auditing
+    c = F.coalesce(c, F.lit(""))
     cleaned = F.regexp_replace(
         F.regexp_replace(c, _DROP_WHOLE_RE, " "), _COMMENT_RE, " "
     )

@@ -111,6 +111,17 @@ def test_extract_plan_is_shuffle_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_null_html_behaves_as_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "<p>the fox is one of a kind and is fast</p>")],
+        ["doc_id", "html"],
+    )
+    got = {r.doc_id: r for r in H.extract_main_text(docs).collect()}
+    assert got[1].main_text == "" and got[1].n_blocks == 0
+    assert got[1].n_kept == 0 and got[1].link_frac == 0.0
+    assert "fox" in got[2].main_text
+
+
 def test_stopword_gate(spark):
     # a word-salad block (no stopwords) dies when min_stopword_frac > 0
     docs = spark.createDataFrame(
