@@ -314,6 +314,20 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("-quality_min", type=float, default=0.9)
     pr.add_argument("-max_dup_5gram", type=float, default=None)
 
+    we = sub.add_parser(
+        "warc-extract",
+        help="crawl ingestion end-to-end: WARC shards -> text/html "
+        "response records -> boilerplate-stripped documents table",
+    )
+    we.add_argument("warc", help="WARC file(s)/directory (shards; .warc or .warc.gz)")
+    we.add_argument("output", help="parquet: (doc_id, url, fetched_at, text, ...)")
+    we.add_argument("-min_words", type=int, default=3)
+    we.add_argument("-max_link_density", type=float, default=0.25)
+    we.add_argument("-min_stopword_frac", type=float, default=0.0)
+    we.add_argument(
+        "-drop_empty", action="store_true", help="drop pages that extract to empty text"
+    )
+
     eh = sub.add_parser(
         "extract-html",
         help="boilerplate-strip crawled HTML into a documents table "
@@ -827,6 +841,26 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(diff_summary(diff)))
     elif args.command == "profile":
         _run_profile(spark, args)
+    elif args.command == "warc-extract":
+        from pyspark.sql import functions as F
+
+        from rnadam_spark.operators.html import extract_main_text
+        from rnadam_spark.sources import warc as warc_mod
+
+        pages = warc_mod.html_responses(warc_mod.read_warc(spark, args.warc))
+        # carry= keeps url/fetched_at in the same projection — one scan
+        # of the WARC shards, no self-join back onto the parse subtree
+        out = extract_main_text(
+            pages,
+            min_words=args.min_words,
+            max_link_density=args.max_link_density,
+            min_stopword_frac=args.min_stopword_frac,
+            out_col="text",
+            carry=("url", "fetched_at"),
+        )
+        if args.drop_empty:
+            out = out.filter(F.length("text") > 0)
+        out.write.mode("overwrite").parquet(args.output)
     elif args.command == "extract-html":
         from pyspark.sql import functions as F
 

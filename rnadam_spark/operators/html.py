@@ -95,6 +95,7 @@ def extract_main_text(
     html_col: str = "html",
     id_col: str = "doc_id",
     out_col: str = "main_text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, main_text, n_blocks, n_kept, link_frac): boilerplate-
     stripped text of each HTML document. A block survives when it has
@@ -106,7 +107,10 @@ def extract_main_text(
     One projection: every document row carries its own segmentation and
     verdicts; nothing shuffles (pinned by a no-Exchange plan test).
     ``link_frac`` (fraction of blocks dropped as link-dense) is the
-    audit signal for tuning ``max_link_density``."""
+    audit signal for tuning ``max_link_density``. ``carry`` names input
+    columns to pass through in the SAME projection — metadata (url,
+    fetch date) rides along without a second scan of the (expensive)
+    upstream subtree, e.g. a WARC parse."""
     blocks = html_blocks(html_col)
 
     def keeps(b: Column) -> Column:
@@ -130,6 +134,7 @@ def extract_main_text(
     linky = F.filter(blocks, is_linky)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.array_join(F.transform(kept, lambda b: b["txt"]), "\n").alias(out_col),
         F.size(nonempty).alias("n_blocks"),
         F.size(kept).alias("n_kept"),
