@@ -276,3 +276,38 @@ def test_streaming_dhash_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert s == b and s
+
+
+def test_streaming_extract_html_and_split_match_batch(spark, sf_dir):
+    # the round-7 crawl/selection projections (HTML main-text
+    # extraction, split assignment) are stateless column expressions —
+    # on a file stream they emit exactly the batch result, so the
+    # warc/extract-html stage slots into the streaming ingest path
+    # unchanged
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import html as H
+    from rnadam_spark.operators import splits
+    from rnadam_spark.sources.tables import load_table
+
+    def chain(docs):
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<nav><a href='/x'>x</a><a href='/y'>y</a><a href='/z'>z</a></nav><p>"),
+                F.regexp_replace(F.col("text"), "\n", "</p><p>"),
+                F.lit("</p>"),
+            ).alias("html"),
+        )
+        extracted = H.extract_main_text(pages, out_col="text")
+        return splits.assign_split(
+            extracted, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+
+    stream_docs = se.read_table_stream(spark, sf_dir, "documents")
+    got = se.run_to_memory(chain(stream_docs), "html_split_stream_out")
+    stream_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {
+        tuple(r) for r in chain(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
