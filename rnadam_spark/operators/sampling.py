@@ -27,16 +27,25 @@ from rnadam_spark.functions.hashing import MOD, hash_family
 
 
 def _sample_code(key: Column | str, seed: int) -> Column:
-    """Universal-hash code in [0, MOD) of a BIGINT key."""
+    """Universal-hash code in [0, MOD) of a BIGINT key.
+
+    The inner reduction is pmod, not %: both Spark's and DuckDB's %
+    preserve the dividend's sign, so a negative key (xxhash64-minted
+    doc ids are negative half the time) would yield a negative code —
+    which lands below every sampling threshold (always kept), below
+    every split boundary (all-train), and produces u ≤ 0 in the DSIR
+    Gumbel key (NaN). pmod keeps the code in [0, MOD) for all BIGINTs;
+    non-negative keys (the driver tables) hash identically either way."""
     a, b = hash_family(1, seed)[0]
     c = F.col(key) if isinstance(key, str) else key
-    return (c.cast("bigint") % MOD * a + b) % MOD
+    pm = (c.cast("bigint") % MOD + MOD) % MOD
+    return (pm * a + b) % MOD
 
 
 def sample_code_sql(key_expr: str, seed: int) -> str:
     """The exact same arithmetic as portable SQL (oracle side)."""
     a, b = hash_family(1, seed)[0]
-    return f"(CAST({key_expr} AS BIGINT) % {MOD} * {a} + {b}) % {MOD}"
+    return f"((CAST({key_expr} AS BIGINT) % {MOD} + {MOD}) % {MOD} * {a} + {b}) % {MOD}"
 
 
 def hash_sample(

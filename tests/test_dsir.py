@@ -208,3 +208,27 @@ def test_dsir_select_fraction_one_keeps_all(spark):
     raw = spark.createDataFrame(RAW, ["doc_id", "text"])
     tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
     assert dsir.dsir(raw, tgt, 1.0, N_BUCKETS).count() == len(RAW)
+
+
+def test_gumbel_key_finite_for_negative_ids(spark):
+    # negative doc ids must produce u in (0,1) — sign-preserving %
+    # yielded u <= 0 and a NaN Gumbel key (silently dropped rows)
+    import math
+
+    from pyspark.sql import functions as F
+
+    w = spark.createDataFrame(
+        [(-i, 0.0) for i in range(1, 400)], ["doc_id", "log_weight"]
+    )
+    sel = dsir.dsir_select(w, 1.0)
+    assert sel.count() == 399  # nothing lost to NaN keys
+    keyed = w.withColumn(
+        "_gk",
+        dsir.gumbel_key(
+            F.col("log_weight"),
+            __import__("rnadam_spark.operators.sampling", fromlist=["_sample_code"])._sample_code(
+                F.col("doc_id"), 29
+            ),
+        ),
+    )
+    assert all(math.isfinite(r._gk) for r in keyed.collect())

@@ -85,3 +85,18 @@ def test_default_fractions_cover_everything(spark):
     rows = splits.leakage_safe_split(d, p).collect()
     assert {r.split for r in rows} <= {"train", "val", "test"}
     assert len(rows) == len(DOCS)
+
+
+def test_negative_ids_hash_uniformly(spark):
+    # xxhash64-minted doc ids (reads_from_fastq, warc html_responses)
+    # are negative half the time; the split hash must treat them like
+    # any other key instead of funneling them all into the first split
+    # (sign-preserving % would put every negative code below every
+    # boundary)
+    docs = spark.createDataFrame(
+        [(i,) for i in range(-4000, 0)], ["doc_id"]
+    )
+    got = splits.assign_split(docs, "doc_id", FRACTIONS)
+    counts = {r.split: r.n for r in got.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.5 < counts["train"] / 4000 < 0.7  # ≈0.6, not 1.0
