@@ -136,3 +136,23 @@ def test_span_removal_shrinks_and_converges(spark, texts):
         cur, total = nxt, new_total
     else:
         raise AssertionError("span removal did not converge")
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_extract_main_text_tagfree_passthrough(spark, texts):
+    # HTML-free text must survive extraction as its whitespace-collapsed
+    # self (min_words=1, stopword gate off): the block classifier only
+    # ever DROPS whole blocks, never rewrites characters
+    import re
+
+    from rnadam_spark.operators.html import extract_main_text
+
+    # strip the markup-significant chars the generator can emit
+    clean = [re.sub(r"[<>&]", "", t) for t in texts]
+    df = spark.createDataFrame(list(enumerate(clean)), "doc_id BIGINT, html STRING")
+    got = {r.doc_id: r for r in extract_main_text(df, min_words=1).collect()}
+    for i, t in enumerate(clean):
+        want = re.sub(r"\s+", " ", t).strip()
+        assert got[i].main_text == want, (t, got[i].main_text)
+        assert got[i].n_blocks == (1 if want else 0)
