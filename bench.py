@@ -404,6 +404,41 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+SCALING_QUERIES = ("kmer_count", "lsh_candidate_pairs", "quality_scores", "em_quantify")
+
+
+def _scaling_block(spark, sf_dir: str, queries: dict, timings: dict[str, float]) -> dict:
+    """Measured scale-up slopes for representative operators: time at
+    ``sf_dir`` divided by time at the 10×-smaller twin directory — the
+    direct evidence behind the 100 TB design claims (a slope ≤ 10 means
+    at-worst-linear growth over this decade of data; well below 10
+    means the fixed per-job cost still dominates at the small end, so
+    the distributed fraction is scaling sublinearly). The large-side
+    numbers reuse the already-measured headline timings; only the small
+    side runs here (cheap). Empty when no smaller twin exists."""
+    sf = _sf_from_dir(sf_dir)
+    if sf <= 0:
+        return {}
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"sf{sf / 10:g}")
+    if not os.path.isdir(small_dir):
+        return {}
+    out: dict[str, dict[str, float]] = {}
+    for name in SCALING_QUERIES:
+        if name not in timings:
+            continue
+        fn = queries[name]
+        t_small = _min_of_repeats(
+            spark,
+            lambda: fn(spark, small_dir).write.format("noop").mode("overwrite").save(),
+        )
+        out[name] = {
+            "small_sec": t_small,
+            "large_sec": timings[name],
+            "slope_vs_10x_data": round(timings[name] / max(t_small, 1e-9), 2),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
@@ -443,6 +478,7 @@ def main() -> None:
 
     ab = _ab_blocks(spark, sf_dir)
     extras = _extras_block(spark, sf_dir)
+    scaling = _scaling_block(spark, sf_dir, queries, timings)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -455,6 +491,7 @@ def main() -> None:
                 "stages": stages,
                 "ab": ab,
                 "extras": extras,
+                "scaling": scaling,
                 "repeats": REPEATS,
                 "sf": _sf_from_dir(sf_dir),
             }

@@ -1,13 +1,14 @@
-"""Native genomics text formats: FASTA, FASTQ, GTF — Spark-first.
+"""Native genomics formats: FASTA, FASTQ, GTF, 2bit — Spark-first.
 
 Closes the ingestion gap the parquet-table boundary left open
 (SURVEY.md §1.4, VERDICT "What's missing #1"): the reference reads its
 inputs through ADAM's SAM/BAM/FASTQ/GTF loaders and a 2bit reference
 file (rice-cli/.../cli/Quantify.scala:73-94, cli/Index.scala:60-62).
-The three TEXT formats parse natively here with zero external
-dependencies; the binary formats (BAM, 2bit) stay a documented
-boundary — they need htslib-class codecs, and their content is
-representable by the same tables these readers produce.
+The three TEXT formats plus the 2bit binary genome format parse
+natively here with zero external dependencies; BAM stays the one
+documented boundary — it needs an htslib-class codec stack, and its
+content is representable by the same reads table these readers
+produce.
 
 Scale design per format:
 
@@ -214,11 +215,13 @@ def _endswith_any(path: str, exts: tuple[str, ...]) -> bool:
 
 
 def load_genome_any(spark: SparkSession, path: str) -> DataFrame:
-    """Genome table from FASTA or parquet, by extension — the CLI's
-    ingestion dispatch (native formats are first-class inputs, not a
-    conversion step the user runs by hand)."""
+    """Genome table from FASTA, 2bit, or parquet, by extension — the
+    CLI's ingestion dispatch (native formats are first-class inputs,
+    not a conversion step the user runs by hand)."""
     if _endswith_any(path, _FASTA_EXTS):
         return read_fasta(spark, path).select("contig", "sequence")
+    if path.rstrip("/").lower().endswith(".2bit"):
+        return read_twobit(spark, path)
     from rnadam_spark.sources import genomics
 
     return genomics.load_genome(spark, path)
@@ -240,3 +243,88 @@ def load_reads_any(spark: SparkSession, path: str) -> DataFrame:
     from rnadam_spark.sources import genomics
 
     return genomics.load_reads(spark, path)
+
+
+# --------------------------------------------------------------- 2bit
+
+_TWOBIT_SIG = 0x1A412743
+_TWOBIT_BASES = "TCAG"  # 2-bit code order per the UCSC spec
+
+
+def read_twobit(spark: SparkSession, path: str) -> DataFrame:
+    """(contig, sequence) from a UCSC .2bit reference file — the
+    reference's own genome format (cli/Index.scala:60-62 loads a
+    TwoBitFile). Parity includes the execution model: the reference's
+    TwoBitFile was a DRIVER-LOCAL random-access store broadcast to
+    executors (Index.scala:76-78), so parsing driver-side and emitting
+    the (contig, sequence) dimension table — which the engine then
+    broadcasts for extraction joins (algorithms/index.py) — is the same
+    memory contract, not a scale regression: genomes are dimension-
+    sized (a 3 Gbp genome is ~750 MB packed / ~3 GB decoded) while the
+    100 TB side is always the reads.
+
+    Full spec coverage: both byte orders, N blocks (decoded bases are
+    replaced with 'N'), mask blocks (soft-masked regions LOWERCASED,
+    matching twoBitToFa's default rendering). Raises on a bad
+    signature or version."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+
+    (sig_le,) = struct.unpack_from("<I", data, 0)
+    if sig_le == _TWOBIT_SIG:
+        order = "<"
+    else:
+        (sig_be,) = struct.unpack_from(">I", data, 0)
+        if sig_be != _TWOBIT_SIG:
+            raise ValueError(f"not a 2bit file (bad signature): {path}")
+        order = ">"
+    version, seq_count, _reserved = struct.unpack_from(f"{order}III", data, 4)
+    if version != 0:
+        raise ValueError(f"unsupported 2bit version {version}: {path}")
+
+    # file index: (name, record offset) per sequence
+    index = []
+    pos = 16
+    for _ in range(seq_count):
+        name_size = data[pos]
+        pos += 1
+        name = data[pos : pos + name_size].decode("ascii")
+        pos += name_size
+        (offset,) = struct.unpack_from(f"{order}I", data, pos)
+        pos += 4
+        index.append((name, offset))
+
+    def _blocks(at: int) -> tuple[list[tuple[int, int]], int]:
+        (count,) = struct.unpack_from(f"{order}I", data, at)
+        at += 4
+        starts = struct.unpack_from(f"{order}{count}I", data, at)
+        at += 4 * count
+        sizes = struct.unpack_from(f"{order}{count}I", data, at)
+        at += 4 * count
+        return list(zip(starts, sizes)), at
+
+    rows = []
+    for name, offset in index:
+        (dna_size,) = struct.unpack_from(f"{order}I", data, offset)
+        at = offset + 4
+        n_blocks, at = _blocks(at)
+        mask_blocks, at = _blocks(at)
+        at += 4  # reserved
+        packed = data[at : at + (dna_size + 3) // 4]
+        # decode 2 bits/base, first base in the byte's HIGH bits
+        chars = []
+        for i in range(dna_size):
+            byte = packed[i >> 2]
+            code = (byte >> (6 - 2 * (i & 3))) & 3
+            chars.append(_TWOBIT_BASES[code])
+        for start, size in n_blocks:
+            chars[start : start + size] = ["N"] * size
+        for start, size in mask_blocks:
+            chars[start : start + size] = [c.lower() for c in chars[start : start + size]]
+        rows.append((name, "".join(chars)))
+
+    from rnadam_spark import schemas
+
+    return spark.createDataFrame(rows, schemas.GENOME)

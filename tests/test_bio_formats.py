@@ -154,3 +154,85 @@ def test_cli_index_quantify_from_native_formats(spark, tmp_path):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
     for v in got.values():
         assert v == pytest.approx(1 / 3, abs=0.08)
+
+
+def _write_twobit(path, seqs, order="<", n_blocks=None, mask_blocks=None):
+    """Synthesize a spec-conformant .2bit file: seqs is {name: ACGT
+    string (N positions listed in n_blocks)}; packing puts the first
+    base in each byte's high bits, T=0 C=1 A=2 G=3."""
+    import struct
+
+    n_blocks = n_blocks or {}
+    mask_blocks = mask_blocks or {}
+    code = {"T": 0, "C": 1, "A": 2, "G": 3}
+    names = list(seqs)
+    header = struct.pack(f"{order}IIII", 0x1A412743, 0, len(names), 0)
+    index_size = sum(1 + len(n) + 4 for n in names)
+    offsets, records = {}, b""
+    at = len(header) + index_size
+    for name in names:
+        s = seqs[name]
+        nb = n_blocks.get(name, [])
+        mb = mask_blocks.get(name, [])
+        rec = struct.pack(f"{order}I", len(s))
+        rec += struct.pack(f"{order}I", len(nb))
+        rec += struct.pack(f"{order}{len(nb)}I", *[b[0] for b in nb])
+        rec += struct.pack(f"{order}{len(nb)}I", *[b[1] for b in nb])
+        rec += struct.pack(f"{order}I", len(mb))
+        rec += struct.pack(f"{order}{len(mb)}I", *[b[0] for b in mb])
+        rec += struct.pack(f"{order}{len(mb)}I", *[b[1] for b in mb])
+        rec += struct.pack(f"{order}I", 0)
+        packed = bytearray((len(s) + 3) // 4)
+        for i, ch in enumerate(s):
+            # N positions still carry a (dummy) 2-bit code; spec says
+            # their packed value is arbitrary — use T(0)
+            packed[i >> 2] |= code.get(ch.upper(), 0) << (6 - 2 * (i & 3))
+        rec += bytes(packed)
+        offsets[name] = at
+        records += rec
+        at += len(rec)
+    index = b""
+    for name in names:
+        index += bytes([len(name)]) + name.encode() + __import__("struct").pack(
+            f"{order}I", offsets[name]
+        )
+    path.write_bytes(header + index + records)
+
+
+def test_read_twobit_round_trip(spark, tmp_path):
+    seqs = {"chr1": "ACGTACGTACGTA", "chr2": "TTTTCCCCGGGG"}
+    p = tmp_path / "ref.2bit"
+    _write_twobit(p, seqs)
+    got = {r.contig: r.sequence for r in bio.read_twobit(spark, str(p)).collect()}
+    assert got == seqs
+
+
+def test_read_twobit_n_and_mask_blocks_both_orders(spark, tmp_path):
+    # N block over [4,6), soft-mask over [0,4): NN positions decode to
+    # 'N', masked region lowercases (twoBitToFa's rendering)
+    seqs = {"chrM": "ACGTTTGGCA"}
+    for order, fname in (("<", "le.2bit"), (">", "be.2bit")):
+        p = tmp_path / fname
+        _write_twobit(
+            p, seqs, order=order,
+            n_blocks={"chrM": [(4, 2)]},
+            mask_blocks={"chrM": [(0, 4)]},
+        )
+        got = bio.read_twobit(spark, str(p)).collect()[0]
+        assert got.sequence == "acgtNNGGCA", (order, got.sequence)
+
+
+def test_read_twobit_rejects_garbage(spark, tmp_path):
+    p = tmp_path / "bad.2bit"
+    p.write_bytes(b"\x00\x01\x02\x03not a twobit")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        bio.read_twobit(spark, str(p))
+
+
+def test_load_genome_any_dispatches_twobit(spark, tmp_path):
+    p = tmp_path / "ref.2bit"
+    _write_twobit(p, {"c": "ACGT"})
+    got = bio.load_genome_any(spark, str(p)).collect()
+    assert [(r.contig, r.sequence) for r in got] == [("c", "ACGT")]
