@@ -69,7 +69,7 @@ def lm_perplexity(
     n: int = 3,
     vocab_size: int = 128,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str | tuple[str, ...] = "doc_id",
 ) -> DataFrame:
     """(doc_id, n_grams, avg_neg_log_prob, perplexity): score each
     document under an add-one-smoothed character ``n``-gram LM trained
@@ -96,8 +96,9 @@ def lm_perplexity(
             F.sum("gram_cnt").cast("bigint").alias("prefix_cnt")
         )
     )
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     doc_grams = docs.select(
-        F.col(id_col), F.explode_outer(char_shingles(text_col, n)).alias("gram")
+        *[F.col(c) for c in ids], F.explode_outer(char_shingles(text_col, n)).alias("gram")
     )
     scored = (
         doc_grams.join(F.broadcast(grams), "gram", "left")
@@ -113,7 +114,7 @@ def lm_perplexity(
         )
     )
     anlp = F.coalesce(F.avg("_nlp"), F.lit(0.0))
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(*ids).agg(
         F.count("gram").cast("bigint").alias("n_grams"),
         hround(anlp, 6).alias("avg_neg_log_prob"),
         hround(F.exp(anlp), 6).alias("perplexity"),
@@ -153,6 +154,41 @@ def perplexity_buckets(
         .when(F.col("perplexity") <= F.col("_t")[1], F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
+    )
+
+
+def paragraph_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    n: int = 3,
+    vocab_size: int = 128,
+    split_pattern: str = r"\n{2,}",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, para_idx, n_grams, avg_neg_log_prob, perplexity):
+    paragraph-granularity perplexity — CCNet's actual unit (its LM
+    filter scores and drops PARAGRAPHS, not documents, because real
+    pages interleave fluent prose with boilerplate that a doc-level
+    average blurs together). Split on blank lines (the
+    ``paragraph_lang_scores`` convention), score each segment under
+    the same add-one char-n-gram model via the shared
+    :func:`lm_perplexity` kernel keyed on (doc_id, para_idx).
+
+    Plan shape is unchanged from the doc-level scorer (which now
+    accepts a composite key): the model tables broadcast, the exploded
+    grams re-aggregate once on (doc_id, para_idx) with map-side
+    partials, paragraphs number in-row via posexplode — no extra
+    shuffle and no join for the finer grain. Callers excise tail
+    paragraphs and rebuild documents with a concat_ws groupBy on
+    doc_id (one more exchange, only when rewriting)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("para_idx", "_para"),
+    ).filter(F.length(F.trim(F.col("_para"))) > 0)
+    return lm_perplexity(
+        paras, lm, n=n, vocab_size=vocab_size, text_col="_para",
+        id_col=(id_col, "para_idx"),
     )
 
 

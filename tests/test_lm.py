@@ -427,3 +427,42 @@ def test_classifier_score_inrow_on_stream(spark, tmp_path):
         for r in lm.classifier_score_inrow(docs, wmap, intercept=0.25, n_features=nf).collect()
     }
     assert got == want  # stream and batch agree row-for-row
+
+
+def test_paragraph_perplexity_matches_per_paragraph_docs(spark):
+    """Paragraph scoring must equal document scoring applied to each
+    paragraph as its own row (the shared-kernel contract), with empty
+    segments dropped and indices preserved."""
+    docs = [
+        (1, "the cat sat on the mat\n\nzqxj vvkw zzz qqq wlrt"),
+        (2, "the dog sat on the log\n\n\n\nsecond paragraph here"),
+        (3, "single paragraph only"),
+        (4, "\n\n"),  # only empty segments: no rows
+    ]
+    model = lm.train_char_lm(spark.createDataFrame(TRAIN, ["doc_id", "text"]))
+    got = {
+        (r.doc_id, r.para_idx): (r.n_grams, r.avg_neg_log_prob, r.perplexity)
+        for r in lm.paragraph_perplexity(
+            spark.createDataFrame(docs, ["doc_id", "text"]), model
+        ).collect()
+    }
+    # expected: every non-empty paragraph, scored standalone
+    import re
+
+    expected = {}
+    for doc_id, text in docs:
+        for idx, para in enumerate(re.split(r"\n{2,}", text)):
+            if para.strip():
+                expected[(doc_id, idx)] = para
+    assert set(got) == set(expected)
+    single = spark.createDataFrame(
+        [(f"{d}#{i}", p) for (d, i), p in expected.items()], ["doc_id", "text"]
+    )
+    want = {
+        r.doc_id: (r.n_grams, r.avg_neg_log_prob, r.perplexity)
+        for r in lm.lm_perplexity(single, model).collect()
+    }
+    for (d, i), vals in got.items():
+        assert vals == want[f"{d}#{i}"], (d, i)
+    # the boilerplate paragraph scores worse than the fluent one
+    assert got[(1, 1)][2] > got[(1, 0)][2]
