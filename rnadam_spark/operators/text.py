@@ -694,3 +694,63 @@ def fingerprints(
         F.col(id_col),
         F.array_join(F.slice(hashes, 1, w), "_").alias("fingerprint"),
     )
+
+
+def excise_paragraphs(
+    docs: DataFrame,
+    bad_paragraphs: DataFrame,
+    split_pattern: str = r"\n{2,}",
+    sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild each document with the listed paragraphs removed — the
+    excision step completing the paragraph-granularity pipeline
+    (``paragraph_lang_scores`` / ``lm.paragraph_perplexity`` score
+    segments; this drops the condemned ones and re-joins the rest).
+    ``bad_paragraphs`` is any (doc_id, para_idx) table, e.g. the tail
+    of a perplexity ranking or off-language segments. Output keeps
+    every input document (possibly with empty text when all its
+    paragraphs died) with surviving paragraphs joined by ``sep`` in
+    original order; other input columns pass through.
+
+    Plan: paragraphs re-number in-row (posexplode over the same
+    ``split_pattern`` the scorers use — indices align by
+    construction), the verdict attaches by a (doc_id, para_idx)
+    LEFT ANTI join (AQE broadcasts the — typically small — condemned
+    set), and documents rebuild with one groupBy using
+    ``array_agg(struct(idx, para))`` + ``array_sort`` + in-row join:
+    order is restored inside the row, so the rebuild costs one
+    exchange and no window."""
+    other = [c for c in docs.columns if c != text_col]
+    paras = docs.select(
+        *other,
+        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("para_idx", "_para"),
+    ).filter(F.length(F.trim(F.col("_para"))) > 0)
+    bad = bad_paragraphs.select(
+        F.col(id_col).alias(id_col), F.col("para_idx").alias("para_idx")
+    )
+    kept = paras.join(bad, [id_col, "para_idx"], "left_anti")
+    rebuilt = (
+        kept.groupBy(*other)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("para_idx"), F.col("_para")))
+            ).alias("_ps")
+        )
+        .select(
+            *other,
+            F.array_join(F.transform(F.col("_ps"), lambda p: p["_para"]), sep).alias(
+                text_col
+            ),
+        )
+    )
+    # documents whose every paragraph died (or that had none) reappear
+    # with empty text — an audit row must never vanish
+    survivors = rebuilt.select(id_col).distinct()
+    empties = (
+        docs.join(survivors, id_col, "left_anti")
+        .select(*other)
+        .withColumn(text_col, F.lit(""))
+    )
+    return rebuilt.unionByName(empties).select(*docs.columns)

@@ -330,3 +330,39 @@ def test_filter_bad_phrases(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_excise_paragraphs_rebuilds_in_order(spark):
+    from rnadam_spark.operators.text import excise_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\n\ndrop me\n\nkeep two", "en"),
+            (2, "all good here", "de"),
+            (3, "only bad", "fr"),
+            (4, "\n\n", "xx"),  # no paragraphs at all
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    bad = spark.createDataFrame([(1, 1), (3, 0)], ["doc_id", "para_idx"])
+    got = {r.doc_id: r for r in excise_paragraphs(docs, bad).collect()}
+    assert set(got) == {1, 2, 3, 4}  # no doc vanishes
+    assert got[1].text == "keep one\n\nkeep two"
+    assert got[1].lang == "en"  # passthrough columns survive
+    assert got[2].text == "all good here"
+    assert got[3].text == ""  # fully condemned -> empty, not missing
+    assert got[4].text == ""
+    # composes with the paragraph scorers: drop the worst-perplexity
+    # paragraph of doc 1 via the actual scoring table
+    from rnadam_spark.operators import lm
+
+    model = lm.train_char_lm(docs.filter("doc_id = 2"))
+    scored = lm.paragraph_perplexity(docs, model)
+    worst = (
+        scored.filter("doc_id = 1")
+        .orderBy(scored.perplexity.desc())
+        .limit(1)
+        .select("doc_id", "para_idx")
+    )
+    out = {r.doc_id: r.text for r in excise_paragraphs(docs, worst).collect()}
+    assert "\n\n" in out[1] or out[1].count("keep") == 2
