@@ -174,6 +174,16 @@ def _build_parser() -> argparse.ArgumentParser:
         help="deterministic hash-sample fraction used to train the perplexity LM",
     )
     c.add_argument(
+        "-excise_ppl_tail",
+        type=float,
+        default=None,
+        help="excise the worst-perplexity FRACTION of paragraphs corpus-wide "
+        "(CCNet-style tail excision) under the same self-trained char-3-gram "
+        "LM; survivors re-join with blank lines, docs the cut empties are "
+        "dropped. Paragraph-level — composes with, and differs from, the "
+        "document-level -max_perplexity. Not covered by -audit.",
+    )
+    c.add_argument(
         "-classifier_weights",
         default=None,
         help="parquet (bucket, weight): linear quality-classifier weights; "
@@ -514,6 +524,38 @@ def _run_curate(spark, args) -> None:
             ).collect()
         ]
         print(json.dumps({"funnel": funnel_rows}))
+    if args.excise_ppl_tail is not None:
+        from rnadam_spark.lineage import truncate_lineage
+        from rnadam_spark.operators import lm
+        from rnadam_spark.operators.sampling import hash_sample
+
+        if args.max_perplexity is None:
+            model = lm.train_char_lm(
+                hash_sample(scrubbed, "doc_id", args.lm_sample_frac)
+            )
+        # two stage boundaries: the survivor set feeds scoring AND the
+        # excision rebuild, and the slim paragraph-score table feeds the
+        # quantile AND the condemned-set filter — materialize both so
+        # neither subtree executes twice
+        kept = truncate_lineage(kept)
+        pp = truncate_lineage(
+            lm.paragraph_perplexity(kept, model).select(
+                "doc_id", "para_idx", "perplexity"
+            )
+        )
+        thr = pp.agg(
+            F.expr(
+                f"percentile_approx(perplexity, {1.0 - args.excise_ppl_tail}, 10000)"
+            ).alias("_t")
+        )
+        bad = (
+            pp.crossJoin(F.broadcast(thr))
+            .filter(F.col("perplexity") > F.col("_t"))
+            .select("doc_id", "para_idx")
+        )
+        # emptied documents drop here — the span-excision stance: empty
+        # docs carry nothing to train on
+        kept = text.excise_paragraphs(kept, bad).filter(F.length("text") > 0)
     if args.bad_phrases is not None or args.decontaminate is not None:
         from rnadam_spark.lineage import truncate_lineage
 

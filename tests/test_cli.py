@@ -745,3 +745,38 @@ def test_cli_extract_html_dsir_split(spark, tmp_path):
     assert sp.count() == 31
     pair = {r.doc_id: (r.group_id, r.split) for r in sp.filter(F.col("doc_id") >= 51).collect()}
     assert pair[51] == pair[52]
+
+
+def test_cli_curate_excise_ppl_tail(spark, tmp_path):
+    """CCNet-style paragraph tail excision through the real command:
+    a fluent corpus with one gibberish paragraph spliced into one doc
+    loses exactly that paragraph (and docs that were all-gibberish)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    fluent = [
+        (i, f"the cat sat on the mat number {i}\n\nthe dog sat on the log number {i}", "en", "s", 60)
+        for i in range(1, 30)
+    ]
+    spliced = [(50, "the cat sat on the mat again\n\nzzqqxxjj wwkkvv qqppzz xxyyzz", "en", "s", 60)]
+    all_bad = [(51, "qqq zzz xxx jjj\n\nvvv www kkk qqq", "en", "s", 32)]
+    docs = spark.createDataFrame(
+        fluent + spliced + all_bad, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "curated")
+    cli.main([
+        "curate", src, out,
+        "-quality_min", "0.0",
+        "-excise_ppl_tail", "0.05",
+        "-lm_sample_frac", "1.0",
+    ])
+    back = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    # the spliced doc survives minus its gibberish paragraph
+    assert 50 in back
+    assert "cat sat on the mat again" in back[50]
+    assert "zzqqxxjj" not in back[50]
+    # fluent docs keep both paragraphs
+    assert back[1].count("\n\n") == 1
