@@ -982,9 +982,12 @@ def main(argv: list[str] | None = None) -> None:
         for part in args.fractions.split(","):
             name, _, frac = part.partition("=")
             fractions[name.strip()] = float(frac)
+        # Hive layout on split: each of train/val/test is its own
+        # directory, so a training job's scan partition-prunes to its
+        # slice without reading the others
         leakage_safe_split(docs, pairs, fractions, seed=args.seed).write.mode(
             "overwrite"
-        ).parquet(args.output)
+        ).partitionBy("split").parquet(args.output)
     elif args.command == "index":
         from rnadam_spark.algorithms.index import build_index
         from rnadam_spark.sources import bio_formats as bio
