@@ -373,6 +373,9 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
                 )
             )
         ),
+        "paragraph_perplexity": timed(
+            lambda: lmod.paragraph_perplexity(docs, model)
+        ),
         "assign_split": timed(
             lambda: splits_mod.assign_split(
                 docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}

@@ -333,3 +333,31 @@ def test_bucket_cap_guards_no_window(spark, sf_dir):
     df = multimodal.dhash_hamming_pairs(hashes, max_bucket=5)
     assert not has_window(df)
     assert has_broadcast_join(df)
+
+
+def test_round7_operators_plan_contracts(spark, sf_dir):
+    # the round-7 surface keeps the engine's plan discipline:
+    # dsir_select thresholds by broadcast (no Window, no global Sort in
+    # the selection), excise_paragraphs rebuilds without a Window, and
+    # the DSIR weight chain broadcasts its bounded model tables
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import dsir, text
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 5 == 0)
+    tc = dsir.bucket_counts(tgt, 512)
+    rc = dsir.bucket_counts(docs, 512)
+    w = dsir.dsir_log_weights(docs, tc, rc, 512)
+    assert not has_window(w)
+    assert has_broadcast_join(w)  # the <=n_buckets log-ratio table
+
+    sel = dsir.dsir_select(w.limit(50), 0.5)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold rides broadcast
+
+    bad = spark.createDataFrame([(1, 0)], ["doc_id", "para_idx"])
+    exc = text.excise_paragraphs(docs.select("doc_id", "text"), bad)
+    assert not has_window(exc)
