@@ -43,15 +43,13 @@ def _header(headers: Column, name: str) -> Column:
     return F.when(F.length(v) > 0, F.trim(v))
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def warc_records(raw: DataFrame) -> DataFrame:
     """(warc_type, target_uri, warc_date, content_type, payload,
-    source_file): every WARC record in the file(s) at ``path``.
-    ``payload`` is the raw record block after the WARC header's blank
-    line (for responses: the full HTTP response). One wholetext row per
-    file, one in-row split + transform — no shuffle."""
-    raw = spark.read.text(path, wholetext=True).select(
-        F.input_file_name().alias("source_file"), "value"
-    )
+    source_file) from a (source_file, value) frame holding one WHOLE
+    WARC file per row — the shared parsing kernel behind
+    :func:`read_warc` (batch) and :func:`read_warc_stream`
+    (incremental ingest). Pure projection + explode: stateless, so it
+    runs identically on a file stream."""
     body = F.regexp_replace(F.col("value"), _LEADING_VERSION, "")
     records = F.split(body, _RECORD_SEP)
 
@@ -79,6 +77,30 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             "source_file",
         )
     )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Batch entry: every WARC record in the file(s) at ``path``.
+    ``payload`` is the raw record block after the WARC header's blank
+    line (for responses: the full HTTP response). One wholetext row per
+    file, then the in-row :func:`warc_records` kernel — no shuffle."""
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("source_file"), "value"
+    )
+    return warc_records(raw)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming entry: WARC shards arriving in ``path`` parse through
+    the same stateless kernel — pair with
+    ``operators.html.extract_main_text`` (also stateless) for a
+    checkpointed incremental crawl-ingest query (use
+    ``trigger(availableNow=True)`` for batch-cadence runs; each run
+    processes exactly the shards that arrived since the last)."""
+    raw = spark.readStream.text(path, wholetext=True).select(
+        F.input_file_name().alias("source_file"), "value"
+    )
+    return warc_records(raw)
 
 
 def html_responses(warc: DataFrame) -> DataFrame:

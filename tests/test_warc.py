@@ -111,3 +111,28 @@ def test_cli_warc_extract(spark, tmp_path):
     # single scan: the plan has no join back onto the parse subtree
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_warc_stream_matches_batch(spark, tmp_path):
+    # the full crawl chain (WARC parse -> html responses -> main-text
+    # extraction) is stateless, so the streaming twin over the same
+    # shard directory must emit exactly the batch rows
+    from rnadam_spark.streaming.events import run_to_memory
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "a.warc").write_text(_warc_file())
+    (d / "b.warc").write_text(_warc_file().replace("example.com", "other.org"))
+
+    def chain(warc_df):
+        return extract_main_text(
+            W.html_responses(warc_df), out_col="text", carry=("url",)
+        )
+
+    got = run_to_memory(chain(W.read_warc_stream(spark, str(d))), "warc_stream_out")
+    stream_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in chain(W.read_warc(spark, str(d))).collect()}
+    assert stream_rows == batch_rows
+    assert {r[1] for r in stream_rows} == {
+        "http://example.com/page", "http://other.org/page"
+    }
