@@ -465,7 +465,11 @@ def _run_curate(spark, args) -> None:
     scrubbed = scrubbed.withColumn(
         "quality", text.quality_columns("text")["quality"]
     )
-    if args.max_perplexity is not None or args.classifier_weights is not None:
+    if (
+        args.max_perplexity is not None
+        or args.classifier_weights is not None
+        or args.excise_ppl_tail is not None
+    ):
         from rnadam_spark.lineage import truncate_lineage
 
         # stage boundary (same rationale as the pre-near-dedup one): the
