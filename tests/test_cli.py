@@ -780,3 +780,28 @@ def test_cli_curate_excise_ppl_tail(spark, tmp_path):
     assert "zzqqxxjj" not in back[50]
     # fluent docs keep both paragraphs
     assert back[1].count("\n\n") == 1
+
+
+def test_cli_split_with_precomputed_pairs(spark, tmp_path):
+    # the -pairs path: skip LSH+verify entirely and honor an external
+    # near-dup pair table (e.g. from ingest); Hive layout on split
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body") for i in range(1, 11)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(2, 9), (9, 4)], ["doc_a", "doc_b"])
+    dp, pp = str(tmp_path / "d.parquet"), str(tmp_path / "p.parquet")
+    docs.write.parquet(dp)
+    pairs.write.parquet(pp)
+    out = str(tmp_path / "splits_out")
+    cli.main(["split", dp, out, "-pairs", pp])
+    back = spark.read.parquet(out)
+    got = {r.doc_id: (r.group_id, r.split) for r in back.collect()}
+    assert len(got) == 10
+    # the chained cluster {2,4,9} stays whole under the external pairs
+    assert got[2] == got[4] == got[9]
+    assert got[2][0] == 2
+    assert any(d.startswith("split=") for d in os.listdir(out))

@@ -136,3 +136,17 @@ def test_warc_stream_matches_batch(spark, tmp_path):
     assert {r[1] for r in stream_rows} == {
         "http://example.com/page", "http://other.org/page"
     }
+
+
+def test_read_warc_gzip_shard(spark, tmp_path):
+    # production WARC is .warc.gz; the wholetext read must decompress
+    # transparently (codec by extension) and parse identically
+    import gzip
+
+    p = tmp_path / "crawl.warc.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(_warc_file())
+    rows = W.read_warc(spark, str(p)).collect()
+    assert [r.warc_type for r in rows] == ["warcinfo", "request", "response", "response"]
+    pages = W.html_responses(W.read_warc(spark, str(p))).collect()
+    assert len(pages) == 1 and pages[0].html == HTML_BODY
