@@ -232,3 +232,35 @@ def test_gumbel_key_finite_for_negative_ids(spark):
         ),
     )
     assert all(math.isfinite(r._gk) for r in keyed.collect())
+
+
+def test_dsir_select_matches_duckdb(spark):
+    """The Gumbel-top-k selection cross-checked engine-to-engine:
+    DuckDB re-derives the hash -> u -> Gumbel key and takes the same
+    quantile_cont threshold Spark's exact percentile computes (both
+    interpolate at position p*(n-1)), so the selected sets are
+    identical — the shape a future gate rotation would register."""
+    import duckdb
+
+    from rnadam_spark.operators.sampling import sample_code_sql
+
+    rows = [(i, float((i * 37) % 11) - 5.0) for i in range(-40, 60)]
+    w = spark.createDataFrame(rows, ["doc_id", "log_weight"])
+    got = {r.doc_id for r in dsir.dsir_select(w, 0.3).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w(doc_id BIGINT, log_weight DOUBLE)")
+    con.executemany("INSERT INTO w VALUES (?, ?)", rows)
+    want = {
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     log_weight - ln(-ln((({sample_code_sql('doc_id', 29)}) + 1.0) / {MOD + 1}.0)) AS gk
+              FROM w
+            ), thr AS (SELECT quantile_cont(gk, 0.7) AS t FROM keyed)
+            SELECT doc_id FROM keyed, thr WHERE gk >= t
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) >= 30

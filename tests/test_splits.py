@@ -100,3 +100,31 @@ def test_negative_ids_hash_uniformly(spark):
     counts = {r.split: r.n for r in got.groupBy("split").count().withColumnRenamed("count", "n").collect()}
     assert set(counts) == {"train", "val", "test"}
     assert 0.5 < counts["train"] / 4000 < 0.7  # ≈0.6, not 1.0
+
+
+def test_assign_split_matches_duckdb(spark):
+    """Engine-portable split verdicts: the same pmod/affine arithmetic
+    and cumulative boundaries as one DuckDB statement — the oracle a
+    future gate rotation would register."""
+    import duckdb
+
+    from rnadam_spark.operators.sampling import sample_code_sql
+
+    rows = [(i,) for i in range(-50, 200)]
+    df = spark.createDataFrame(rows, ["doc_id"])
+    got = {r.doc_id: r.split for r in splits.assign_split(df, "doc_id", FRACTIONS).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?)", rows)
+    b1, b2 = int(0.6 * MOD), int(0.8 * MOD)
+    want = dict(
+        con.execute(
+            f"""
+            SELECT doc_id, CASE WHEN code < {b1} THEN 'train'
+                                WHEN code < {b2} THEN 'val'
+                                ELSE 'test' END
+            FROM (SELECT doc_id, ({sample_code_sql('doc_id', 23)}) AS code FROM d)
+            """
+        ).fetchall()
+    )
+    assert got == want
