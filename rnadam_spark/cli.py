@@ -225,7 +225,14 @@ def _build_parser() -> argparse.ArgumentParser:
     cs.add_argument("documents", help="directory files arrive in (jsonl or parquet)")
     cs.add_argument("output", help="parquet output directory (append)")
     cs.add_argument("checkpoint", help="streaming checkpoint directory")
-    cs.add_argument("-format", choices=["jsonl", "parquet"], default="jsonl")
+    cs.add_argument(
+        "-format",
+        choices=["jsonl", "parquet", "warc"],
+        default="jsonl",
+        help="warc: arriving .warc(.gz) shards parse + boilerplate-strip "
+        "in the same stateless chain (crawl -> curated parquet, "
+        "checkpoint-incremental)",
+    )
     cs.add_argument("-quality_min", type=float, default=0.9)
     cs.add_argument("-no_c4", action="store_true")
 
@@ -750,6 +757,20 @@ def main(argv: list[str] | None = None) -> None:
 
         if args.format == "jsonl":
             src = read_jsonl_stream(spark, args.documents)
+        elif args.format == "warc":
+            from pyspark.sql import functions as F
+
+            from rnadam_spark.operators.html import extract_main_text
+            from rnadam_spark.sources import warc as warc_mod
+
+            # crawl shards -> html responses -> main text, all stateless,
+            # so the fused curate chain appends without any stream state
+            pages = warc_mod.html_responses(
+                warc_mod.read_warc_stream(spark, args.documents)
+            )
+            src = extract_main_text(
+                pages, out_col="text", carry=("url", "fetched_at")
+            ).filter(F.length("text") > 0)
         else:
             schema = spark.createDataFrame([], DOCUMENTS_DDL).schema
             src = spark.readStream.schema(schema).parquet(args.documents)

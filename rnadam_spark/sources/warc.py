@@ -54,8 +54,12 @@ def warc_records(raw: DataFrame) -> DataFrame:
     records = F.split(body, _RECORD_SEP)
 
     def fields(rec: Column) -> Column:
-        headers = F.element_at(F.split(rec, _BLANK, 2), 1)
-        payload = F.element_at(F.split(rec, _BLANK, 2), 2)
+        # try_element_at: a degenerate record with no blank line after
+        # its headers yields a null payload instead of an ANSI index
+        # error (evaluation order inside codegen stages is not
+        # guaranteed to respect the warc_type filter)
+        headers = F.try_element_at(F.split(rec, _BLANK, 2), F.lit(1))
+        payload = F.try_element_at(F.split(rec, _BLANK, 2), F.lit(2))
         return F.struct(
             _header(headers, "WARC-Type").alias("warc_type"),
             _header(headers, "WARC-Target-URI").alias("target_uri"),
@@ -111,8 +115,8 @@ def html_responses(warc: DataFrame) -> DataFrame:
     (url, fetch date) — the (re-crawl-stable) identity downstream dedup
     and diffing key on. Feed the result straight to
     ``operators.html.extract_main_text``."""
-    http_headers = F.element_at(F.split(F.col("payload"), _BLANK, 2), 1)
-    http_body = F.element_at(F.split(F.col("payload"), _BLANK, 2), 2)
+    http_headers = F.try_element_at(F.split(F.col("payload"), _BLANK, 2), F.lit(1))
+    http_body = F.try_element_at(F.split(F.col("payload"), _BLANK, 2), F.lit(2))
     http_content_type = _header(http_headers, "Content-Type")
     return (
         warc.filter(F.col("warc_type") == "response")

@@ -113,3 +113,37 @@ def test_cli_curate_stream_parquet_format(spark, tmp_path):
     back = spark.read.parquet(out)
     assert {r.doc_id for r in back.collect()} == {1}
     assert "quality" in back.columns
+
+
+def test_cli_curate_stream_warc_incremental(spark, tmp_path):
+    # the full streaming crawl pipeline through the CLI: WARC shards
+    # arrive in two waves; each availableNow run curates exactly the
+    # new shards and appends — crawl to curated parquet, no state
+    from tests.test_warc import _warc_file
+
+    shards = tmp_path / "warc_arrivals"
+    shards.mkdir()
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    (shards / "w1.warc").write_text(_warc_file())
+    cli.main([
+        "curate-stream", str(shards), out, ckpt,
+        "-format", "warc", "-quality_min", "-10", "-no_c4",
+    ])
+    first = spark.read.parquet(out)
+    assert first.count() == 1
+    r = first.collect()[0]
+    assert r.url == "http://example.com/page"
+    assert "quick brown fox" in r.text and "Home" not in r.text
+
+    (shards / "w2.warc").write_text(_warc_file().replace("example.com", "two.org"))
+    cli.main([
+        "curate-stream", str(shards), out, ckpt,
+        "-format", "warc", "-quality_min", "-10", "-no_c4",
+    ])
+    both = spark.read.parquet(out)
+    assert both.count() == 2  # second run appended only the new shard
+    assert {r.url for r in both.collect()} == {
+        "http://example.com/page", "http://two.org/page"
+    }
