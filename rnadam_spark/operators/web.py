@@ -150,3 +150,67 @@ def domain_edges(
         F.lower(F.col(source_col)).alias("src"),
         F.explode(domains_of(text_col)).alias("dst"),
     ).filter(F.col("src").isNotNull() & (F.length("dst") > 0))
+
+
+# tracking parameters every major canonicalizer strips (utm_* handled
+# by pattern; the rest listed explicitly)
+_TRACKING_PARAM_RE = (
+    r"(?:utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)"
+)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL column — the crawl-frontier identity:
+    two fetches of the "same" page must collide so the frontier and the
+    (url, date) document ids dedup correctly. Normalizations (the
+    conservative, always-safe set):
+
+    - scheme and host lowercased; ``www.`` prefix dropped;
+    - fragment (``#...``) dropped — never sent to the server;
+    - tracking query parameters stripped (``utm_*``, click ids);
+      remaining parameters keep their original order (re-sorting
+      changes semantics for some sites, so we don't);
+    - default ports (``:80``/``:443``) dropped; trailing ``?``/``&``
+      and a bare trailing ``/`` on a pathless URL tidied.
+
+    Chained RE2 ``regexp_replace`` projections — composes at scan speed
+    like every other web operator."""
+    c = F.col(col) if isinstance(col, str) else col
+    # lowercase scheme+host (up to the first single /), leave path case
+    head = F.regexp_extract(c, r"^((?i:https?)://[^/?#]*)", 1)
+    tail = F.substring(c, F.length(head) + 1, 2_000_000_000)
+    u = F.concat(F.lower(head), tail)
+    u = F.regexp_replace(u, r"^http://www\.", "http://")
+    u = F.regexp_replace(u, r"^https://www\.", "https://")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]*):80(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]*):443(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    # tracking params: in the middle (keep one separator) then leading
+    u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"=[^&#]*&", r"$1")
+    u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"=[^&#]*$", "")
+    u = F.regexp_replace(u, r"[?&]$", "")  # dangling separator
+    u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")  # bare trailing /
+    return u
+
+
+def frontier_dedup(
+    urls: DataFrame, url_col: str = "url", priority_col: str | None = None
+) -> DataFrame:
+    """(canonical_url, url, n_variants[, best_priority]): crawl-frontier
+    dedup — group candidate URLs by canonical form, keep one
+    representative per page (the lexicographically-smallest raw URL for
+    determinism), count the collapsed variants, and carry the best
+    (max) priority when a priority column is present (so a page queued
+    from several sources keeps its strongest claim). One groupBy on the
+    canonical key — map-side partial agg, AQE-splittable."""
+    base = urls.withColumn("_canon", canonical_url(url_col))
+    aggs = [
+        F.min(url_col).alias(url_col),
+        F.count("*").cast("bigint").alias("n_variants"),
+    ]
+    if priority_col is not None:
+        aggs.append(F.max(priority_col).alias("best_priority"))
+    return (
+        base.groupBy(F.col("_canon").alias("canonical_url"))
+        .agg(*aggs)
+    )

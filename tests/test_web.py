@@ -140,3 +140,46 @@ def test_domain_quality_prior(spark):
     pr = pagerank(edges, iterations=3)
     with_pr = {r.source: r.pagerank for r in domain_quality_prior(docs, pagerank=pr).collect()}
     assert with_pr["goodsite"] is not None and with_pr["goodsite"] > 0
+
+
+def test_canonical_url_normalizations(spark):
+    from rnadam_spark.operators.web import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM/Path/Page?a=1#frag", "http://example.com/Path/Page?a=1"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/", "http://example.com"),
+        ("https://example.com/p?utm_source=x&utm_medium=y&id=7", "https://example.com/p?id=7"),
+        ("https://example.com/p?id=7&fbclid=abc", "https://example.com/p?id=7"),
+        ("https://example.com/p?utm_campaign=z", "https://example.com/p"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/a/b/", "https://example.com/a/b/"),  # deep trailing / kept
+        ("https://example.com/p?id=7&ref=rss&b=2", "https://example.com/p?id=7&b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {r.i: r.c for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_frontier_dedup_collapses_variants(spark):
+    from rnadam_spark.operators.web import frontier_dedup
+
+    urls = spark.createDataFrame(
+        [
+            ("https://www.example.com/p?utm_source=a", 1.0),
+            ("https://example.com/p", 5.0),
+            ("https://example.com/p#sec2", 2.0),
+            ("https://other.org/q", 3.0),
+        ],
+        ["url", "priority"],
+    )
+    got = {
+        r.canonical_url: r
+        for r in frontier_dedup(urls, priority_col="priority").collect()
+    }
+    assert set(got) == {"https://example.com/p", "https://other.org/q"}
+    page = got["https://example.com/p"]
+    assert page.n_variants == 3
+    assert page.best_priority == 5.0  # strongest claim survives the collapse
+    assert page.url == "https://example.com/p"  # deterministic representative
