@@ -185,8 +185,10 @@ def canonical_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"^(https?://[^/?#]*):80(/|\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https?://[^/?#]*):443(/|\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    # tracking params: in the middle (keep one separator) then leading
-    u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"=[^&#]*&", r"$1")
+    # tracking params: a RUN of them mid-query collapses in one match
+    # (regexp_replace does not rescan replaced text, so consecutive
+    # params need the (?:...)+ run form), then a trailing one drops
+    u = F.regexp_replace(u, r"([?&])(?:" + _TRACKING_PARAM_RE + r"=[^&#]*&)+", r"$1")
     u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]$", "")  # dangling separator
     u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")  # bare trailing /
