@@ -112,9 +112,13 @@ def html_responses(warc: DataFrame) -> DataFrame:
     keep ``response`` records whose HTTP Content-Type is text/html,
     strip the HTTP status line + headers (everything through the first
     blank line), and mint a deterministic 64-bit doc_id from
-    (url, fetch date) — the (re-crawl-stable) identity downstream dedup
-    and diffing key on. Feed the result straight to
-    ``operators.html.extract_main_text``."""
+    (canonical url, fetch date) — canonicalizing first
+    (``web.canonical_url``) so two fetches of the same page that differ
+    only in tracking params / fragment / www. collide, the identity
+    downstream dedup and diffing key on. ``url`` keeps the raw form.
+    Feed the result straight to ``operators.html.extract_main_text``."""
+    from rnadam_spark.operators.web import canonical_url
+
     http_headers = F.try_element_at(F.split(F.col("payload"), _BLANK, 2), F.lit(1))
     http_body = F.try_element_at(F.split(F.col("payload"), _BLANK, 2), F.lit(2))
     http_content_type = _header(http_headers, "Content-Type")
@@ -123,7 +127,9 @@ def html_responses(warc: DataFrame) -> DataFrame:
         .withColumn("_hct", F.lower(F.coalesce(http_content_type, F.lit(""))))
         .filter(F.col("_hct").contains("text/html"))
         .select(
-            F.xxhash64(F.col("target_uri"), F.col("warc_date")).alias("doc_id"),
+            F.xxhash64(canonical_url(F.col("target_uri")), F.col("warc_date")).alias(
+                "doc_id"
+            ),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetched_at"),
             F.coalesce(http_body, F.lit("")).alias("html"),

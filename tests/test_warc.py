@@ -150,3 +150,19 @@ def test_read_warc_gzip_shard(spark, tmp_path):
     assert [r.warc_type for r in rows] == ["warcinfo", "request", "response", "response"]
     pages = W.html_responses(W.read_warc(spark, str(p))).collect()
     assert len(pages) == 1 and pages[0].html == HTML_BODY
+
+
+def test_html_response_ids_collapse_tracking_variants(spark, tmp_path):
+    # two fetches of the same page differing only in a utm param mint
+    # the SAME doc_id (canonical-url identity); a different page differs
+    raw = _warc_file()
+    variant = raw.replace(
+        "WARC-Target-URI: http://example.com/page",
+        "WARC-Target-URI: http://www.example.com/page?utm_source=feed",
+    )
+    (tmp_path / "a.warc").write_text(raw)
+    (tmp_path / "b.warc").write_text(variant)
+    pages = W.html_responses(W.read_warc(spark, str(tmp_path))).collect()
+    ids = {r.url: r.doc_id for r in pages}
+    assert len(ids) == 2
+    assert len(set(ids.values())) == 1  # same page -> same id
