@@ -198,3 +198,57 @@ def dedup_lines(
             F.sum((~F.col("keep")).cast("bigint")).alias("n_lines_dropped"),
         )
     )
+
+
+def compression_signals(
+    docs: DataFrame, level: int = 6, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compression_ratio): zlib
+    compressibility per document — the cheap whole-document redundancy
+    signal several published pipelines threshold on (templated/spun
+    pages compress far better than prose; ratio = compressed/raw, so
+    LOW means repetitive). Complements the n-gram repetition stats:
+    zlib sees long-range duplication the 5-gram window misses.
+
+    zlib is not expressible in Catalyst, so this is one of the engine's
+    few sanctioned Python boundaries: Arrow-batched ``mapInPandas``
+    (the multimodal decoder convention — never a row-at-a-time UDF).
+    Per-row work is O(bytes) C code; the stage is embarrassingly
+    parallel, adds no shuffle, and emits three scalars per document."""
+    import pandas as pd  # noqa: F401 — ensures a clear import error driver-side
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import math
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            nb = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": comp,
+                    "compression_ratio": [
+                        math.floor(c / max(n, 1) * 1e6 + 0.5) / 1e6
+                        for c, n in zip(comp, nb)
+                    ],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, schema)

@@ -754,3 +754,47 @@ def excise_paragraphs(
         .withColumn(text_col, F.lit(""))
     )
     return rebuilt.unionByName(empties).select(*docs.columns)
+
+
+def char_entropy_column(text_col: str | Column = "text") -> Column:
+    """Shannon entropy (bits/char) of a text column's character
+    distribution, in-row: split to chars → run-length value counts
+    (functions/runlength.py — the zero-shuffle kernel) → −Σ p·log₂ p.
+    Low entropy flags repeated-character garbage ("aaaa…", ASCII art),
+    high entropy flags random noise / base64 blobs; both tails are the
+    standard cheap pre-filter. Empty text scores 0."""
+    from rnadam_spark.functions.runlength import let_, value_counts
+
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.split(text, "")
+    vc = value_counts(F.filter(chars, lambda ch: F.length(ch) > 0))
+
+    def with_vc(v: Column) -> Column:
+        total = F.aggregate(v, F.lit(0).cast("long"), lambda a, x: a + x["cnt"])
+
+        def with_total(t: Column) -> Column:
+            td = t.cast("double")
+            ent = F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda a, x: a
+                - (x["cnt"].cast("double") / td)
+                * F.log2(x["cnt"].cast("double") / td),
+            )
+            return F.when(t > 0, ent).otherwise(F.lit(0.0))
+
+        return let_(total, with_total)
+
+    return let_(vc, with_vc)
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, entropy_bits): per-document character entropy
+    — one zero-shuffle projection."""
+    from rnadam_spark.functions.rounding import hround
+
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        hround(char_entropy_column(text_col), 6).alias("entropy_bits"),
+    )

@@ -240,3 +240,50 @@ def test_dedup_paragraphs_granularity(spark):
     assert got[1].n_lines_kept == 3 and got[2].n_lines_dropped == 1
     # intra-paragraph newline is preserved in the kept copy
     assert "today\nfor" in got[1].text
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from rnadam_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "aaaaaaaaaa"),                # zero entropy
+        (2, "abababab"),                  # exactly 1 bit
+        (3, "the quick brown fox!"),
+        (4, ""),
+    ]
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_bits)
+        for r in char_entropy(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    for doc_id, text in rows:
+        c = Counter(text)
+        n = len(text)
+        ent = -sum((v / n) * math.log2(v / n) for v in c.values()) if n else 0.0
+        want = math.floor(ent * 1e6 + 0.5) / 1e6
+        assert got[doc_id] == (n, want), (doc_id, got[doc_id], want)
+    assert got[1][1] == 0.0 and got[2][1] == 1.0
+
+
+def test_compression_signals_flag_templated_text(spark):
+    import zlib
+
+    from rnadam_spark.operators.repetition import compression_signals
+
+    template = "click here to win a prize now! " * 40
+    prose = ("the committee reviewed seventeen distinct proposals before "
+             "selecting a winner whose design balanced cost and novelty")
+    rows = [(1, template), (2, prose), (3, "")]
+    got = {
+        r.doc_id: r
+        for r in compression_signals(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    for doc_id, text in rows:
+        b = text.encode()
+        assert got[doc_id].n_bytes == len(b)
+        assert got[doc_id].n_compressed == len(zlib.compress(b, 6))
+    # templated text compresses far better than prose
+    assert got[1].compression_ratio < 0.2 < got[2].compression_ratio
+    assert got[3].n_bytes == 0  # empty doc keeps its audit row
