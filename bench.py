@@ -376,6 +376,11 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
         "paragraph_perplexity": timed(
             lambda: lmod.paragraph_perplexity(docs, model)
         ),
+        # the two cheap quality signals: entropy is pure-Catalyst
+        # in-row; compression is the Arrow-batched Python boundary, so
+        # its row measures the real cost of leaving the JVM
+        "char_entropy": timed(lambda: text.char_entropy(docs)),
+        "compression_signals": timed(lambda: repetition.compression_signals(docs)),
         "assign_split": timed(
             lambda: splits_mod.assign_split(
                 docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
