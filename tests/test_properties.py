@@ -17,8 +17,11 @@ TEXT = st.text(
 )
 CORPUS = st.lists(TEXT, min_size=1, max_size=8)
 
+import os
+
 PROP_SETTINGS = settings(
-    max_examples=12,
+    # env-tunable: periodic deep-fuzz sweeps run PROP_MAX_EXAMPLES=100+
+    max_examples=int(os.environ.get("PROP_MAX_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
