@@ -158,7 +158,40 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             spark, lambda: make_df().write.format("noop").mode("overwrite").save()
         )
 
+    import shutil
+    import tempfile
+
+    from rnadam_spark.sources import sink as sink_mod
+
     docs = load_table(spark, sf_dir, "documents", widen=True)
+
+    # clustered-sink A/B: z-order write (sketch pass + range exchange on
+    # the Morton code) vs the lexicographic strawman (range exchange on
+    # the leading column only) — the delta is what multi-column data
+    # skipping costs at WRITE time; the read-side benefit is pinned by
+    # tests/test_sink.py's footer-stats skip counts
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    _tmp = tempfile.mkdtemp(prefix="bench_zorder_")
+    try:
+        zorder_write = _min_of_repeats(
+            spark,
+            lambda: sink_mod.write_clustered(
+                li, _tmp + "/z", ["l_orderkey", "l_partkey"], bits=6
+            ),
+        )
+        linear_write = _min_of_repeats(
+            spark,
+            lambda: (
+                li.repartitionByRange("l_orderkey")
+                .sortWithinPartitions("l_orderkey")
+                .write.mode("overwrite")
+                .parquet(_tmp + "/linear")
+            ),
+        )
+    finally:
+        shutil.rmtree(_tmp, ignore_errors=True)
 
     # ADC table-delivery A/B: codes materialized once so both variants
     # time the SCORING pass, not the shared encode
@@ -193,6 +226,10 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         )
 
     return {
+        "clustered_write": {
+            "zorder": zorder_write,
+            "linear_sort": linear_write,
+        },
         # VERDICT r6 #5: plan-literal ADC vs broadcast-join ADC over the
         # same persisted codes (m=8, nbits=4 → 128 table entries;
         # auto-switch flips to join above PQ_LITERAL_MAX)

@@ -177,6 +177,183 @@ def read_shard_manifest(spark: SparkSession, path: str) -> dict:
     return json.loads(bytes(data).decode("utf-8"))
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustered layout (multi-column data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _numeric_proxy(col: str, dtype: str) -> F.Column:
+    """A BIGINT/DOUBLE ordering proxy for a clustering column. Numeric
+    and date/timestamp types keep their natural order (casts are
+    monotone); anything else clusters by ``xxhash64`` — equal values
+    still co-locate (the property dedup/point-lookup skipping needs),
+    but range predicates on such a column won't prune, which mirrors
+    what every z-order implementation does for unorderable types."""
+    base = dtype.split("(")[0]
+    if base in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+        return F.col(col).cast("double")
+    if base in ("date", "timestamp", "timestamp_ntz"):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.xxhash64(F.col(col)).cast("double")
+
+
+def _bucket_code(proxy: F.Column, boundaries: list[float]) -> F.Column:
+    """Equi-depth bucket index: the count of quantile boundaries ≤ the
+    value, as a balanced binary-search CASE tree — ``bits`` comparisons
+    per evaluation (not 2^bits; the first form tried, an
+    ``F.aggregate`` fold over a literal array, is a CodegenFallback
+    higher-order function that re-runs its 2^bits−1 steps at EVERY
+    reference, and the Morton interleave references each code ``bits``
+    times). CASE codegens and keeps the whole z-code inside
+    whole-stage codegen. NULLs fail every comparison and land in
+    bucket 0, clustering together at the low end of the curve."""
+
+    def search(lo: int, hi: int) -> F.Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return (
+            F.when(proxy >= F.lit(float(boundaries[mid - 1])), search(mid, hi))
+            .otherwise(search(lo, mid - 1))
+        )
+
+    return search(0, len(boundaries))
+
+
+def _interleave_bits(codes: list[F.Column], bits: int) -> F.Column:
+    """Morton (z-curve) interleave of equal-width bucket codes, built as
+    one literal bitwise expression: bit ``i`` of column ``j`` lands at
+    position ``i·n_cols + (n_cols−1−j)``, so high-order bits of every
+    column alternate — locality in the code implies locality in EVERY
+    clustered column, which is the whole point vs a lexicographic
+    sort (tight on the leading column, useless on the rest)."""
+    z = F.lit(0).cast("bigint")
+    n = len(codes)
+    for i in range(bits):
+        for j, c in enumerate(codes):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1)).cast("bigint")
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + (n - 1 - j)))
+    return z
+
+
+def zordered(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """``df`` plus a ``_zorder`` BIGINT column: each clustering column is
+    rank-coded into ``2^bits`` equi-depth buckets (boundaries from one
+    ``approxQuantile`` sketch pass — bounded driver state of
+    ``len(cols)·(2^bits−1)`` doubles, the same class as the PQ
+    codebooks), then the bucket codes are Morton-interleaved. Sorting
+    by ``_zorder`` places rows so that parquet min/max footer stats are
+    selective on ALL clustered columns at once.
+
+    Equi-depth (not equi-width) bucketing is what makes this survive
+    skew at 100 TB: a power-law column still spreads evenly across
+    buckets, so no single z-code value captures half the table."""
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if not 1 <= bits <= 12:
+        # the search tree holds 2^(bits+1) CASE nodes per column; 12
+        # (4096 buckets) is already far past useful file granularity
+        raise ValueError("bits must be in [1, 12]")
+    dtypes = dict(df.dtypes)
+    proxies = [_numeric_proxy(c, dtypes[c]) for c in cols]
+    prep = df.select("*", *[p.alias(f"_zq_{i}") for i, p in enumerate(proxies)])
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    quantiles = prep.approxQuantile(
+        [f"_zq_{i}" for i in range(len(cols))], probs, relative_error
+    )
+    codes = [
+        _bucket_code(F.col(f"_zq_{i}"), qs).cast("bigint")
+        for i, qs in enumerate(quantiles)
+    ]
+    return prep.withColumn("_zorder", _interleave_bits(codes, bits)).drop(
+        *[f"_zq_{i}" for i in range(len(cols))]
+    )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Z-order clustered parquet sink (Delta ``OPTIMIZE ZORDER BY`` as
+    plain Spark): rows are range-partitioned and sorted by their Morton
+    code, so every written file covers a compact rectangle of the
+    clustered-column space and a selective predicate on ANY clustered
+    column skips most files/row-groups via footer stats — the layout
+    complement to Hive partitioning (which only prunes on
+    low-cardinality directory columns).
+
+    Cost shape: the write pass plus two lighter passes — the quantile
+    sketch scans ONLY the clustering columns (its aggregate prunes the
+    parquet scan to those fields), and ``repartitionByRange`` runs its
+    boundary-sampling job over the input once more (reservoir samples
+    per partition; rows are sampled, not all evaluated). Only the
+    final exchange+write moves full rows. No window, no driver data
+    pass; the z-code is one whole-stage-codegen'd bitwise expression."""
+    z = zordered(df, cluster_by, bits=bits)
+    parts = [n_files] if n_files else []
+    out = (
+        z.repartitionByRange(*parts, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def skipping_report(
+    spark: SparkSession, path: str, cols: list[str]
+) -> dict[str, list[tuple]]:
+    """Per-file (min, max) footer stats for ``cols`` — the numbers a
+    reader's file/row-group pruning consults. Metadata-only (parquet
+    footers via pyarrow, no data scan); the audit that shows whether a
+    layout actually skips: for a predicate ``lo ≤ c ≤ hi``, every file
+    whose ``[min, max]`` misses ``[lo, hi]`` is never read."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, list[tuple]] = {c: [] for c in cols}
+    for f, _size in _data_files(spark, path):
+        meta = pq.ParquetFile(f).metadata
+        schema_names = {meta.row_group(0).column(i).path_in_schema: i
+                        for i in range(meta.num_columns)} if meta.num_row_groups else {}
+        for c in cols:
+            idx = schema_names.get(c)
+            if idx is None:
+                continue
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                s = meta.row_group(rg).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            stats[c].append((f, lo, hi))
+    return stats
+
+
+def files_skipped(report: list[tuple], lo, hi) -> int:
+    """How many files a ``lo ≤ c ≤ hi`` predicate would skip, given one
+    column's :func:`skipping_report` entries (files with unknown stats
+    conservatively count as read, exactly as a reader would)."""
+    return sum(
+        1
+        for _f, fmin, fmax in report
+        if fmin is not None and fmax is not None and (fmax < lo or fmin > hi)
+    )
+
+
 def _partition_spec(root: str, file_path: str) -> tuple[tuple[str, str | None], ...]:
     """Parse the Hive ``k=v`` directory segments between ``root`` and a
     data file into ((col, value), ...); unquotes percent-escapes and

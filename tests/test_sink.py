@@ -197,3 +197,124 @@ def test_write_training_shards_intra_shard_order_breaks_source_runs(spark, tmp_p
     write_training_shards(df, str(tmp_path / "s2"), n_shards=2, seed=2)
     b = {r.doc_id: r.shard for r in spark.read.parquet(str(tmp_path / "s2")).collect()}
     assert a != b
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout
+# ---------------------------------------------------------------------------
+
+
+def _span_fraction(report, lo_hi):
+    """Mean per-file (max-min) span as a fraction of the global range."""
+    spans = [
+        (fmax - fmin) for _f, fmin, fmax in report if fmin is not None
+    ]
+    glob_lo = min(fmin for _f, fmin, _ in report)
+    glob_hi = max(fmax for _f, _, fmax in report)
+    return (sum(spans) / len(spans)) / max(1, glob_hi - glob_lo)
+
+
+def test_zorder_skips_on_both_columns(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    z_out = str(tmp_path / "z")
+    lin_out = str(tmp_path / "linear")
+    sink.write_clustered(li, z_out, ["l_orderkey", "l_partkey"], bits=6, n_files=16)
+    # the lexicographic strawman: range-sorted by the leading column only
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lin_out)
+    )
+
+    # faithful: same rows, same values
+    back = spark.read.parquet(z_out)
+    assert back.count() == li.count()
+    assert (
+        back.agg(F.sum("l_quantity")).first()[0]
+        == li.agg(F.sum("l_quantity")).first()[0]
+    )
+
+    zrep = sink.skipping_report(spark, z_out, ["l_orderkey", "l_partkey"])
+    lrep = sink.skipping_report(spark, lin_out, ["l_orderkey", "l_partkey"])
+    assert len(zrep["l_orderkey"]) >= 8  # really wrote multiple files
+
+    # per-file spans: linear sort is tight on the leading column and
+    # ~full-range on the second; z-order is tight-ish on BOTH
+    z_span2 = _span_fraction(zrep["l_partkey"], None)
+    l_span2 = _span_fraction(lrep["l_partkey"], None)
+    assert z_span2 < l_span2 * 0.7, (z_span2, l_span2)
+
+    # predicate-level: a 5%-range filter on the SECOND column skips
+    # files under z-order, (almost) none under the linear layout
+    keys = sorted(r[0] for r in li.select("l_partkey").collect())
+    lo = keys[int(len(keys) * 0.40)]
+    hi = keys[int(len(keys) * 0.45)]
+    z_skip = sink.files_skipped(zrep["l_partkey"], lo, hi)
+    l_skip = sink.files_skipped(lrep["l_partkey"], lo, hi)
+    assert z_skip > l_skip, (z_skip, l_skip)
+    assert z_skip >= len(zrep["l_partkey"]) // 3
+    # ... while staying selective on the first column too
+    okeys = sorted(r[0] for r in li.select("l_orderkey").collect())
+    z_skip1 = sink.files_skipped(
+        zrep["l_orderkey"], okeys[int(len(okeys) * 0.4)], okeys[int(len(okeys) * 0.45)]
+    )
+    assert z_skip1 >= len(zrep["l_orderkey"]) // 3
+
+
+def test_zordered_code_properties(spark):
+    from rnadam_spark.sources.sink import zordered
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, None if i % 50 == 49 else float(i)) for i in range(200)],
+        ["a", "b", "c"],
+    )
+    z = zordered(df, ["a", "b"], bits=4)
+    rows = z.collect()
+    assert all(r["_zorder"] is not None for r in rows)
+    # deterministic for a fixed layout (re-run agrees exactly); across
+    # layouts the approxQuantile sketch may shift a boundary by its
+    # relative error, so codes agree except at bucket margins
+    again = {r["a"]: r["_zorder"] for r in zordered(df, ["a", "b"], bits=4).collect()}
+    assert {r["a"]: r["_zorder"] for r in rows} == again
+    # with EXACT quantiles (relative_error=0) codes are fully
+    # layout-independent
+    ze = {
+        r["a"]: r["_zorder"]
+        for r in zordered(df, ["a", "b"], bits=4, relative_error=0.0).collect()
+    }
+    ze2 = {
+        r["a"]: r["_zorder"]
+        for r in zordered(
+            df.repartition(7), ["a", "b"], bits=4, relative_error=0.0
+        ).collect()
+    }
+    assert ze == ze2
+    # equal cluster keys get equal codes
+    dup = spark.createDataFrame([(1, 2, "x"), (1, 2, "y"), (3, 4, "z")], ["a", "b", "t"])
+    codes = {r["t"]: r["_zorder"] for r in zordered(dup, ["a", "b"], bits=3).collect()}
+    assert codes["x"] == codes["y"]
+    # nulls land in bucket 0 (lowest code block), never error
+    zn = zordered(df, ["c", "a"], bits=3).collect()
+    null_codes = [r["_zorder"] for r in zn if r["c"] is None]
+    assert null_codes and all(nc is not None for nc in null_codes)
+
+
+def test_zorder_string_column_clusters_equal_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 7}.com") for i in range(400)], ["id", "domain"]
+    )
+    out = str(tmp_path / "zs")
+    sink.write_clustered(df, out, ["domain", "id"], bits=4, n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    # every domain's rows concentrate in few files (hash-proxy clustering)
+    per = (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("domain")
+        .agg(F.countDistinct("_f").alias("nf"))
+        .collect()
+    )
+    assert all(r["nf"] <= 4 for r in per), per
