@@ -381,6 +381,13 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
                 mmod.dhash_assets(mmod.assets_from_documents(docs))
             )
         ),
+        # audio-modality twin: envelope fingerprint (Arrow-batched
+        # Python) + the same 64-bit banding
+        "audio_near_pairs": timed(
+            lambda: mmod.audio_near_pairs(
+                mmod.audio_fingerprint(mmod.assets_from_documents(docs))
+            )
+        ),
         "lm_train_and_perplexity": timed(lambda: lmod.lm_perplexity(docs, model)),
         "classifier_score": timed(lambda: lmod.classifier_score(docs, weights)),
         "pack_sequences": timed(lambda: lmod.pack_sequences(docs, budget=2048)),

@@ -160,3 +160,98 @@ def test_png_gif_header_decode(spark):
     assert (got[1].width, got[1].height) == (640, 480)   # REAL PNG decode
     assert (got[2].width, got[2].height) == (320, 200)   # REAL GIF decode
     assert got[3].width > 0 and got[3].height > 0
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _tone_wav(freqs, rate=8000, seconds=1.0, amp=0.5, width=2):
+    """A WAV whose loudness profile follows per-segment amplitudes."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    segs = np.array_split(np.zeros(n), len(freqs))
+    samples = []
+    for seg_amp, seg in zip(freqs, segs):
+        samples.append(seg_amp * amp * np.sin(2 * math.pi * 440 * t[: len(seg)]))
+    x = np.concatenate(samples)
+    pcm = (x * 32767).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_real_decode_and_invariance(spark):
+    import numpy as np
+
+    from rnadam_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    profile = list(rng.uniform(0.1, 1.0, 65))
+    rows = [
+        (1, "audio", _tone_wav(profile), None),
+        # same loudness PROFILE at half the volume: fingerprint invariant
+        (2, "audio", _tone_wav([a * 0.5 for a in profile]), None),
+        # unrelated profile
+        (3, "audio", _tone_wav(list(rng.uniform(0.1, 1.0, 65))), None),
+        # non-WAV: deterministic fake path, marked not-wav
+        (4, "audio", b"OggS this is not a wav", None),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSETS)
+    fp = {r.asset_id: r for r in mm.audio_fingerprint(df).collect()}
+    assert fp[1].is_wav and fp[2].is_wav and fp[3].is_wav and not fp[4].is_wav
+    assert fp[1].afp == fp[2].afp  # volume scaling cancels
+    assert fp[1].afp != fp[3].afp
+    # python-reference agreement: the fingerprint IS the envelope rule
+    samples = mm._wav_pcm(rows[0][2])
+    assert samples is not None
+    assert fp[1].afp == mm._envelope_bits(samples)
+    # deterministic fake is stable
+    fp2 = {r.asset_id: r.afp for r in mm.audio_fingerprint(df).collect()}
+    assert fp2[4] == fp[4].afp
+
+
+def test_audio_near_pairs_banding_agrees_with_brute_force(spark):
+    import numpy as np
+
+    from rnadam_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    base = list(rng.uniform(0.1, 1.0, 65))
+    perturbed = list(base)
+    # flip a couple of segments hard enough to move ~2-3 envelope bits
+    perturbed[10], perturbed[40] = perturbed[11] + 0.3, perturbed[41] + 0.3
+    rows = [
+        (1, "audio", _tone_wav(base), None),
+        (2, "audio", _tone_wav(base), None),          # exact dup
+        (3, "audio", _tone_wav(perturbed), None),     # near dup
+        (4, "audio", _tone_wav(list(rng.uniform(0.1, 1.0, 65))), None),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSETS)
+    fps = mm.audio_fingerprint(df)
+    got = {
+        (r.asset_a, r.asset_b): r.hamming
+        for r in mm.audio_near_pairs(fps, max_distance=6).collect()
+    }
+    # brute force over the collected fingerprints
+    vals = {r.asset_id: r.afp for r in fps.collect()}
+    want = {}
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0
