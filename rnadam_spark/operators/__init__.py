@@ -16,6 +16,7 @@ from rnadam_spark.operators import (  # noqa: F401
     repetition,
     sampling,
     search,
+    sketches,
     similarity,
     spans,
     splits,

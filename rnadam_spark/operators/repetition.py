@@ -252,3 +252,49 @@ def compression_signals(
             )
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, schema)
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    top_k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(gram, df, tf): corpus-wide word ``n``-grams ranked by DOCUMENT
+    frequency — the boilerplate miner. Grams that recur across many
+    documents (site chrome, licence blurbs, cookie banners) are exactly
+    the phrases worth feeding to :func:`~rnadam_spark.operators.text.
+    filter_bad_phrases` or auditing before span dedup; term frequency
+    alone can't find them (one spammy doc can repeat a gram 10^4 times
+    without it being boilerplate).
+
+    Shape: the in-row value-counts kernel collapses each document's
+    grams to (gram, per-doc count) BEFORE the explode, so ``df`` is a
+    plain ``count(*)`` — no ``count(distinct doc_id)`` expansion and no
+    per-doc duplicate rows on the wire — then ONE groupBy(gram) with
+    map-side partial aggregation. A gram occurring in 10^8 documents
+    arrives at its reducer as one partial row per map task, never as
+    10^8 rows. ``top_k`` ranks by df via TakeOrdered (no global sort);
+    ties break (tf desc, gram asc) so both engines agree."""
+    from rnadam_spark.functions.runlength import with_value_counts
+
+    per_doc = (
+        with_value_counts(
+            docs.select(F.col(id_col), F.col(text_col)), token_ngrams(text_col, n), "gc"
+        )
+        .select(F.explode("gc").alias("t"))
+        .select(F.col("t.value").alias("gram"), F.col("t.cnt").alias("tf_doc"))
+    )
+    out = (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf_doc").cast("bigint").alias("tf"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("df").desc(), F.col("tf").desc(), "gram").limit(top_k)
+    return out
