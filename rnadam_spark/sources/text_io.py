@@ -66,3 +66,55 @@ def read_jsonl(
     instead. Compressed members (.gz/.bz2/.zst) decode transparently
     by extension."""
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_DDL,
+    quarantine_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): PERMISSIVE JSONL read with corrupt-record routing —
+    the production middle ground between FAILFAST (one mangled crawler
+    line kills a 100 TB ingest) and silently nulling bad rows.
+
+    ``good`` carries exactly ``schema``'s columns for rows that parsed
+    clean; ``bad`` carries (raw_record, file) for quarantine/replay.
+    Both derive from ONE scan definition — Spark's PERMISSIVE mode puts
+    the raw line in ``_corrupt_record`` and nulls the data columns, so
+    the split is two filters on the same cached-free scan (each side
+    prunes to its own columns; no shuffle, no second parse).
+
+    A row counts as corrupt only when ``_corrupt_record`` is set; a row
+    of legal JSON with missing keys parses clean with nulls (schema
+    drift is the `corpus_diff` audit's job, not the parser's). If
+    ``quarantine_path`` is given the bad side is also written there as
+    plain text for offline inspection/replay before `good` is consumed.
+
+    Implementation note: the scan is ``read.text`` + ``from_json`` with
+    a corrupt-record field, NOT ``read.json`` with PERMISSIVE — recent
+    Spark disallows queries over a raw JSON scan that reference only
+    ``_corrupt_record`` (the bad side does exactly that), while the
+    expression form has no such restriction and parses identically."""
+    from pyspark.sql import functions as F
+
+    corrupt = "_corrupt_record"
+    full = f"{schema}, {corrupt} STRING"
+    raw = spark.read.text(path).select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("r"),
+        F.input_file_name().alias("file"),
+    )
+    data_cols = [f.split(" ")[0] for f in (s.strip() for s in schema.split(","))]
+    good = raw.filter(F.col(f"r.{corrupt}").isNull()).select(
+        *[F.col(f"r.{c}").alias(c) for c in data_cols]
+    )
+    bad = raw.filter(F.col(f"r.{corrupt}").isNotNull()).select(
+        F.col(f"r.{corrupt}").alias("raw_record"), "file"
+    )
+    if quarantine_path is not None:
+        bad.select("raw_record").write.mode("overwrite").text(quarantine_path)
+    return good, bad

@@ -67,3 +67,28 @@ def test_jsonl_failfast_on_corrupt(spark, tmp_path):
     ).collect()
     assert len(ok) == 2
     assert sum(1 for r in ok if r._corrupt_record is not None) == 1
+
+
+def test_quarantine_split_and_sink(spark, tmp_path):
+    from rnadam_spark.sources.text_io import read_jsonl_quarantine
+
+    src = tmp_path / "mixed"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "{mangled\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s", "n_chars": 7}\n'
+        '{"doc_id": 3}\n'  # legal JSON, missing keys -> clean with nulls
+    )
+    qdir = str(tmp_path / "quarantine")
+    good, bad = read_jsonl_quarantine(spark, str(src), quarantine_path=qdir)
+    g = {r.doc_id: r for r in good.collect()}
+    assert set(g) == {1, 2, 3}
+    assert g[3].text is None  # schema drift parses clean, not corrupt
+    assert good.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    b = bad.collect()
+    assert [r.raw_record for r in b] == ["{mangled"]
+    assert b[0].file.endswith("a.json")
+    # quarantined lines land as replayable text
+    lines = spark.read.text(qdir).collect()
+    assert [r.value for r in lines] == ["{mangled"]
