@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_sql
 from rnadam_spark.functions.rounding import hround, hround_sql
-from rnadam_spark.operators import dedup, sampling, similarity, text
+from rnadam_spark.operators import dedup, repetition, sampling, similarity, sketches, text
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
 
@@ -40,17 +40,14 @@ _BANDS_SQL = "\nUNION ALL\n".join(
 )
 
 
-@query(
-    "exact_dup_groups",
-    oracle="""
-    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
-           CAST(count(*) AS BIGINT) AS n_dups
-    FROM documents GROUP BY md5(text)
-    """,
-)
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup = the reference's group-by-signature classing (A3)
-    generalized to content hashes."""
+    generalized to content hashes.
+
+    Not registered (gate rotation r7, third wave): the md5 content-hash
+    kernel stays hash-verified via ``corpus_diff`` (per-doc md5 compare)
+    and the min/count-per-group kernel via ``customer_order_stats``;
+    row retired to make room for ``boilerplate_3grams``."""
     return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
@@ -679,19 +676,14 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "quality")
 
 
-@query(
-    "binary_asset_stats",
-    oracle="""
-    SELECT doc_id AS asset_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS content_md5
-    FROM documents
-    """,
-)
 def binary_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing check: byte length + content hash of an
     opaque binary column (assets built from documents — the same
-    schema/partitioning media payloads use)."""
+    schema/partitioning media payloads use).
+
+    Not registered (gate rotation r7, third wave): a two-function
+    projection pinned by tests/test_multimodal.py's round-trips; row
+    retired to make room for ``distinct_users_by_type``."""
     from rnadam_spark.operators.multimodal import assets_from_documents
 
     assets = assets_from_documents(load_table(spark, sf_dir, "documents"))
@@ -1161,3 +1153,50 @@ def dsir_log_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = dsir.bucket_counts(target, DSIR_BUCKETS)
     rc = dsir.bucket_counts(docs, DSIR_BUCKETS)
     return dsir.dsir_log_weights(docs, tc, rc, DSIR_BUCKETS)
+
+
+_BOILER_N = 3
+_BOILER_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= {_BOILER_N}
+                        THEN list_transform(range(1, len(toks) - {_BOILER_N - 2}),
+                               i -> array_to_string(toks[i:i+{_BOILER_N - 1}], ' '))
+                        ELSE [] END) AS gram
+          FROM toks),
+    pd AS (SELECT doc_id, gram, count(*) AS tf_doc FROM g GROUP BY 1, 2)
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf_doc) AS BIGINT) AS tf
+    FROM pd GROUP BY gram HAVING count(*) >= 2
+    """
+
+
+@query("boilerplate_3grams", oracle=_BOILER_SQL)
+def boilerplate_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate miner: corpus 3-grams present in >= 2 documents with
+    document and term frequency (operators/repetition.boilerplate_ngrams)
+    — the discovery stage feeding filter_bad_phrases' blocklist. The
+    in-row value-counts kernel makes df a plain count(*) (no distinct
+    expansion); the oracle re-derives per-doc gram multiplicities with
+    the shared slicing arithmetic."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return repetition.boilerplate_ngrams(docs, n=_BOILER_N, min_df=2)
+
+
+@query(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the two-level bitmap
+    roll-up (operators/sketches.distinct_counts_bitmap): the shuffle
+    carries (group, 4096-bit-bucket, bitmap) partials instead of raw
+    distinct values, and the plan contains no Expand (pinned by
+    tests/test_sketches.py). Same answer as count(distinct), different
+    — skew-proof — physical form."""
+    events = load_table(spark, sf_dir, "events")
+    return sketches.distinct_counts_bitmap(events, ["event_type"], "user_id")
