@@ -533,6 +533,27 @@ def main() -> None:
     scaling = _scaling_block(spark, sf_dir, queries, timings)
 
     total = round(sum(timings.values()), 3)
+    # Detail blocks print FIRST on their own line (and to a sidecar
+    # file): the driver captures a bounded tail of stdout and parses the
+    # LAST line as the artifact, and the r7 artifact lost its headline
+    # total when the single combined line outgrew that tail. The final
+    # line stays small — headline total + per-query timings only.
+    detail = {
+        "metric": "headline_detail",
+        "stages": stages,
+        "ab": ab,
+        "extras": extras,
+        "scaling": scaling,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # the sidecar is a convenience, never a bench failure
     print(
         json.dumps(
             {
@@ -540,10 +561,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "stages": stages,
-                "ab": ab,
-                "extras": extras,
-                "scaling": scaling,
                 "repeats": REPEATS,
                 "sf": _sf_from_dir(sf_dir),
             }

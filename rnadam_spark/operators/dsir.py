@@ -163,23 +163,46 @@ def gumbel_key(log_weight: Column, id_code: Column) -> Column:
     return log_weight - F.log(-F.log(u))
 
 
+#: Above this row count the exact ``percentile`` aggregate — whose
+#: internal value→count map is O(distinct keys), and Gumbel keys are
+#: essentially all-distinct — switches to ``percentile_approx``. 10⁷
+#: distinct doubles ≈ hundreds of MB of aggregation buffer; beyond that
+#: the exact form is an executor/driver OOM at corpus scale.
+DSIR_EXACT_PERCENTILE_MAX_ROWS = 10_000_000
+
+#: approx_percentile accuracy: threshold error ≤ 1/accuracy of the key
+#: distribution — at 1e-5 relative rank error the selected-set size
+#: deviates by ≤0.001% of the corpus, and membership only flips for
+#: rows within that sliver of the boundary.
+DSIR_APPROX_ACCURACY = 100_000
+
+
 def dsir_select(
     weights: DataFrame,
     fraction: float,
     seed: int = 29,
     weight_col: str = "log_weight",
     id_col: str = "doc_id",
+    exact: bool | None = None,
 ) -> DataFrame:
     """Keep ~``fraction`` of rows by Gumbel-top-k over ``weight_col`` —
     the resampling step of DSIR. Deterministic in (id, seed).
 
     Selection is the broadcast-threshold shape, not a global sort: one
-    exact ``percentile`` aggregate over the Gumbel keys (partial-merges
-    per partition) broadcast back as a literal-like 1-row table, then a
-    projection filter. Ties at the boundary all survive. Swap the
-    aggregate for ``percentile_approx`` at high row counts if the exact
-    value→count map grows too large; keys here are 6-dp-rounded doubles
-    plus continuous noise, so use the approx form beyond ~10⁸ rows.
+    percentile aggregate over the Gumbel keys (partial-merges per
+    partition) broadcast back as a literal-like 1-row table, then a
+    projection filter. Ties at the boundary all survive.
+
+    Threshold form auto-switches on scale: the Gumbel keys are 6-dp
+    log-weights plus continuous hash noise — essentially all-distinct —
+    so exact ``percentile``'s value→count map is O(corpus rows) in one
+    final aggregation buffer, a guaranteed OOM at the 100 TB design
+    point. Below ``DSIR_EXACT_PERCENTILE_MAX_ROWS`` (counted on the
+    already-materialized keyed table, so the count is a cheap scan of
+    checkpointed blocks) the exact aggregate runs; above it,
+    ``percentile_approx`` at ``DSIR_APPROX_ACCURACY`` (bounded KLL-style
+    sketch state regardless of corpus size). Pass ``exact=True/False``
+    to pin either form.
 
     The keyed table materializes at a stage boundary first: the
     threshold aggregate and the filter are two consumers of the same
@@ -194,7 +217,15 @@ def dsir_select(
             "_gk", gumbel_key(F.col(weight_col), _sample_code(F.col(id_col), seed))
         )
     )
-    thr = keyed.agg(F.expr(f"percentile(_gk, {1.0 - fraction})").alias("_thr"))
+    if exact is None:
+        exact = keyed.count() <= DSIR_EXACT_PERCENTILE_MAX_ROWS
+    if exact:
+        thr_expr = f"percentile(_gk, {1.0 - fraction})"
+    else:
+        thr_expr = (
+            f"approx_percentile(_gk, {1.0 - fraction}, {DSIR_APPROX_ACCURACY})"
+        )
+    thr = keyed.agg(F.expr(thr_expr).alias("_thr"))
     return (
         keyed.crossJoin(F.broadcast(thr))
         .filter(F.col("_gk") >= F.col("_thr"))

@@ -263,17 +263,30 @@ def cell_near_pairs(
     shuffle); the self-join shuffles on cell once; ``max_cell`` drops
     cells above the cap before the join (a cell of n emits n² pairs, and
     at 100 TB a boilerplate-heavy cell is guaranteed — same guard as
-    ``bucket_near_pairs``/``lsh_candidate_pairs``). The guard's count
-    aggregate re-evaluates the centroid argmax once more (a projection;
-    measured ~5% on semantic_dedup at sf0.1) — the skew-safe trade."""
+    ``bucket_near_pairs``/``lsh_candidate_pairs``).
+
+    The centroid argmax is the dominant projection cost of SemDeDup
+    (one distance per centroid per row), so the slim (vec_id, cell)
+    assignment materializes ONCE at a stage boundary before the guard's
+    count aggregate and both sides of the self-join consume it — the
+    same discipline as :func:`bucket_near_pairs`. Without it the argmax
+    subtree evaluates 3× (guard count + join sides), which measurably
+    regressed semantic_dedup 14.9s → 18.8s at sf0.1; with the
+    materialization it measures 12.9s (min-of-3, sf0.1 local[32]) —
+    faster than either prior form. The float embeddings re-attach by a
+    vec_id join after the guard, so they never evaluate for the guard
+    at all."""
     cell = F.array_max(_centroid_scores(_as_double("embedding"), centroids))["cid"]
-    with_cell = embeddings.select(
-        "vec_id", cell.cast("bigint").alias("cell"), F.col("embedding")
+    from rnadam_spark.lineage import truncate_lineage
+
+    assignment = truncate_lineage(
+        embeddings.select("vec_id", cell.cast("bigint").alias("cell"))
     )
     if max_cell is not None:
         from rnadam_spark.operators.guards import drop_oversize_buckets
 
-        with_cell = drop_oversize_buckets(with_cell, ["cell"], max_cell)
+        assignment = drop_oversize_buckets(assignment, ["cell"], max_cell)
+    with_cell = assignment.join(embeddings, "vec_id")
     a = with_cell.alias("a")
     b = with_cell.alias("b")
     return (

@@ -8,16 +8,16 @@ bitmap roll-up (Spark's ``bitmap_*`` family, the engine-native form of
 a roaring-bitmap distinct):
 
 1. each value maps to a (bucket, bit) pair — ``bitmap_bucket_number``
-   / ``bitmap_bit_position`` slice the integer domain into 4096-bit
-   buckets;
+   / ``bitmap_bit_position`` slice the integer domain into 32768-bit
+   (4096-byte) buckets;
 2. ``bitmap_construct_agg`` per (group, bucket) — partial-aggregates
-   map-side, so the shuffle carries at most one <=512-byte bitmap per
+   map-side, so the shuffle carries at most one <=4 KB bitmap per
    (group, bucket) per map task, never the raw values;
 3. ``sum(bitmap_count(...))`` per group collapses bucket cardinalities
    to the exact distinct count.
 
-A group with 10^9 distinct members shuffles ~250k bitmap rows
-(10^9 / 4096) of 512 bytes — ~128 MB spread across reducers by bucket
+A group with 10^9 distinct members shuffles ~30k bitmap rows
+(10^9 / 32768) of <=4 KB — ~122 MB spread across reducers by bucket
 — where count(distinct) would shuffle 10^9 raw rows into one reducer's
 group. The bucket key also rides the shuffle hash, so a hot group
 spreads over reducers instead of funneling (the same skew argument as
@@ -44,15 +44,18 @@ def distinct_counts_bitmap(
     integer column via the two-level bitmap roll-up (module docstring).
 
     Output matches ``groupBy(...).agg(countDistinct(value_col))``
-    row-for-row (pinned by test + DuckDB oracle); only the PLAN
-    differs — the shuffle carries (group, bucket, bitmap) partials
-    instead of raw distinct values. Negative values raise (bitmap bit
-    positions are defined on the non-negative domain); NULLs are
-    ignored, matching count(distinct) semantics."""
+    row-for-row (pinned by test + DuckDB oracle), INCLUDING groups
+    whose values are all NULL (count 0): null rows ride through the
+    groupBy with a null (bucket, pos) — ``bitmap_construct_agg``
+    skips them, and ``coalesce(bitmap_count(...), 0)`` turns the
+    empty/null bitmap into 0 instead of dropping the group, the way a
+    pre-filter would. Negative values raise (bitmap bit positions are
+    defined on the non-negative domain); NULL values are ignored
+    within a group, matching count(distinct) semantics."""
     group_cols = list(group_cols)
     v = F.col(value_col)
     checked = F.when(v < 0, F.raise_error(F.lit(f"{value_col} must be non-negative"))).otherwise(v)
-    coded = df.filter(v.isNotNull()).select(
+    coded = df.select(
         *group_cols,
         F.bitmap_bucket_number(checked).alias("_bucket"),
         F.bitmap_bit_position(checked).alias("_pos"),
@@ -61,7 +64,9 @@ def distinct_counts_bitmap(
         F.bitmap_construct_agg(F.col("_pos")).alias("_bm")
     )
     return per_bucket.groupBy(*group_cols).agg(
-        F.sum(F.bitmap_count(F.col("_bm"))).cast("bigint").alias(out_col)
+        F.sum(F.coalesce(F.bitmap_count(F.col("_bm")), F.lit(0)))
+        .cast("bigint")
+        .alias(out_col)
     )
 
 

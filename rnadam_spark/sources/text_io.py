@@ -87,7 +87,12 @@ def read_jsonl_quarantine(
 
     A row counts as corrupt only when ``_corrupt_record`` is set; a row
     of legal JSON with missing keys parses clean with nulls (schema
-    drift is the `corpus_diff` audit's job, not the parser's). If
+    drift is the `corpus_diff` audit's job, not the parser's). Blank /
+    whitespace-only lines are dropped before parsing (matching
+    ``read.json``, which skips them — ``from_json`` would instead
+    return a NULL struct whose null ``_corrupt_record`` slips an
+    all-null phantom row into ``good``); any other line that still
+    parses to a NULL struct routes to ``bad`` with its raw text. If
     ``quarantine_path`` is given the bad side is also written there as
     plain text for offline inspection/replay before `good` is consumed.
 
@@ -97,23 +102,35 @@ def read_jsonl_quarantine(
     ``_corrupt_record`` (the bad side does exactly that), while the
     expression form has no such restriction and parses identically."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     corrupt = "_corrupt_record"
     full = f"{schema}, {corrupt} STRING"
-    raw = spark.read.text(path).select(
-        F.from_json(
+    raw = (
+        spark.read.text(path)
+        # rlike(\S), not trim(): Spark's trim strips only ASCII spaces,
+        # so a tab-only line would survive and parse to a NULL struct
+        .filter(F.col("value").rlike(r"\S"))
+        .select(
             F.col("value"),
-            full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
-        ).alias("r"),
-        F.input_file_name().alias("file"),
+            F.from_json(
+                F.col("value"),
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+            ).alias("r"),
+            F.input_file_name().alias("file"),
+        )
     )
-    data_cols = [f.split(" ")[0] for f in (s.strip() for s in schema.split(","))]
-    good = raw.filter(F.col(f"r.{corrupt}").isNull()).select(
-        *[F.col(f"r.{c}").alias(c) for c in data_cols]
-    )
-    bad = raw.filter(F.col(f"r.{corrupt}").isNotNull()).select(
-        F.col(f"r.{corrupt}").alias("raw_record"), "file"
+    # proper DDL parse (split-on-comma breaks on DECIMAL(10,2) / MAP<K,V>)
+    data_cols = StructType.fromDDL(schema).fieldNames()
+    good = raw.filter(
+        F.col("r").isNotNull() & F.col(f"r.{corrupt}").isNull()
+    ).select(*[F.col(f"r.{c}").alias(c) for c in data_cols])
+    bad = raw.filter(
+        F.col("r").isNull() | F.col(f"r.{corrupt}").isNotNull()
+    ).select(
+        F.coalesce(F.col(f"r.{corrupt}"), F.col("value")).alias("raw_record"),
+        "file",
     )
     if quarantine_path is not None:
         bad.select("raw_record").write.mode("overwrite").text(quarantine_path)

@@ -264,3 +264,22 @@ def test_dsir_select_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want and len(got) >= 30
+
+
+def test_dsir_select_approx_agrees_with_exact(spark):
+    """The scale path: percentile_approx at the pinned accuracy selects
+    the same set as exact percentile on a seeded corpus up to the one
+    inherent boundary row — exact percentile INTERPOLATES between two
+    observed Gumbel keys while approx returns an observed key, so the
+    thresholds straddle at most one row; accuracy-driven drift
+    (~n/DSIR_APPROX_ACCURACY rows) is < 1 row at this size. Any larger
+    disagreement means the approx form is mis-specified."""
+    rows = [(i, float((i * 37) % 101) / 10.0 - 5.0) for i in range(5000)]
+    w = spark.createDataFrame(rows, ["doc_id", "log_weight"])
+    exact = {r.doc_id for r in dsir.dsir_select(w, 0.25, exact=True).collect()}
+    approx = {r.doc_id for r in dsir.dsir_select(w, 0.25, exact=False).collect()}
+    assert len(exact ^ approx) <= 1
+    assert 0.2 < len(exact) / 5000 < 0.3
+    # default auto-switch: below the row threshold the exact form runs
+    auto = {r.doc_id for r in dsir.dsir_select(w, 0.25).collect()}
+    assert auto == exact

@@ -31,10 +31,28 @@ def test_bitmap_distinct_matches_count_distinct(spark):
 
 
 def test_bitmap_distinct_large_sparse_domain(spark):
-    # values far above one bucket (4096 bits) exercise the bucket split
+    # values far above one bucket (32768 bits) exercise the bucket split
     df = spark.range(0, 3000).selectExpr("id % 3 as g", "id * 1000003 as v")
     out = sketches.distinct_counts_bitmap(df, ["g"], "v").collect()
     assert {r["g"]: r["n_distinct"] for r in out} == {0: 1000, 1: 1000, 2: 1000}
+
+
+def test_bitmap_distinct_all_null_group_counts_zero(spark):
+    """A group whose values are ALL NULL must appear with count 0 —
+    exactly what groupBy().agg(count_distinct(v)) returns — rather than
+    vanishing from the output via a pre-filter."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", None), ("b", None)], "g string, v bigint"
+    )
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in sketches.distinct_counts_bitmap(df, ["g"], "v").collect()
+    }
+    want = {
+        r["g"]: r["cd"]
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("cd")).collect()
+    }
+    assert got == want == {"a": 1, "b": 0}
 
 
 def test_bitmap_distinct_rejects_negative(spark):

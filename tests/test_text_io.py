@@ -92,3 +92,63 @@ def test_quarantine_split_and_sink(spark, tmp_path):
     # quarantined lines land as replayable text
     lines = spark.read.text(qdir).collect()
     assert [r.value for r in lines] == ["{mangled"]
+
+
+def test_quarantine_blank_lines_produce_no_phantom_rows(spark, tmp_path):
+    """Blank/whitespace-only lines must vanish (as read.json does), not
+    slip all-null rows into `good` via from_json's NULL struct."""
+    from rnadam_spark.sources.text_io import read_jsonl_quarantine
+
+    src = tmp_path / "blanks"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "\n"
+        "   \n"
+        "\t\n"
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(src))
+    g = good.collect()
+    assert sorted(r.doc_id for r in g) == [1, 2]
+    assert all(r.doc_id is not None for r in g)
+    assert bad.count() == 0
+
+
+def test_quarantine_null_struct_routes_to_bad(spark, tmp_path):
+    """A non-blank line that parses to a NULL struct (JSON literal
+    `null`) quarantines with its raw text instead of becoming a
+    phantom good row."""
+    from rnadam_spark.sources.text_io import read_jsonl_quarantine
+
+    src = tmp_path / "nulls"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "null\n"
+    )
+    good, bad = read_jsonl_quarantine(spark, str(src))
+    assert [r.doc_id for r in good.collect()] == [1]
+    assert [r.raw_record for r in bad.collect()] == ["null"]
+
+
+def test_quarantine_complex_ddl_column_names(spark, tmp_path):
+    """Schemas with commas inside types (DECIMAL(10,2), MAP<K,V>) must
+    still project the right column names — the DDL is parsed, not
+    string-split."""
+    from rnadam_spark.sources.text_io import read_jsonl_quarantine
+
+    src = tmp_path / "complex"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "price": 10.25, "tags": {"k": 2}}\n'
+    )
+    good, bad = read_jsonl_quarantine(
+        spark,
+        str(src),
+        schema="id BIGINT, price DECIMAL(10,2), tags MAP<STRING,INT>",
+    )
+    assert good.columns == ["id", "price", "tags"]
+    r = good.collect()[0]
+    assert (r.id, str(r.price), dict(r.tags)) == (1, "10.25", {"k": 2})
+    assert bad.count() == 0
