@@ -158,6 +158,28 @@ _TRACKING_PARAM_RE = (
     r"(?:utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)"
 )
 
+#: the normalization chain as (pattern, replacement-with-$n) pairs —
+#: ONE table drives both the Spark operator and the DuckDB oracle
+#: (queries/web_q.py translates $n → \n), so the two cannot drift.
+#: All patterns are RE2-compatible (no lookaround).
+CANON_STEPS: list[tuple[str, str]] = [
+    (r"^http://www\.", "http://"),
+    (r"^https://www\.", "https://"),
+    (r"^(https?://[^/?#]*):80(/|\?|$)", r"$1$2"),
+    (r"^(https?://[^/?#]*):443(/|\?|$)", r"$1$2"),
+    (r"#.*$", ""),  # fragment — never sent to the server
+    # tracking params: a RUN of them mid-query collapses in one match
+    # (regexp_replace does not rescan replaced text, so consecutive
+    # params need the (?:...)+ run form), then a trailing one drops
+    (r"([?&])(?:" + _TRACKING_PARAM_RE + r"=[^&#]*&)+", r"$1"),
+    (r"([?&])" + _TRACKING_PARAM_RE + r"=[^&#]*$", ""),
+    (r"[?&]$", ""),  # dangling separator
+    (r"^(https?://[^/?#]+)/$", r"$1"),  # bare trailing /
+]
+
+#: the scheme+host prefix (lowercased before the chain runs)
+CANON_HEAD_PATTERN = r"^((?i:https?)://[^/?#]*)"
+
 
 def canonical_url(col: Column | str) -> Column:
     """Canonical form of a URL column — the crawl-frontier identity:
@@ -174,24 +196,15 @@ def canonical_url(col: Column | str) -> Column:
       and a bare trailing ``/`` on a pathless URL tidied.
 
     Chained RE2 ``regexp_replace`` projections — composes at scan speed
-    like every other web operator."""
+    like every other web operator. The step table ``CANON_STEPS`` is
+    shared with the DuckDB gate oracle (queries/web_q.py)."""
     c = F.col(col) if isinstance(col, str) else col
     # lowercase scheme+host (up to the first single /), leave path case
-    head = F.regexp_extract(c, r"^((?i:https?)://[^/?#]*)", 1)
+    head = F.regexp_extract(c, CANON_HEAD_PATTERN, 1)
     tail = F.substring(c, F.length(head) + 1, 2_000_000_000)
     u = F.concat(F.lower(head), tail)
-    u = F.regexp_replace(u, r"^http://www\.", "http://")
-    u = F.regexp_replace(u, r"^https://www\.", "https://")
-    u = F.regexp_replace(u, r"^(https?://[^/?#]*):80(/|\?|$)", r"$1$2")
-    u = F.regexp_replace(u, r"^(https?://[^/?#]*):443(/|\?|$)", r"$1$2")
-    u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    # tracking params: a RUN of them mid-query collapses in one match
-    # (regexp_replace does not rescan replaced text, so consecutive
-    # params need the (?:...)+ run form), then a trailing one drops
-    u = F.regexp_replace(u, r"([?&])(?:" + _TRACKING_PARAM_RE + r"=[^&#]*&)+", r"$1")
-    u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"=[^&#]*$", "")
-    u = F.regexp_replace(u, r"[?&]$", "")  # dangling separator
-    u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")  # bare trailing /
+    for pat, repl in CANON_STEPS:
+        u = F.regexp_replace(u, pat, repl)
     return u
 
 

@@ -1,3 +1,3 @@
 """Query modules — importing this package registers every query."""
 
-from rnadam_spark.queries import genomics_q, pipeline_q, relational, windows_q  # noqa: F401
+from rnadam_spark.queries import genomics_q, pipeline_q, relational, web_q, windows_q  # noqa: F401

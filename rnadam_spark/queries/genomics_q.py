@@ -362,9 +362,7 @@ def substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dinuc_context_features",
-    oracle=f"""
+_DINUC_SQL = f"""
     WITH bigrams AS (
       SELECT doc_id, substring(text, CAST(i AS INT), 2) AS bigram
       FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 1, 0) + 1)) AS i
@@ -377,8 +375,9 @@ def substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((count(*) / CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS frac
     FROM valid
     GROUP BY doc_id, bigram
-    """,
-)
+    """  # kept for the rows-equal pytest cross-check (tests/test_tare.py)
+
+
 def dinuc_context_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3–P5: 2-shingles filtered to a valid alphabet, then per-container
     fractional histogram (Tare.scala:88-101's dinucleotide featurization,
@@ -390,6 +389,12 @@ def dinuc_context_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/runlength.py), same rewrite as kmer_doc_counts. The old
     explode → groupBy(doc, bigram) → window(doc) plan paid two
     exchanges for work the scan can carry for free.
+
+    Not registered (gate rotation r8): the shingle/run-length kernel
+    stays oracle-verified via ``kmer_count``/``kmer_bias_calibration``,
+    and ``_DINUC_SQL`` remains its full DuckDB cross-check in
+    tests/test_tare.py — slot rotated to ``pagerank``/``frontier_dedup``
+    (queries/web_q.py).
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
     valid = F.filter(char_shingles("text", 2), lambda x: x.rlike("^[a-z]{2}$"))

@@ -155,9 +155,7 @@ _SIMHASH_BANDS_SQL = "\nUNION ALL\n".join(
 )
 
 
-@query(
-    "simhash_hamming_pairs",
-    oracle=f"""
+_SIMHASH_PAIRS_SQL = f"""
     WITH sig AS ({_SIMHASH_SQL}),
     banded AS ({_SIMHASH_BANDS_SQL}),
     capped AS (SELECT * FROM banded
@@ -167,13 +165,20 @@ _SIMHASH_BANDS_SQL = "\nUNION ALL\n".join(
     FROM capped a JOIN capped b USING (band, band_val)
     WHERE a.doc_id < b.doc_id
       AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
-    """,
-)
+    """  # kept for the rows-equal pytest cross-check (tests/test_dedup.py)
+
+
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3, candidates by
     4×4-bit band pigeonhole (exact recall for d ≤ 3), verified with
     bit_count(xor); band buckets capped — same scale guard as the
-    MinHash-LSH path."""
+    MinHash-LSH path.
+
+    Not registered (gate rotation r8): the 64-bit banding + xor-popcount
+    kernel is also exercised by the dHash/audio near-dup pytest DuckDB
+    cross-checks, and ``_SIMHASH_PAIRS_SQL`` stays its full DuckDB
+    cross-check in tests/test_dedup.py — slot rotated to
+    ``pagerank``/``frontier_dedup`` (queries/web_q.py)."""
     return dedup.simhash_hamming_pairs(
         load_table(spark, sf_dir, "documents", widen=True),
         max_distance=SIMHASH_MAX_DISTANCE,

@@ -236,3 +236,52 @@ def test_load_genome_any_dispatches_twobit(spark, tmp_path):
     _write_twobit(p, {"c": "ACGT"})
     got = bio.load_genome_any(spark, str(p)).collect()
     assert [(r.contig, r.sequence) for r in got] == [("c", "ACGT")]
+
+
+def test_read_twobit_chromosome_scale_decode_is_fast(spark, tmp_path):
+    """A 100 Mbp contig (human-chromosome scale) decodes in seconds,
+    not hours — the numpy path replaced a ~3e9-iteration per-base
+    Python loop. Values are verified against an independent pure-Python
+    bit extraction at 10k random positions (checking all 100M with the
+    loop is exactly the cost the fix removed)."""
+    import random
+    import struct
+    import time
+
+    dna_size = 100_000_000
+    rng = random.Random(7)
+    packed = rng.randbytes((dna_size + 3) // 4)
+    name = b"chrBig"
+    header = struct.pack("<IIII", 0x1A412743, 0, 1, 0)
+    offset = len(header) + 1 + len(name) + 4
+    index = bytes([len(name)]) + name + struct.pack("<I", offset)
+    n_blocks = [(1000, 50)]
+    mask_blocks = [(2000, 100)]
+    rec = struct.pack("<I", dna_size)
+    rec += struct.pack("<I", len(n_blocks)) + struct.pack(
+        "<1I", n_blocks[0][0]
+    ) + struct.pack("<1I", n_blocks[0][1])
+    rec += struct.pack("<I", len(mask_blocks)) + struct.pack(
+        "<1I", mask_blocks[0][0]
+    ) + struct.pack("<1I", mask_blocks[0][1])
+    rec += struct.pack("<I", 0) + packed
+    p = tmp_path / "big.2bit"
+    p.write_bytes(header + index + rec)
+
+    t0 = time.time()
+    rows = bio.read_twobit(spark, str(p)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 20.0, f"chromosome-scale decode took {elapsed:.1f}s"
+
+    (row,) = rows
+    seq = row.sequence
+    assert len(seq) == dna_size
+    bases = "TCAG"
+    for _ in range(10_000):
+        i = rng.randrange(dna_size)
+        want = bases[(packed[i >> 2] >> (6 - 2 * (i & 3))) & 3]
+        if n_blocks[0][0] <= i < n_blocks[0][0] + n_blocks[0][1]:
+            want = "N"
+        elif mask_blocks[0][0] <= i < mask_blocks[0][0] + mask_blocks[0][1]:
+            want = want.lower()
+        assert seq[i] == want, i

@@ -132,6 +132,30 @@ def test_ngram_jaccard_matches_retired_oracle(spark, sf_dir):
     assert got == want and got
 
 
+def test_simhash_pairs_match_retired_oracle(spark, sf_dir):
+    # gate rotation r8 retired the simhash_hamming_pairs CORRECTNESS
+    # row (slot → pagerank/frontier_dedup); its DuckDB oracle lives on
+    # here so the banding + xor-popcount kernel stays cross-checked
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import (
+        _SIMHASH_PAIRS_SQL,
+        simhash_hamming_pairs,
+    )
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_SIMHASH_PAIRS_SQL).fetchall()))
+    assert got == want and got
+
+
 def test_verify_pairs_exact_jaccard(spark):
     from rnadam_spark.operators.dedup import lsh_candidate_pairs, verify_pairs
 

@@ -114,3 +114,25 @@ def test_calibrate_tx_len_bias_random(spark, n):
     got = {r.t_id: r.mu for r in tare.calibrate_tx_len_bias(mu, t_len).collect()}
     for i in range(n):
         assert abs(got[str(i)] - 1.0 / n) < 1e-6
+
+
+def test_dinuc_features_match_retired_oracle(spark, sf_dir):
+    # gate rotation r8 retired the dinuc_context_features CORRECTNESS
+    # row (slot → pagerank/frontier_dedup); its DuckDB oracle lives on
+    # here so the shingle→run-length histogram kernel stays
+    # cross-checked engine-to-engine
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.genomics_q import _DINUC_SQL, dinuc_context_features
+
+    got = sorted(
+        (r.doc_id, r.bigram, r.cnt, r.frac)
+        for r in dinuc_context_features(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_DINUC_SQL).fetchall()))
+    assert got == want and got
