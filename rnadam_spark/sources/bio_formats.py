@@ -4,11 +4,17 @@ Closes the ingestion gap the parquet-table boundary left open
 (SURVEY.md §1.4, VERDICT "What's missing #1"): the reference reads its
 inputs through ADAM's SAM/BAM/FASTQ/GTF loaders and a 2bit reference
 file (rice-cli/.../cli/Quantify.scala:73-94, cli/Index.scala:60-62).
-The three TEXT formats plus the 2bit binary genome format parse
-natively here with zero external dependencies; BAM stays the one
-documented boundary — it needs an htslib-class codec stack, and its
-content is representable by the same reads table these readers
-produce.
+The three TEXT formats, the 2bit binary genome format, and BAM
+(``read_bam``) all parse natively here with zero external
+dependencies, closing the last reference input format. BGZF is plain
+concatenated gzip members, so stdlib ``gzip.decompress`` inflates a
+whole shard; the binary record walk runs in an Arrow-batched
+``mapInPandas`` per shard — the same sanctioned Python codec boundary
+as the WARC exact splitter and the BMP/WAV decodes. Documented
+boundary within BAM: CRAM (reference-based compression needs an
+htslib-class codec stack) and BAI/CSI index-driven region seeks are
+out of scope — the engine always scans whole shards, which is the
+batch-quantification access pattern anyway.
 
 Scale design per format:
 
@@ -237,12 +243,144 @@ def load_transcripts_any(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_reads_any(spark: SparkSession, path: str) -> DataFrame:
-    """Reads table from FASTQ or parquet, by extension."""
+    """Reads table from FASTQ, BAM, or parquet, by extension."""
     if _endswith_any(path, _FASTQ_EXTS):
         return reads_from_fastq(read_fastq(spark, path))
+    if path.endswith(".bam"):
+        return reads_from_bam(read_bam(spark, path))
     from rnadam_spark.sources import genomics
 
     return genomics.load_reads(spark, path)
+
+
+# ---------------------------------------------------------------- BAM
+
+_BAM_MAGIC = b"BAM\x01"
+_BAM_SEQ_CODES = "=ACMGRSVTWYHKDBN"  # 4-bit nibble codes per SAM spec §4.2
+_BAM_CIGAR_OPS = "MIDNSHP=X"
+
+_BAM_SCHEMA = (
+    "read_name string, flag int, contig string, pos bigint, mapq int, "
+    "cigar string, sequence string, quality string, source_file string"
+)
+
+
+def _parse_bam_bytes(data: bytes) -> list[tuple]:
+    """Alignment records of one BAM shard (already-inflated bytes):
+    (read_name, flag, contig, pos_1based, mapq, cigar, sequence,
+    quality). ``contig`` is null for unmapped reads (refID −1);
+    ``quality`` is null when absent (0xff fill); ``pos`` converts
+    BAM's 0-based to SAM's 1-based so the text and binary forms of the
+    same alignment read identically downstream."""
+    import struct
+
+    if data[:4] != _BAM_MAGIC:
+        raise ValueError("not a BAM payload (bad magic)")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    at = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, at)
+    at += 4
+    refs: list[str] = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, at)
+        at += 4
+        refs.append(data[at : at + l_name - 1].decode("ascii"))  # NUL-terminated
+        at += l_name + 4  # skip l_ref
+    out: list[tuple] = []
+    n = len(data)
+    while at + 4 <= n:
+        (block_size,) = struct.unpack_from("<i", data, at)
+        at += 4
+        if block_size <= 0 or at + block_size > n:
+            raise ValueError(f"truncated BAM record at byte {at - 4}")
+        (
+            ref_id, pos0, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+            _next_ref, _next_pos, _tlen,
+        ) = struct.unpack_from("<iiBBHHHiiii", data, at)
+        p = at + 32
+        read_name = data[p : p + l_read_name - 1].decode("ascii")
+        p += l_read_name
+        cigar_ops = struct.unpack_from(f"<{n_cigar}I", data, p)
+        cigar = "".join(f"{c >> 4}{_BAM_CIGAR_OPS[c & 0xF]}" for c in cigar_ops) or "*"
+        p += 4 * n_cigar
+        n_seq_bytes = (l_seq + 1) // 2
+        seq_packed = data[p : p + n_seq_bytes]
+        # 4-bit packed, high nibble first
+        seq = "".join(
+            _BAM_SEQ_CODES[
+                (seq_packed[j // 2] >> 4) & 0xF if j % 2 == 0 else seq_packed[j // 2] & 0xF
+            ]
+            for j in range(l_seq)
+        )
+        p += n_seq_bytes
+        qual_raw = data[p : p + l_seq]
+        quality = (
+            None
+            if not l_seq or qual_raw[0] == 0xFF
+            else bytes(q + 33 for q in qual_raw).decode("ascii")
+        )
+        out.append((
+            read_name,
+            flag,
+            refs[ref_id] if 0 <= ref_id < len(refs) else None,
+            pos0 + 1 if pos0 >= 0 else None,
+            mapq,
+            cigar,
+            seq,
+            quality,
+        ))
+        at += block_size
+    return out
+
+
+def read_bam(spark: SparkSession, path: str) -> DataFrame:
+    """(read_name, flag, contig, pos, mapq, cigar, sequence, quality,
+    source_file) from BAM shard(s) at ``path`` — the last reference
+    input format (Quantify.scala:73 loads SAM/BAM via ADAM), native.
+
+    Execution model = the FASTQ/WARC-exact shard pattern: binaryFile
+    scan (BGZF never splits mid-member anyway), stdlib gzip inflate +
+    binary record walk inside Arrow-batched ``mapInPandas``, so
+    parallelism is shard count and peak memory one inflated shard per
+    task. Plain uncompressed .bam (magic-first) parses too. CRAM and
+    index-driven region seeks are the documented boundary (module
+    docstring)."""
+    import gzip
+
+    import pandas as pd
+
+    cols = (
+        "read_name", "flag", "contig", "pos", "mapq",
+        "cigar", "sequence", "quality", "source_file",
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for sf, content in zip(pdf["source_file"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                for rec in _parse_bam_bytes(data):
+                    for c, v in zip(cols, (*rec, sf)):
+                        out[c].append(v)
+            yield pd.DataFrame(out)
+
+    raw = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("source_file"), "content"
+    )
+    return raw.mapInPandas(parse, _BAM_SCHEMA)
+
+
+def reads_from_bam(bam: DataFrame) -> DataFrame:
+    """Adapt BAM records to the engine's READS table (read_id BIGINT,
+    sequence) — the same content-hash id policy as
+    :func:`reads_from_fastq`. Secondary/supplementary alignments
+    (flags 0x100/0x800) drop so one physical read contributes once,
+    matching what an aligner-agnostic quantifier wants."""
+    return bam.filter((F.col("flag").bitwiseAND(0x100 | 0x800)) == 0).select(
+        F.xxhash64("read_name").alias("read_id"), "sequence"
+    )
 
 
 # --------------------------------------------------------------- 2bit

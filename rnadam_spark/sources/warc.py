@@ -17,15 +17,30 @@ shard, in-row record splitting, header fields via ``regexp_extract`` —
 all Catalyst expressions, no UDF, memory bounded by shard size (crawl
 shards are sized ~1 GB for exactly this reason).
 
-Deliberately "lite": records split on the blank-line +
-``WARC/1.0`` sentinel rather than Content-Length byte accounting, so a
-payload that embeds a verbatim WARC header block (an archived archive)
-would over-split. Binary payloads pass through as text (Spark reads
-wholetext as UTF-8 with replacement chars); pair with the multimodal
-operators' binary asset tables when bytes must be exact.
+Two framing tiers:
+
+- :func:`read_warc` (lite): records split on the blank-line +
+  ``WARC/1.0`` sentinel — pure Catalyst expressions, zero Python. A
+  payload that embeds a verbatim WARC header block (an archived
+  archive) over-splits, and binary payloads pass through as UTF-8 with
+  replacement chars. Right for the text/html path it feeds.
+- :func:`read_warc_exact`: honors each record's ``Content-Length``
+  with BYTE accounting over the raw (binaryFile) shard — an
+  Arrow-batched per-shard splitter, the same sanctioned Python codec
+  boundary as the BMP/WAV decodes (``operators/multimodal.py``). An
+  archived-archive payload stays ONE record; per-shard suspect-record
+  counts ride the output (``n_suspect``, the FASTQ malformed-framing
+  guard pattern); records without a Content-Length fall back to
+  sentinel splitting within the same walk. Gzip members decompress in
+  the splitter (binaryFile hands over raw bytes), so ``.warc.gz``
+  works identically.
 """
 
 from __future__ import annotations
+
+import gzip
+import re
+from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +120,142 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         F.input_file_name().alias("source_file"), "value"
     )
     return warc_records(raw)
+
+
+# ------------------------------------------------ exact framing
+
+_WARC_EXACT_SCHEMA = (
+    "warc_type string, target_uri string, warc_date string, "
+    "content_type string, payload string, source_file string, n_suspect bigint"
+)
+
+_CONTENT_LENGTH_RE = re.compile(rb"(?im)^content-length:[ \t]*(\d+)[ \t]*$")
+
+
+def _hfield(headers: str, name: str) -> str | None:
+    m = re.search(rf"(?im)^{name}:\s*([^\r\n]*)", headers)
+    if m:
+        v = m.group(1).strip()
+        return v or None
+    return None
+
+
+def _split_warc_exact(data: bytes) -> tuple[list[tuple[bytes, bytes]], int]:
+    """((headers, payload) per record, suspect count) by walking the
+    byte stream: version line → header block → blank line →
+    Content-Length payload bytes. Suspect events: leading/inter-record
+    garbage, a truncated payload, a header block with no terminating
+    blank line, or a record missing WARC-Type. On any of them the walk
+    resyncs at the next line-initial ``WARC/1.`` and keeps going —
+    one mangled record must never drop the rest of a 1 GB shard."""
+    n = len(data)
+
+    def next_version(start: int) -> int:
+        i = data.find(b"WARC/1.", start)
+        while i != -1 and i > 0 and data[i - 1 : i] != b"\n":
+            i = data.find(b"WARC/1.", i + 1)
+        return i
+
+    recs: list[tuple[bytes, bytes]] = []
+    n_suspect = 0
+    pos = next_version(0)
+    if pos == -1:
+        return [], (1 if data.strip() else 0)
+    if data[:pos].strip():
+        n_suspect += 1  # bytes before the first record
+    while pos != -1 and pos < n:
+        he_crlf = data.find(b"\r\n\r\n", pos)
+        he_lf = data.find(b"\n\n", pos)
+        ends = [e for e in (he_crlf, he_lf) if e != -1]
+        if not ends:
+            n_suspect += 1  # header block never terminates
+            break
+        he = min(ends)
+        headers = data[pos:he]
+        body_start = he + (4 if he == he_crlf else 2)
+        m = _CONTENT_LENGTH_RE.search(headers)
+        if m:
+            end = body_start + int(m.group(1))
+            if end > n:
+                n_suspect += 1  # payload truncated by shard end
+                recs.append((headers, data[body_start:]))
+                break
+            recs.append((headers, data[body_start:end]))
+            nxt = next_version(end)
+            gap = data[end : nxt if nxt != -1 else n]
+            if gap.strip():
+                n_suspect += 1  # non-blank bytes between records
+            pos = nxt
+        else:
+            # no Content-Length: sentinel fallback for THIS record
+            nxt = next_version(body_start)
+            payload = data[body_start : nxt if nxt != -1 else n]
+            recs.append((headers, payload.rstrip(b"\r\n")))
+            pos = nxt
+    return recs, n_suspect
+
+
+def warc_records_exact(raw: DataFrame) -> DataFrame:
+    """Content-Length-exact twin of :func:`warc_records` over a
+    (source_file, content BINARY) frame — one whole raw shard per row.
+    Arrow-batched ``mapInPandas``; peak memory is one batch of shards
+    per task, and parallelism is file count, exactly like the lite
+    path. Adds ``n_suspect``: the shard's malformed-framing event
+    count, constant across the shard's rows (aggregate with
+    ``first``); a shard that yields NO records but has suspect bytes
+    emits one all-null row carrying the count so the audit never loses
+    it (filter ``warc_type IS NOT NULL`` for content work, as the lite
+    reader's output already implies)."""
+    import pandas as pd
+
+    cols = (
+        "warc_type", "target_uri", "warc_date",
+        "content_type", "payload", "source_file", "n_suspect",
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for sf, content in zip(pdf["source_file"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                recs, n_suspect = _split_warc_exact(data)
+                emitted = 0
+                rows = []
+                for h_bytes, p_bytes in recs:
+                    headers = h_bytes.decode("utf-8", errors="replace")
+                    wt = _hfield(headers, "WARC-Type")
+                    if wt is None:
+                        n_suspect += 1  # framing ok, record nonsense
+                        continue
+                    rows.append((
+                        wt,
+                        _hfield(headers, "WARC-Target-URI"),
+                        _hfield(headers, "WARC-Date"),
+                        _hfield(headers, "Content-Type"),
+                        p_bytes.decode("utf-8", errors="replace"),
+                    ))
+                    emitted += 1
+                if emitted == 0 and n_suspect > 0:
+                    rows.append((None, None, None, None, None))
+                for r in rows:
+                    for c, v in zip(cols, (*r, sf, n_suspect)):
+                        out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(parse, _WARC_EXACT_SCHEMA)
+
+
+def read_warc_exact(spark: SparkSession, path: str) -> DataFrame:
+    """Batch entry for the exact tier: binaryFile scan (raw bytes, no
+    JVM text decode) → :func:`warc_records_exact`. Schema is the lite
+    reader's plus ``n_suspect``, so :func:`html_responses` composes
+    unchanged."""
+    raw = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("source_file"), "content"
+    )
+    return warc_records_exact(raw)
 
 
 def html_responses(warc: DataFrame) -> DataFrame:

@@ -285,3 +285,95 @@ def test_read_twobit_chromosome_scale_decode_is_fast(spark, tmp_path):
         elif mask_blocks[0][0] <= i < mask_blocks[0][0] + mask_blocks[0][1]:
             want = want.lower()
         assert seq[i] == want, i
+
+
+# ---------------------------------------------------------------- BAM
+
+def _bam_record(name, flag, ref_id, pos0, mapq, cigar_ops, seq, qual):
+    """Pack one alignment record per SAM spec §4.2 (little-endian)."""
+    import struct
+
+    body = struct.pack(
+        "<iiBBHHHiiii",
+        ref_id, pos0, len(name) + 1, mapq, 0, len(cigar_ops), flag,
+        len(seq), -1, -1, 0,
+    )
+    body += name.encode() + b"\x00"
+    for ln, op in cigar_ops:
+        body += struct.pack("<I", (ln << 4) | op)
+    codes = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+    packed = bytearray((len(seq) + 1) // 2)
+    for i, ch in enumerate(seq):
+        v = codes[ch]
+        packed[i // 2] |= (v << 4) if i % 2 == 0 else v
+    body += bytes(packed)
+    if qual is None:
+        body += b"\xff" * len(seq)
+    else:
+        body += bytes(q - 33 for q in qual.encode())
+    return struct.pack("<i", len(body)) + body
+
+
+def _bam_payload():
+    import struct
+
+    text = b"@HD\tVN:1.6\n"
+    hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text
+    hdr += struct.pack("<i", 2)  # n_ref
+    for rname, rlen in ((b"chr1", 1000), (b"chr2", 500)):
+        hdr += struct.pack("<i", len(rname) + 1) + rname + b"\x00" + struct.pack("<i", rlen)
+    recs = (
+        _bam_record("read1", 0, 0, 99, 60, [(5, 0)], "ACGTA", "IIIII")   # 5M mapped
+        + _bam_record("read2", 4, -1, -1, 0, [], "GGCC", None)           # unmapped
+        + _bam_record("read3", 0x100, 1, 9, 30, [(4, 0)], "TTAA", "FFFF")  # secondary
+    )
+    return hdr, recs
+
+
+def test_read_bam_plain_and_bgzf(spark, tmp_path):
+    import gzip
+
+    hdr, recs = _bam_payload()
+    (tmp_path / "plain.bam").write_bytes(hdr + recs)
+    # bgzf = concatenated gzip members; split mid-stream to prove the
+    # multi-member inflate path
+    blob = hdr + recs
+    cut = len(hdr) + 10
+    (tmp_path / "bgzf.bam").write_bytes(
+        gzip.compress(blob[:cut]) + gzip.compress(blob[cut:])
+    )
+    for fname in ("plain.bam", "bgzf.bam"):
+        rows = {r.read_name: r for r in bio.read_bam(spark, str(tmp_path / fname)).collect()}
+        assert set(rows) == {"read1", "read2", "read3"}
+        r1 = rows["read1"]
+        assert (r1.contig, r1.pos, r1.mapq, r1.cigar, r1.sequence, r1.quality) == (
+            "chr1", 100, 60, "5M", "ACGTA", "IIIII",
+        )
+        r2 = rows["read2"]
+        assert r2.contig is None and r2.pos is None and r2.quality is None
+        assert r2.sequence == "GGCC" and r2.cigar == "*" and r2.flag == 4
+        assert rows["read3"].contig == "chr2" and rows["read3"].pos == 10
+
+
+def test_reads_from_bam_drops_secondary_and_hashes_ids(spark, tmp_path):
+    hdr, recs = _bam_payload()
+    p = tmp_path / "r.bam"
+    p.write_bytes(hdr + recs)
+    reads = bio.reads_from_bam(bio.read_bam(spark, str(p))).collect()
+    assert sorted(r.sequence for r in reads) == ["ACGTA", "GGCC"]  # secondary gone
+    assert all(isinstance(r.read_id, int) for r in reads)
+    # load_reads_any dispatches .bam
+    via_any = bio.load_reads_any(spark, str(p)).collect()
+    assert {r.sequence for r in via_any} == {"ACGTA", "GGCC"}
+
+
+def test_read_bam_rejects_garbage_and_truncation(spark, tmp_path):
+    import pytest as _pytest
+
+    (tmp_path / "bad.bam").write_bytes(b"NOTBAM__")
+    with _pytest.raises(Exception, match="bad magic"):
+        bio.read_bam(spark, str(tmp_path / "bad.bam")).collect()
+    hdr, recs = _bam_payload()
+    (tmp_path / "trunc.bam").write_bytes((hdr + recs)[:-7])
+    with _pytest.raises(Exception, match="truncated BAM record"):
+        bio.read_bam(spark, str(tmp_path / "trunc.bam")).collect()

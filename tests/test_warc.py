@@ -152,6 +152,130 @@ def test_read_warc_gzip_shard(spark, tmp_path):
     assert len(pages) == 1 and pages[0].html == HTML_BODY
 
 
+def _record_cl(headers: dict, payload: str) -> str:
+    """Spec-shaped record WITH Content-Length byte accounting."""
+    h = dict(headers)
+    h["Content-Length"] = str(len(payload.encode()))
+    head = CRLF.join(f"{k}: {v}" for k, v in h.items())
+    return f"WARC/1.0{CRLF}{head}{CRLF}{CRLF}{payload}{CRLF}{CRLF}"
+
+
+def _exact_warc_file(embed_archive: bool = False) -> str:
+    inner = _record_cl(
+        {"WARC-Type": "response", "WARC-Target-URI": "http://inner.example/x"},
+        "HTTP/1.1 200 OK\r\n\r\ninner-body",
+    )
+    payload3 = (
+        f"HTTP/1.1 200 OK{CRLF}Content-Type: text/html{CRLF}{CRLF}"
+        + (inner if embed_archive else HTML_BODY)
+    )
+    return (
+        _record_cl(
+            {"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+            f"software: test-crawler{CRLF}",
+        )
+        + _record_cl(
+            {
+                "WARC-Type": "request",
+                "WARC-Target-URI": "http://example.com/page",
+            },
+            f"GET /page HTTP/1.1{CRLF}Host: example.com{CRLF}",
+        )
+        + _record_cl(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://example.com/page",
+                "WARC-Date": "2026-08-14T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            payload3,
+        )
+    )
+
+
+def test_read_warc_exact_wellformed_and_composes(spark, tmp_path):
+    p = tmp_path / "exact.warc"
+    p.write_text(_exact_warc_file())
+    rows = W.read_warc_exact(spark, str(p)).collect()
+    assert [r.warc_type for r in rows] == ["warcinfo", "request", "response"]
+    assert all(r.n_suspect == 0 for r in rows)
+    resp = rows[2]
+    assert resp.target_uri == "http://example.com/page"
+    assert HTML_BODY in resp.payload
+    # html_responses composes unchanged on the exact table
+    pages = W.html_responses(W.read_warc_exact(spark, str(p))).collect()
+    assert len(pages) == 1 and pages[0].html == HTML_BODY
+
+
+def test_read_warc_exact_archived_archive_stays_one_record(spark, tmp_path):
+    # a response whose payload is itself a verbatim WARC record: the
+    # sentinel reader over-splits it; Content-Length accounting doesn't
+    p = tmp_path / "nested.warc"
+    p.write_text(_exact_warc_file(embed_archive=True))
+    exact = W.read_warc_exact(spark, str(p)).collect()
+    assert [r.warc_type for r in exact] == ["warcinfo", "request", "response"]
+    assert all(r.n_suspect == 0 for r in exact)
+    assert "http://inner.example/x" in exact[2].payload  # intact inside
+    lite = W.read_warc(spark, str(p)).collect()
+    assert len(lite) > 3  # documented over-split of the lite tier
+
+
+def test_read_warc_exact_gzip_shard(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "exact.warc.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(_exact_warc_file())
+    rows = W.read_warc_exact(spark, str(p)).collect()
+    assert [r.warc_type for r in rows] == ["warcinfo", "request", "response"]
+    assert HTML_BODY in rows[2].payload
+
+
+def test_read_warc_exact_counts_suspect_and_resyncs(spark, tmp_path):
+    # garbage between records + a lying Content-Length: both counted,
+    # and the walk resyncs so the following record still parses
+    good_tail = _record_cl(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "http://example.com/tail",
+            "WARC-Date": "2026-08-14T00:00:02Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        f"HTTP/1.1 200 OK{CRLF}Content-Type: text/html{CRLF}{CRLF}{HTML_BODY}",
+    )
+    lying = (
+        f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+        f"WARC-Target-URI: http://example.com/liar{CRLF}"
+        f"Content-Length: 3{CRLF}{CRLF}"
+        f"abcdef-not-three-bytes{CRLF}{CRLF}"
+    )
+    p = tmp_path / "sus.warc"
+    p.write_text("garbage preamble\r\n\r\n" + lying + good_tail)
+    rows = W.read_warc_exact(spark, str(p)).collect()
+    types = [r.warc_type for r in rows]
+    assert types.count("response") == 2  # liar truncated but kept; tail intact
+    tail = [r for r in rows if r.target_uri == "http://example.com/tail"][0]
+    assert HTML_BODY in tail.payload
+    # preamble garbage + post-payload junk after the lying record
+    assert rows[0].n_suspect == 2
+
+
+def test_read_warc_exact_sentinel_fallback_matches_lite(spark, tmp_path):
+    # records WITHOUT Content-Length walk by the sentinel inside the
+    # exact reader and agree with the lite tier field-for-field
+    p = tmp_path / "nocl.warc"
+    p.write_text(_warc_file())
+    exact = {
+        (r.warc_type, r.target_uri, r.warc_date, (r.payload or "").rstrip("\r\n"))
+        for r in W.read_warc_exact(spark, str(p)).collect()
+    }
+    lite = {
+        (r.warc_type, r.target_uri, r.warc_date, (r.payload or "").rstrip("\r\n"))
+        for r in W.read_warc(spark, str(p)).collect()
+    }
+    assert exact == lite and len(exact) == 4
+
+
 def test_html_response_ids_collapse_tracking_variants(spark, tmp_path):
     # two fetches of the same page differing only in a utm param mint
     # the SAME doc_id (canonical-url identity); a different page differs
