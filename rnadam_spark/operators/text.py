@@ -714,28 +714,40 @@ def excise_paragraphs(
     paragraphs died) with surviving paragraphs joined by ``sep`` in
     original order; other input columns pass through.
 
-    Plan: paragraphs re-number in-row (posexplode over the same
-    ``split_pattern`` the scorers use — indices align by
-    construction), the verdict attaches by a (doc_id, para_idx)
-    LEFT ANTI join (AQE broadcasts the — typically small — condemned
-    set), and documents rebuild with one groupBy using
-    ``array_agg(struct(idx, para))`` + ``array_sort`` + in-row join:
-    order is restored inside the row, so the rebuild costs one
-    exchange and no window."""
+    Plan — ONE scan, one exchange, no window: paragraphs re-number
+    in-row (posexplode over the same ``split_pattern`` the scorers use
+    — indices align by construction; ``split`` of empty text yields
+    [""], so every document contributes at least one row and survives
+    the groupBy with no rescue anti-join), the verdict attaches as a
+    LEFT join mark against the deduplicated condemned set (AQE
+    broadcasts it — typically tiny), and documents rebuild in one
+    groupBy: ``collect_list`` skips nulls, so condemned and blank
+    paragraphs are nulled out of the kept set WITHOUT dropping the
+    rows that keep the group alive; ``array_sort`` + in-row join
+    restore order inside the row. The earlier two-pass form consumed
+    the docs scan twice (a survivors anti-join rescuing all-condemned
+    documents) — this folds the rescue into the aggregate itself."""
     other = [c for c in docs.columns if c != text_col]
     paras = docs.select(
         *other,
         F.posexplode(F.split(F.col(text_col), split_pattern)).alias("para_idx", "_para"),
-    ).filter(F.length(F.trim(F.col("_para"))) > 0)
-    bad = bad_paragraphs.select(
-        F.col(id_col).alias(id_col), F.col("para_idx").alias("para_idx")
     )
-    kept = paras.join(bad, [id_col, "para_idx"], "left_anti")
-    rebuilt = (
-        kept.groupBy(*other)
+    bad = (
+        bad_paragraphs.select(
+            F.col(id_col).alias(id_col), F.col("para_idx").alias("para_idx")
+        )
+        .distinct()  # a doubled verdict row must not duplicate paragraphs
+        .withColumn("_dead", F.lit(True))
+    )
+    marked = paras.join(bad, [id_col, "para_idx"], "left")
+    keep = F.col("_dead").isNull() & (F.length(F.trim(F.col("_para"))) > 0)
+    return (
+        marked.groupBy(*other)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("para_idx"), F.col("_para")))
+                F.collect_list(
+                    F.when(keep, F.struct(F.col("para_idx"), F.col("_para")))
+                )
             ).alias("_ps")
         )
         .select(
@@ -744,16 +756,8 @@ def excise_paragraphs(
                 text_col
             ),
         )
+        .select(*docs.columns)
     )
-    # documents whose every paragraph died (or that had none) reappear
-    # with empty text — an audit row must never vanish
-    survivors = rebuilt.select(id_col).distinct()
-    empties = (
-        docs.join(survivors, id_col, "left_anti")
-        .select(*other)
-        .withColumn(text_col, F.lit(""))
-    )
-    return rebuilt.unionByName(empties).select(*docs.columns)
 
 
 def char_entropy_column(text_col: str | Column = "text") -> Column:

@@ -361,3 +361,7 @@ def test_round7_operators_plan_contracts(spark, sf_dir):
     bad = spark.createDataFrame([(1, 0)], ["doc_id", "para_idx"])
     exc = text.excise_paragraphs(docs.select("doc_id", "text"), bad)
     assert not has_window(exc)
+    # round-8 single-pass form: the docs parquet scans ONCE (the old
+    # rescue anti-join consumed it twice)
+    plan = exc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
