@@ -410,6 +410,31 @@ def _build_parser() -> argparse.ArgumentParser:
         default=None,
         help="precomputed near-dup pair parquet (doc_a, doc_b); skips LSH+verify",
     )
+
+    mx = sub.add_parser(
+        "mix",
+        help="realize a target token mixture across sources: per-source "
+        "token accounting -> sampling rates (deterministic hash "
+        "Bernoulli, >1x rates repeat documents with an n_copy index)",
+    )
+    mx.add_argument("documents", help="parquet: documents table")
+    mx.add_argument("output", help="parquet: sampled docs + n_copy")
+    mx.add_argument(
+        "-shares",
+        required=True,
+        help="comma list source=share (fractions of -token_budget; "
+        "unlisted sources drop)",
+    )
+    mx.add_argument("-token_budget", type=int, required=True)
+    mx.add_argument("-token_col", default="n_chars")
+    mx.add_argument("-source_col", default="source")
+    mx.add_argument("-seed", type=int, default=41)
+    mx.add_argument(
+        "-plan_only",
+        action="store_true",
+        help="write the per-source plan table (share/available/target/"
+        "rate) instead of sampling — audit before the expensive pass",
+    )
     return p
 
 
@@ -1013,6 +1038,27 @@ def main(argv: list[str] | None = None) -> None:
         leakage_safe_split(docs, pairs, fractions, seed=args.seed).write.mode(
             "overwrite"
         ).partitionBy("split").parquet(args.output)
+    elif args.command == "mix":
+        from rnadam_spark.operators import mixing
+
+        docs = spark.read.parquet(args.documents)
+        shares = {}
+        for part in args.shares.split(","):
+            name, _, share = part.partition("=")
+            shares[name.strip()] = float(share)
+        if args.plan_only:
+            mixing.source_token_budgets(
+                docs, shares, args.token_budget, args.token_col, args.source_col
+            ).write.mode("overwrite").parquet(args.output)
+        else:
+            mixing.mixture_sample(
+                docs,
+                shares,
+                args.token_budget,
+                token_col=args.token_col,
+                source_col=args.source_col,
+                seed=args.seed,
+            ).write.mode("overwrite").parquet(args.output)
     elif args.command == "index":
         from rnadam_spark.algorithms.index import build_index
         from rnadam_spark.sources import bio_formats as bio

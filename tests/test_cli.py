@@ -805,3 +805,38 @@ def test_cli_split_with_precomputed_pairs(spark, tmp_path):
     assert got[2] == got[4] == got[9]
     assert got[2][0] == 2
     assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+def test_cli_mix_plan_and_sample(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from rnadam_spark import cli
+
+    rows = [
+        (i, f"doc {i}", "web" if i % 4 != 3 else "books", 100 + (i % 5) * 10)
+        for i in range(200)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"]).write.parquet(src)
+
+    plan_out = str(tmp_path / "plan.parquet")
+    cli.main([
+        "mix", src, plan_out,
+        "-shares", "web=0.4,books=0.6", "-token_budget", "30000", "-plan_only",
+    ])
+    plan = {r.source: r for r in spark.read.parquet(plan_out).collect()}
+    assert plan["books"].rate > 1.0  # tiny source upsamples
+    assert 0 < plan["web"].rate < 1.0
+
+    out = str(tmp_path / "mixed.parquet")
+    cli.main(["mix", src, out, "-shares", "web=0.4,books=0.6", "-token_budget", "30000"])
+    mixed = spark.read.parquet(out)
+    realized = {
+        r.source: r.t
+        for r in mixed.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    assert realized["web"] == pytest.approx(12_000, rel=0.2)
+    assert realized["books"] == pytest.approx(18_000, rel=0.2)
+    assert mixed.filter((F.col("source") == "books") & (F.col("n_copy") > 0)).count() > 0
