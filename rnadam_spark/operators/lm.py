@@ -458,6 +458,11 @@ def sample_to_mixture(
     ``target_tokens`` defaults to the corpus total (pure reshaping:
     upweighted groups keep everything, downweighted groups shed).
 
+    Rates cap at 1 — this operator only SHEDS. When a recipe demands
+    more tokens from a source than it holds (upsampling), use the
+    sibling ``mixing.mixture_sample``, which takes explicit shares and
+    replicates documents with an ``n_copy`` index.
+
     Plan: the weight table (one row per group) broadcasts back onto the
     scan; the corpus-side pass is a projection filter."""
     rates = mixture_weights(docs, group_col, alpha, text_col=text_col)

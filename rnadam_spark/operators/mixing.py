@@ -9,6 +9,13 @@ to rates DERIVED from token accounting, including >1× rates
 (upsampling a scarce source by repeating documents — standard practice
 when a high-value source is smaller than its mixture share).
 
+Sibling of ``lm.sample_to_mixture``, which covers the other half of
+the mixing space: there the shares are DERIVED (temperature-scaled
+``token_share**alpha``) and rates cap at 1 (reshape-by-shedding);
+here the shares are EXPLICIT recipe fractions and rates above 1
+replicate. Use that one to soften natural proportions, this one to
+hit a stated recipe.
+
 Scale shape — broadcast + projection, no window, no global sort:
 
 1. one groupBy(source) aggregates available tokens (map-side partials;
