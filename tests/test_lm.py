@@ -466,3 +466,66 @@ def test_paragraph_perplexity_matches_per_paragraph_docs(spark):
         assert vals == want[f"{d}#{i}"], (d, i)
     # the boilerplate paragraph scores worse than the fluent one
     assert got[(1, 1)][2] > got[(1, 0)][2]
+
+
+def test_paragraph_perplexity_full_duckdb_cross_check(spark):
+    """Engine-to-engine re-derivation of the whole paragraph scorer —
+    the oracle shape a future gate rotation would register: DuckDB
+    splits on the same regex (indices BEFORE the blank filter, so
+    gaps match posexplode), rebuilds the char-3-gram model from full
+    document text, and reproduces the ln(prefix+V) − ln(gram+1)
+    arithmetic per (doc_id, para_idx) at 6dp."""
+    import random
+
+    rng = random.Random(83)
+    words = ["the", "fox", "ran", "over", "a", "log", "zq", "and", "sat"]
+    docs = []
+    for i in range(60):
+        paras = []
+        for _ in range(rng.randrange(1, 5)):
+            paras.append(" ".join(rng.choice(words) for _ in range(rng.randrange(0, 9))))
+        docs.append((i, "\n\n".join(paras)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    model = lm.train_char_lm(df, n=3)
+    got = sorted(
+        (r.doc_id, r.para_idx, r.n_grams, r.avg_neg_log_prob, r.perplexity)
+        for r in lm.paragraph_perplexity(df, model, n=3, vocab_size=128).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pdocs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO pdocs VALUES (?, ?)", docs)
+    sql = rf"""
+    WITH sp AS (SELECT doc_id, string_split_regex(text, '\n{{2,}}') AS parts FROM pdocs),
+    idx AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM sp),
+    paras AS (SELECT doc_id, CAST(i - 1 AS INT) AS para_idx,
+                     parts[CAST(i AS INT)] AS para
+              FROM idx WHERE length(trim(parts[CAST(i AS INT)])) > 0),
+    doc_grams AS (
+      SELECT substring(text, CAST(i AS INT), 3) AS gram
+      FROM (SELECT text, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM pdocs)),
+    model AS (SELECT gram, CAST(count(*) AS BIGINT) AS gram_cnt
+              FROM doc_grams GROUP BY gram),
+    prefixes AS (SELECT substring(gram, 1, 2) AS prefix,
+                        CAST(sum(gram_cnt) AS BIGINT) AS prefix_cnt
+                 FROM model GROUP BY substring(gram, 1, 2)),
+    pg AS (
+      SELECT doc_id, para_idx, substring(para, CAST(i AS INT), 3) AS gram
+      FROM (SELECT doc_id, para_idx, para,
+                   unnest(range(1, greatest(length(para) - 2, 0) + 1)) AS i
+            FROM paras)),
+    scored AS (
+      SELECT pg.doc_id, pg.para_idx,
+             ln(coalesce(p.prefix_cnt, 0) + 128) - ln(coalesce(m.gram_cnt, 0) + 1) AS nlp
+      FROM pg LEFT JOIN model m ON pg.gram = m.gram
+      LEFT JOIN prefixes p ON substring(pg.gram, 1, 2) = p.prefix)
+    SELECT a.doc_id, a.para_idx,
+           CAST(count(s.nlp) AS BIGINT) AS n_grams,
+           {hround_sql("coalesce(avg(s.nlp), 0.0)", 6)} AS avg_neg_log_prob,
+           {hround_sql("exp(coalesce(avg(s.nlp), 0.0))", 6)} AS perplexity
+    FROM paras a LEFT JOIN scored s
+      ON a.doc_id = s.doc_id AND a.para_idx = s.para_idx
+    GROUP BY a.doc_id, a.para_idx
+    """
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want and got

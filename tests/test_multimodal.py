@@ -255,3 +255,70 @@ def test_audio_near_pairs_banding_agrees_with_brute_force(spark):
                 want[(a, b)] = d
     assert got == want
     assert (1, 2) in got and got[(1, 2)] == 0
+
+
+def test_dhash_pairs_full_duckdb_cross_check(spark):
+    """Engine-to-engine re-derivation of the 64-bit Hamming banding
+    kernel (shared verbatim by audio_near_pairs) — the oracle shape a
+    future gate rotation would register. DuckDB reproduces the
+    unsigned band extraction via HUGEINT arithmetic ((u // 2^off) %
+    2^width over the two's-complement value) and the exact
+    bit_count(xor) verify, including signed (negative) hashes."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(29)
+
+    def as_signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = []
+    aid = 0
+    for _ in range(25):
+        base = rng.getrandbits(64)
+        rows.append((aid, as_signed(base)))
+        aid += 1
+        # a sibling within distance <= 4 and a far cousin
+        flips = rng.sample(range(64), rng.randrange(0, 5))
+        sib = base
+        for b in flips:
+            sib ^= 1 << b
+        rows.append((aid, as_signed(sib)))
+        aid += 1
+    hashes = spark.createDataFrame(rows, "asset_id BIGINT, dhash BIGINT")
+    got = sorted(
+        (r.asset_a, r.asset_b, r.hamming)
+        for r in mm.dhash_hamming_pairs(hashes, max_distance=4, max_bucket=100).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h(asset_id BIGINT, dhash BIGINT)")
+    con.executemany("INSERT INTO h VALUES (?, ?)", rows)
+    # same band layout as the operator: 5 bands, widths 13,13,13,13,12
+    widths = [13, 13, 13, 13, 12]
+    offsets = [0, 13, 26, 39, 52]
+    u = "(CAST(dhash AS HUGEINT) + CASE WHEN dhash < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+    bands = "\nUNION ALL\n".join(
+        f"SELECT asset_id, dhash, {i} AS band, "
+        f"({u} // CAST({1 << off} AS HUGEINT)) % {1 << w} AS val FROM h"
+        for i, (off, w) in enumerate(zip(offsets, widths))
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"""
+        WITH banded AS ({bands}),
+        capped AS (SELECT * FROM banded
+                   QUALIFY count(*) OVER (PARTITION BY band, val) <= 100)
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        FROM capped a JOIN capped b USING (band, val)
+        WHERE a.asset_id < b.asset_id
+          AND bit_count(xor(a.dhash, b.dhash)) <= 4
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
