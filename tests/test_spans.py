@@ -190,3 +190,68 @@ def test_untouched_docs_keep_text_verbatim(spark):
     assert out[1]["text"] == multiline and out[1]["n_tokens_removed"] == 0
     # doc 2 (self-repeat) was actually cut
     assert out[2]["n_tokens_removed"] > 0
+
+
+def test_duplicated_spans_full_duckdb_cross_check(spark):
+    """Engine-to-engine re-derivation of the whole span detector — the
+    oracle shape a future gate rotation would register. DuckDB groups
+    duplicate windows by the window STRING itself (semantically what
+    the operator's xxhash64 key stands for, minus the 2^-64 collision
+    caveat) and merges hits into maximal spans with a gaps-and-islands
+    running max mirroring the in-row fold's `p <= end + 1` rule."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = " ".join(rng.choice(vocab) for _ in range(9))  # pasted passage
+    docs = []
+    for i in range(40):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(3, 25))]
+        if i % 3 == 0:
+            at = rng.randrange(0, len(body))
+            body[at:at] = shared.split()
+        if i % 7 == 0:  # a second paste INSIDE the same doc
+            body.extend(shared.split())
+        docs.append((i, " ".join(body)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    L = 5
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, min_tokens=L).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sdocs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO sdocs VALUES (?, ?)", docs)
+    sql = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+      FROM sdocs),
+    w AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(toks[CAST(i AS INT):CAST(i + {L} - 1 AS INT)], ' ') AS win
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {L} + 2)) AS i
+            FROM toks WHERE len(toks) >= {L})),
+    dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+    hit AS (SELECT doc_id, pos, pos + {L} - 1 AS we FROM w JOIN dup USING (win)),
+    marked AS (
+      SELECT doc_id, pos, we,
+             CASE WHEN pos > coalesce(max(we) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hit),
+    grp AS (SELECT doc_id, pos, we,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM marked)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(we) AS BIGINT) AS span_end,
+           CAST(max(we) - min(pos) + 1 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    """
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want and got
