@@ -247,6 +247,13 @@ def warc_records_exact(raw: DataFrame) -> DataFrame:
     return raw.mapInPandas(parse, _WARC_EXACT_SCHEMA)
 
 
+#: binaryFile's fixed schema, spelled out for the streaming reader
+#: (streaming sources require an explicit schema).
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def read_warc_exact(spark: SparkSession, path: str) -> DataFrame:
     """Batch entry for the exact tier: binaryFile scan (raw bytes, no
     JVM text decode) → :func:`warc_records_exact`. Schema is the lite
@@ -254,6 +261,22 @@ def read_warc_exact(spark: SparkSession, path: str) -> DataFrame:
     unchanged."""
     raw = spark.read.format("binaryFile").load(path).select(
         F.col("path").alias("source_file"), "content"
+    )
+    return warc_records_exact(raw)
+
+
+def read_warc_exact_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc_exact`: raw shards arriving
+    in ``path`` parse through the same stateless Arrow-batched splitter
+    (the split is per-shard, so it needs no state store), giving the
+    incremental crawl-ingest path Content-Length-exact framing and the
+    per-shard ``n_suspect`` audit column. Pair with
+    ``trigger(availableNow=True)`` for batch-cadence runs."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+        .select(F.col("path").alias("source_file"), "content")
     )
     return warc_records_exact(raw)
 

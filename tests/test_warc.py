@@ -260,6 +260,30 @@ def test_read_warc_exact_counts_suspect_and_resyncs(spark, tmp_path):
     assert rows[0].n_suspect == 2
 
 
+def test_warc_exact_stream_matches_batch(spark, tmp_path):
+    # the exact tier's streaming twin (binaryFile stream -> the same
+    # stateless Arrow-batched splitter) emits exactly the batch rows
+    from rnadam_spark.streaming.events import run_to_memory
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "a.warc").write_text(_exact_warc_file())
+    (d / "b.warc").write_text(_exact_warc_file().replace("example.com", "other.org"))
+
+    got = run_to_memory(W.read_warc_exact_stream(spark, str(d)), "warc_exact_stream")
+    # source_file URI forms may differ between scan paths — compare on
+    # the content fields + the basename
+    import os
+
+    def key(r):
+        return (r.warc_type, r.target_uri, r.warc_date, r.content_type,
+                r.payload, os.path.basename(r.source_file), r.n_suspect)
+
+    stream_rows = {key(r) for r in got.collect()}
+    batch_rows = {key(r) for r in W.read_warc_exact(spark, str(d)).collect()}
+    assert stream_rows == batch_rows and len(stream_rows) == 6
+
+
 def test_read_warc_exact_sentinel_fallback_matches_lite(spark, tmp_path):
     # records WITHOUT Content-Length walk by the sentinel inside the
     # exact reader and agree with the lite tier field-for-field
