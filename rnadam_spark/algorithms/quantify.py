@@ -291,7 +291,10 @@ def quantify(
         # each broadcast exchange materializes its child subtree
         # independently, so an unbounded lineage re-executes all prior
         # iterations per broadcast — measured 45.9s vs 8.3s for the
-        # 5-iteration flagship at sf0.1 with checkpoint_every 5 vs 1.
+        # 5-iteration flagship at sf0.1 with checkpoint_every 5 vs 1;
+        # intermediate cadences also lose (r8 min-of-3: 8.66s at 1,
+        # 9.20s at 2, 9.54s at 3 — the saved eager action never pays
+        # for the re-executed iteration inside each broadcast).
         if (i + 1) % checkpoint_every == 0:
             mu = truncate_lineage(mu, checkpoint_dir)
         if timers is None:

@@ -159,3 +159,73 @@ def test_extract_main_text_tagfree_passthrough(spark, texts):
         want = re.sub(r"\s+", " ", t).strip()
         assert got[i].main_text == want, (t, got[i].main_text)
         assert got[i].n_blocks == (1 if want else 0)
+
+
+# URL-ish strings exercising every canonicalization branch: schemes,
+# www., ports, fragments, tracking params, query tails
+URL = st.builds(
+    lambda scheme, www, host, port, path, q, frag: (
+        f"{scheme}://{www}{host}{port}{path}{q}{frag}"
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+    www=st.sampled_from(["", "www."]),
+    host=st.sampled_from(["Example.com", "a.b.ORG", "x1.net"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/p/1", "/A/B.html"]),
+    q=st.sampled_from(
+        ["", "?q=1", "?utm_source=x", "?utm_a=1&utm_b=2&q=3", "?q=1&ref=rss", "?gclid=9&"]
+    ),
+    frag=st.sampled_from(["", "#", "#sec"]),
+)
+
+
+@given(urls=st.lists(URL, min_size=1, max_size=12))
+@PROP_SETTINGS
+def test_canonical_url_idempotent(spark, urls):
+    """canonical_url is a projection to a fixed point: applying it to
+    its own output changes nothing — the property that makes it a
+    frontier IDENTITY (re-canonicalizing a stored frontier is a no-op,
+    so mixed old/new entries can never split one page in two)."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    rows = df.select(
+        canonical_url("url").alias("once"),
+    ).select(F.col("once"), canonical_url("once").alias("twice")).collect()
+    for r in rows:
+        assert r.once == r.twice, (r.once, r.twice)
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=120), min_size=1, max_size=6
+    )
+)
+@PROP_SETTINGS
+def test_warc_exact_roundtrips_arbitrary_payloads(spark, payloads, tmp_path_factory):
+    """Content-Length framing is byte-exact for ARBITRARY payloads —
+    including ones embedding 'WARC/1.0' sentinel lines, blank lines, or
+    raw binary — with zero suspect events: the property the sentinel
+    tier cannot offer."""
+    from rnadam_spark.sources import warc as W
+
+    d = tmp_path_factory.mktemp("warcprop")
+    blob = b""
+    for i, p in enumerate(payloads):
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: resource\r\n"
+            f"WARC-Target-URI: http://x/{i}\r\nContent-Length: {len(p)}\r\n\r\n"
+        ).encode()
+        blob += hdr + p + b"\r\n\r\n"
+    (d / "a.warc").write_bytes(blob)
+    rows = sorted(
+        W.read_warc_exact(spark, str(d)).collect(),
+        key=lambda r: r.target_uri or "",
+    )
+    assert len(rows) == len(payloads)
+    assert all(r.n_suspect == 0 for r in rows)
+    for i, r in enumerate(sorted(rows, key=lambda r: int(r.target_uri.rsplit("/", 1)[1]))):
+        want = payloads[i].decode("utf-8", errors="replace")
+        assert r.payload == want, (i, payloads[i])
