@@ -163,11 +163,16 @@ _TRACKING_PARAM_RE = (
 #: (queries/web_q.py translates $n → \n), so the two cannot drift.
 #: All patterns are RE2-compatible (no lookaround).
 CANON_STEPS: list[tuple[str, str]] = [
-    (r"^http://www\.", "http://"),
-    (r"^https://www\.", "https://"),
+    # fragment FIRST — it is never sent to the server, and stripping it
+    # before the authority rules keeps one pass a fixed point: with the
+    # old order "http://x.com:80#" kept its :80 (the port rule saw '#'
+    # where it requires /, ? or end) and only converged on a SECOND
+    # canonicalization — caught by the idempotence property test
+    (r"#.*$", ""),
+    (r"^http://(?:www\.)+", "http://"),  # (?:...)+ so www.www. collapses in one pass
+    (r"^https://(?:www\.)+", "https://"),
     (r"^(https?://[^/?#]*):80(/|\?|$)", r"$1$2"),
     (r"^(https?://[^/?#]*):443(/|\?|$)", r"$1$2"),
-    (r"#.*$", ""),  # fragment — never sent to the server
     # tracking params: a RUN of them mid-query collapses in one match
     # (regexp_replace does not rescan replaced text, so consecutive
     # params need the (?:...)+ run form), then a trailing one drops
