@@ -301,6 +301,7 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
     from rnadam_spark.operators import multimodal as mmod
     from rnadam_spark.operators import spans as spans_mod
     from rnadam_spark.operators import splits as splits_mod
+    from rnadam_spark.operators import sampling as sampling_mod
     from rnadam_spark.operators.sampling import hash_sample
     from rnadam_spark.sources.tables import load_table
 
@@ -429,6 +430,22 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
             lambda: splits_mod.assign_split(
                 docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
             )
+        ),
+        # UT1-style suffix blocklisting: explode mentioned-domain
+        # suffixes + broadcast semi-join + doc_id anti-join
+        "blocklist_filter": timed(
+            lambda: web.filter_blocklisted_domains(
+                docs,
+                spark.createDataFrame(
+                    [("example.com",), ("tracker.example",), ("bad.site",)],
+                    "domain STRING",
+                ),
+                suffix=True,
+            )
+        ),
+        # exact deterministic per-domain quota without a hot-group window
+        "cap_per_domain": timed(
+            lambda: sampling_mod.cap_per_group(docs, "source", 20, "doc_id")
         ),
     }
 

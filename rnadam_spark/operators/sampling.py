@@ -130,6 +130,83 @@ def top_fraction_per_group_approx(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group: str,
+    n: int,
+    key: str,
+    seed: int = 23,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — EXACTLY the ``n`` rows whose
+    universal hash of ``key`` is smallest (ties by ``key``), so the
+    kept set is deterministic under any partitioning and re-derivable
+    by any engine. This is the per-domain quota of web curation (cap
+    how much one hot domain contributes to the corpus) with an
+    audit-stable answer to "which docs survived the cap?".
+
+    The textbook form — ``row_number() OVER (PARTITION BY group)`` —
+    funnels each hot group through one task, the exact skew this
+    engine's guards exist to avoid. Instead, a threshold-refinement
+    plan:
+
+    1. per-group counts (one partial-aggregating groupBy, broadcast);
+    2. groups within the cap pass whole; over-cap groups keep only rows
+       whose hash code falls below ``(n + 6√n + 20)/count`` of the hash
+       range — the codes are uniform, so the survivor count per group
+       concentrates at ``n + 6√n + 20`` (a Chernoff bound puts the
+       probability of under-selecting below ~1e-9 per group);
+    3. the exact rank runs only over those ~n survivors per group — the
+       window partitions are bounded BY CONSTRUCTION, hot group or not;
+    4. a lazy self-healing fallback: any group whose survivor count
+       still came up short (theory says never; the plan doesn't rely on
+       theory) is re-ranked over its full rows — an empty subtree in
+       every practical run.
+
+    The overhead vs the naive window is one broadcast join and a
+    second bounded window; the win is that no task ever materializes a
+    hot group."""
+    assert n >= 1
+    code = _sample_code(key, seed)
+    coded = df.withColumn("_code", code)
+    slack = int(n + 6 * (n**0.5) + 20)
+    counts = coded.groupBy(group).agg(F.count("*").alias("_cnt"))
+    thr = counts.withColumn(
+        "_thr",
+        F.when(F.col("_cnt") <= n, F.lit(MOD))
+        .otherwise(
+            F.least(
+                F.lit(MOD),
+                F.ceil(F.lit(float(MOD)) * F.lit(float(slack)) / F.col("_cnt")).cast(
+                    "bigint"
+                ),
+            )
+        ),
+    )
+    survivors = coded.join(F.broadcast(thr), group).filter(F.col("_code") < F.col("_thr"))
+    w = Window.partitionBy(group).orderBy("_code", key)
+    ranked = survivors.withColumn("_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rn") <= n)
+    # groups whose threshold under-selected (survivors < min(n, cnt)):
+    # statistically ~never, handled lazily — no driver action
+    short = (
+        survivors.groupBy(group)
+        .agg(F.count("*").alias("_got"))
+        .join(F.broadcast(thr.filter(F.col("_cnt") > n)), group, "inner")
+        .filter(F.col("_got") < F.least(F.lit(n), F.col("_cnt")))
+        .select(group)
+    )
+    rescue = (
+        coded.join(F.broadcast(short), group, "leftsemi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+    )
+    return (
+        kept.join(F.broadcast(short), group, "left_anti")
+        .select(*df.columns)
+        .unionByName(rescue.select(*df.columns))
+    )
+
+
 def top_fraction_per_group_threshold(
     df: DataFrame, group: str, score: str, fraction: float
 ) -> DataFrame:

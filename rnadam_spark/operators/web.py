@@ -61,15 +61,40 @@ def url_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def host_suffixes(col: Column | str) -> Column:
+    """All dot-suffixes of a hostname with at least two labels, plus the
+    host itself: ``a.b.example.com`` → ``[a.b.example.com,
+    b.example.com, example.com]``. This is the UT1-blocklist match
+    unit — an entry ``example.com`` must block every subdomain — and
+    generating the suffixes in-row turns suffix matching into an
+    equi-join (blocklists are keyed by registrable domain, so one
+    broadcast semi-join replaces a per-entry LIKE scan). Bare TLDs are
+    not generated (no real blocklist bans ``com``). Hostnames have a
+    handful of labels, so the expansion is a small bounded array."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    labels = F.split(c, r"\.")
+    n = F.size(labels)
+    # suffix starting at label i (0-based), for i in [0, n-2]: keeps >= 2 labels
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
 def filter_blocklisted_domains(
     docs: DataFrame,
     blocklist: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     domain_col: str = "domain",
+    suffix: bool = False,
 ) -> DataFrame:
     """Drop every document that mentions a blocklisted domain; pass the
-    rest through unchanged (all columns).
+    rest through unchanged (all columns). ``suffix=True`` applies UT1
+    semantics — a blocklist entry also bans every subdomain (the
+    mentioned host's dot-suffixes expand in-row, see
+    :func:`host_suffixes`); the default exact match is the conservative
+    legacy behavior.
 
     Shape for 100 TB: the per-document domain set explodes to
     (doc_id, domain) rows, the offender set is a broadcast semi-join
@@ -77,14 +102,52 @@ def filter_blocklisted_domains(
     a doc_id anti-join. The blocklist broadcast means the exploded
     domain rows never shuffle; the anti-join is doc_id-equi. Domains
     compare lowercased on both sides."""
-    doc_domains = docs.select(
-        F.col(id_col), F.explode(domains_of(text_col)).alias("_domain")
+    mentioned = domains_of(text_col)
+    keys = (
+        F.flatten(F.transform(mentioned, host_suffixes)) if suffix else mentioned
     )
+    doc_domains = docs.select(F.col(id_col), F.explode(keys).alias("_domain"))
     bl = F.broadcast(
         blocklist.select(F.lower(F.col(domain_col)).alias("_domain")).distinct()
     )
     offenders = doc_domains.join(bl, "_domain", "leftsemi").select(id_col).distinct()
     return docs.join(offenders, id_col, "left_anti")
+
+
+def blocklist_filter_urls(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    patterns: list[str] | None = None,
+) -> DataFrame:
+    """Drop frontier/source URLs whose HOST falls under a blocklisted
+    domain (subdomains included — :func:`host_suffixes`) or whose full
+    URL contains any of the literal ``patterns`` substrings; pass the
+    rest through unchanged. This is the RefinedWeb/FineWeb first gate:
+    the UT1-style domain list scales to millions of entries as a
+    broadcast semi-join on the exploded host suffixes (never a LIKE
+    scan per entry), while ``patterns`` — curated URL substrings, a
+    bounded hand-written list — compile into ONE RE2 alternation of
+    escaped literals evaluated at scan speed. Zero shuffle on the URL
+    scan; the only exchanges are inside the broadcast."""
+    import re as _re
+
+    host = F.regexp_extract(F.col(url_col), _HOST_PATTERN, 1)
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_domain")).distinct()
+    )
+    exploded = urls.select(
+        F.col(url_col).alias("_u"), F.explode(host_suffixes(host)).alias("_domain")
+    )
+    blocked_urls = exploded.join(bl, "_domain", "leftsemi").select("_u").distinct()
+    kept = urls.join(
+        blocked_urls.withColumnRenamed("_u", url_col), url_col, "left_anti"
+    )
+    if patterns:
+        alternation = "|".join(_re.escape(p) for p in sorted(patterns))
+        kept = kept.filter(~F.col(url_col).rlike(alternation))
+    return kept
 
 
 def domain_quality_prior(

@@ -86,3 +86,78 @@ def test_top_fraction_approx_matches_exact(spark):
     )
     # sketch boundary wobble only: symmetric difference stays small
     assert len(exact ^ approx) <= 0.02 * len(exact | approx) + 8
+
+
+def _cap_reference(rows, group_ix, key_ix, n, seed):
+    # python re-derivation of cap_per_group's contract: per group, the
+    # n rows with the smallest (hash code, key)
+    from rnadam_spark.functions.hashing import MOD, hash_family
+
+    a, b = hash_family(1, seed)[0]
+    by_group = {}
+    for r in rows:
+        code = ((r[key_ix] % MOD + MOD) % MOD * a + b) % MOD
+        by_group.setdefault(r[group_ix], []).append((code, r[key_ix], r))
+    kept = []
+    for g, items in by_group.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        kept.extend(t[2] for t in items[:n])
+    return {tuple(r) for r in kept}
+
+
+def test_cap_per_group_exact_and_deterministic(spark):
+    # skewed groups: one hot domain (1500 rows), several small ones
+    rows = [(i, "hot" if i < 1500 else f"d{i % 7}", i * 31 % 977) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, domain STRING, x BIGINT")
+    got = sampling.cap_per_group(df, "domain", 40, "doc_id", seed=23)
+    want = _cap_reference([tuple(r) for r in rows], 1, 0, 40, 23)
+    assert {tuple(r) for r in got.collect()} == want
+    # partitioning invariance — the audit property
+    again = sampling.cap_per_group(df.repartition(17), "domain", 40, "doc_id", seed=23)
+    assert {tuple(r) for r in again.collect()} == want
+    # per-group sizes: exactly min(n, group size)
+    sizes = {
+        r.domain: r.n
+        for r in got.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes["hot"] == 40
+    for d in [f"d{i}" for i in range(7)]:
+        assert sizes[d] == min(40, sum(1 for r in rows if r[1] == d))
+
+
+def test_cap_per_group_matches_duckdb_window(spark):
+    import duckdb
+
+    from rnadam_spark.operators.sampling import sample_code_sql
+
+    rows = [(i, f"g{(i * i) % 5}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "k BIGINT, g STRING")
+    got = {(r.k, r.g) for r in sampling.cap_per_group(df, "g", 100, "k", seed=7).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            f"""
+            SELECT k, g FROM (
+              SELECT k, g, row_number() OVER (
+                PARTITION BY g ORDER BY {sample_code_sql('k', 7)}, k
+              ) AS rn FROM t
+            ) WHERE rn <= 100
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_cap_per_group_negative_keys_and_tiny_n(spark):
+    # xxhash64-minted ids are negative half the time; n=1 exercises the
+    # max slack relative to n
+    df = spark.createDataFrame(
+        [(i * 2654435761 % (2**63) - 2**62, f"g{i % 3}") for i in range(999)],
+        "k BIGINT, g STRING",
+    )
+    got = sampling.cap_per_group(df, "g", 1, "k", seed=3)
+    sizes = [r.n for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()]
+    assert sizes == [1, 1, 1]

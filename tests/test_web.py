@@ -183,3 +183,86 @@ def test_frontier_dedup_collapses_variants(spark):
     assert page.n_variants == 3
     assert page.best_priority == 5.0  # strongest claim survives the collapse
     assert page.url == "https://example.com/p"  # deterministic representative
+
+
+def test_host_suffixes_shapes(spark):
+    from rnadam_spark.operators.web import host_suffixes
+
+    df = spark.createDataFrame(
+        [("a.b.Example.COM",), ("example.com",), ("localhost",)], "h STRING"
+    )
+    got = [r.s for r in df.select(host_suffixes("h").alias("s")).collect()]
+    assert got[0] == ["a.b.example.com", "b.example.com", "example.com"]
+    assert got[1] == ["example.com"]
+    assert got[2] == ["localhost"]
+
+
+def test_filter_blocklisted_domains_suffix_mode(spark):
+    from rnadam_spark.operators import web
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://ads.tracker.example/x for deals"),
+            (2, "fine text https://docs.python.org/3/"),
+            (3, "mixed https://sub.bad.site/page and https://good.org/"),
+            (4, "exact https://bad.site/root"),
+            (5, "no urls at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bl = spark.createDataFrame([("tracker.example",), ("bad.site",)], "domain STRING")
+    exact = {r.doc_id for r in web.filter_blocklisted_domains(docs, bl).collect()}
+    # exact mode misses the subdomain mentions (ads.tracker.example and
+    # sub.bad.site are not literal blocklist entries) but drops doc 4
+    assert exact == {1, 2, 3, 5}
+    suffix = {
+        r.doc_id
+        for r in web.filter_blocklisted_domains(docs, bl, suffix=True).collect()
+    }
+    assert suffix == {2, 5}
+
+
+def test_blocklist_filter_urls_matches_duckdb(spark):
+    import duckdb
+
+    from rnadam_spark.operators import web
+
+    urls = [
+        "https://ads.tracker.example/x",
+        "https://tracker.example/",
+        "https://nottracker.example/ok",     # no dot boundary: survives
+        "https://docs.python.org/3/",
+        "https://casino.example.net/?download.php",
+        "https://a.b.c.bad.site/deep",
+    ]
+    udf_ = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    bl = spark.createDataFrame([("tracker.example",), ("bad.site",)], "domain STRING")
+    got = sorted(
+        r.url
+        for r in web.blocklist_filter_urls(
+            udf_, bl, patterns=["download.php"]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    con.execute("CREATE TABLE bl (domain VARCHAR)")
+    con.executemany("INSERT INTO bl VALUES (?)", [("tracker.example",), ("bad.site",)])
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            r"""
+            SELECT url FROM u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM bl
+              WHERE lower(regexp_extract(url, 'https?://([^\s/:]+)', 1)) = bl.domain
+                 OR ends_with(lower(regexp_extract(url, 'https?://([^\s/:]+)', 1)),
+                              '.' || bl.domain)
+            )
+            AND url NOT LIKE '%download.php%'
+            """
+        ).fetchall()
+    )
+    assert got == want == sorted(
+        ["https://nottracker.example/ok", "https://docs.python.org/3/"]
+    )
