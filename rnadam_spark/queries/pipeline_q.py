@@ -607,7 +607,7 @@ def hash_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unregistered since round 6 (the driver gate caps at 50 entries and
     the curation scrub operators took the slots): the `_sample_code`
-    kernel stays hash-verified via ``stratified_sample_by_lang``, and
+    kernel stays hash-verified via ``cap_per_domain``, and
     the zero-shuffle plan contract stays pinned in tests/test_plans.py."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.hash_sample(docs, "doc_id", SAMPLE_FRACTION, SAMPLE_SEED).select(
@@ -625,21 +625,50 @@ _STRATA_CASE = (
 )
 
 
-@query(
-    "stratified_sample_by_lang",
-    oracle=f"""
-    SELECT doc_id, lang FROM documents
-    WHERE {sampling.sample_code_sql("doc_id", SAMPLE_SEED)} < {_STRATA_CASE}
-    """,
-)
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language keep-rates (the downsample-the-crawl, keep-the-
     curated-text shape) — one deterministic pass, thresholds as a CASE
-    over the stratum column."""
+    over the stratum column.
+
+    Retired from the gate in the round-8 second rotation to make room
+    for ``cap_per_domain``: the ``_sample_code`` affine-mod kernel stays
+    hash-verified there (its oracle ranks by the identical
+    ``sample_code_sql`` arithmetic — a strictly harder exercise than a
+    threshold compare), and the CASE-threshold form stays pinned by
+    tests/test_sampling.py's stratified-rates test."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.stratified_hash_sample(
         docs, "lang", _LANG_FRACTIONS, "doc_id", _LANG_DEFAULT, SAMPLE_SEED
     ).select("doc_id", "lang")
+
+
+CAP_N = 8
+CAP_SEED = 23
+
+
+@query(
+    "cap_per_domain",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY {sampling.sample_code_sql("doc_id", CAP_SEED)}, doc_id) AS rn
+      FROM documents) WHERE rn <= {CAP_N}
+    """,
+)
+def cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic per-domain quota (``sampling.cap_per_group``):
+    keep the ``CAP_N`` smallest-hash docs per source. The Spark plan is
+    the skew-safe threshold-refinement form (counts → broadcast
+    threshold → bounded row_number over ~n survivors — a hot domain
+    never materializes in one task); the oracle is the textbook window
+    DuckDB can afford at gate scale, ranking by the SAME
+    ``sample_code_sql`` affine-mod arithmetic — so the gate verifies the
+    refinement plan selects exactly the textbook set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.cap_per_group(
+        docs.select("doc_id", "source"), "source", CAP_N, "doc_id", seed=CAP_SEED
+    )
 
 
 QUALITY_TOP_FRACTION = 0.25
@@ -863,14 +892,20 @@ _CHUNK_SQL = f"""
     """
 
 
-@query("chunk_documents", oracle=_CHUNK_SQL)
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: split documents into ≤64-char chunks
     with 16-char overlap (sequence → substr → posexplode, all JVM —
     the row-explosion shape that must never round-trip through Python
-    at 100 TB). The oracle re-derives the capped start sequence, so the
-    no-redundant-tail-chunk rule (a chunk must contribute characters
-    beyond its predecessor) is hash-verified, not just unit-tested."""
+    at 100 TB).
+
+    Retired from the gate in the round-8 second rotation to make room
+    for ``blocklist_suffix``: the chunking kernel keeps a STRONGER pin
+    than the oracle gave it — the hypothesis property test reassembles
+    every chunking back into the original text byte-for-byte and
+    asserts the no-redundant-tail rule on arbitrary corpora
+    (tests/test_properties.py::test_chunks_reassemble_and_never_nest),
+    plus the pytest goldens. ``_CHUNK_SQL`` stays for the test-side
+    cross-check."""
     return text.chunk_documents(
         load_table(spark, sf_dir, "documents", widen=True),
         max_chars=CHUNK_MAX_CHARS,

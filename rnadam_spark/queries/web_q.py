@@ -169,3 +169,60 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = graph.pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     return pr.select("node", hround("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------- blocklist
+
+#: suffix semantics pinned by the entry set: src3/src7 block via the
+#: subdomain form a.srcN.org, mirror2.io blocks every doc_id%4==2,
+#: and rc5.org pins the dot-boundary rule (a.src5.org must NOT match —
+#: 'src5.org' ends with 'rc5.org' but not with '.rc5.org')
+_BL_ENTRIES = ["src3.org", "src7.org", "mirror2.io", "rc5.org"]
+
+_BL_TEXT_SQL = (
+    "'see http://a.' || source || '.org/' || (doc_id % 7)::VARCHAR"
+    " || ' and http://b.mirror' || (doc_id % 4)::VARCHAR || '.io/x'"
+)
+
+_BL_VALUES = ", ".join(f"('{e}')" for e in _BL_ENTRIES)
+
+_BLOCKLIST_SQL = f"""
+    WITH t AS (SELECT doc_id, source, {_BL_TEXT_SQL} AS txt FROM documents),
+    u AS (SELECT doc_id, unnest(regexp_extract_all(txt, '{web.URL_PATTERN}')) AS url
+          FROM t),
+    h AS (SELECT doc_id,
+                 lower(regexp_extract(url, 'https?://([^\\s/:]+)', 1)) AS host
+          FROM u),
+    bl(domain) AS (VALUES {_BL_VALUES}),
+    bad AS (SELECT DISTINCT h.doc_id FROM h JOIN bl
+            ON h.host = bl.domain OR ends_with(h.host, '.' || bl.domain))
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+    """
+
+
+@query("blocklist_suffix", oracle=_BLOCKLIST_SQL)
+def blocklist_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style suffix blocklisting end-to-end: URL extraction from
+    free text → in-row host dot-suffix expansion (``web.host_suffixes``)
+    → broadcast semi-join against the blocklist → doc_id anti-join.
+    The synthetic text embeds two hosts per document (a per-source
+    subdomain and a doc_id-keyed mirror), so the gate exercises
+    subdomain suffix hits, exact misses, and the dot-boundary rule
+    (``rc5.org`` must not catch ``a.src5.org``). The oracle re-derives
+    suffix matching as ``host = entry OR ends_with(host, '.'||entry)``
+    — equivalent to the suffix expansion for any multi-label entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 7).cast("string")
+    mirror = (F.col("doc_id") % 4).cast("string")
+    synth = F.concat(
+        F.lit("see http://a."), F.col("source"), F.lit(".org/"), page,
+        F.lit(" and http://b.mirror"), mirror, F.lit(".io/x"),
+    )
+    bl = docs.sparkSession.createDataFrame(
+        [(e,) for e in _BL_ENTRIES], "domain STRING"
+    )
+    kept = web.filter_blocklisted_domains(
+        docs.select("doc_id", "source", synth.alias("text")), bl, suffix=True
+    )
+    return kept.select("doc_id", "source")

@@ -161,3 +161,34 @@ def test_cap_per_group_negative_keys_and_tiny_n(spark):
     got = sampling.cap_per_group(df, "g", 1, "k", seed=3)
     sizes = [r.n for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()]
     assert sizes == [1, 1, 1]
+
+
+def test_stratified_sample_matches_retired_oracle(spark):
+    # the round-8-retired gate row's DuckDB oracle, kept exercised here
+    # (the rotation discipline: retired rows keep their cross-check)
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import (
+        _LANG_DEFAULT,
+        _LANG_FRACTIONS,
+        _STRATA_CASE,
+        SAMPLE_SEED,
+        stratified_sample_by_lang,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.lang) for r in stratified_sample_by_lang(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""SELECT doc_id, lang FROM documents
+                WHERE {sampling.sample_code_sql("doc_id", SAMPLE_SEED)} < {_STRATA_CASE}"""
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

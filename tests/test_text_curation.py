@@ -366,3 +366,19 @@ def test_excise_paragraphs_rebuilds_in_order(spark):
     )
     out = {r.doc_id: r.text for r in excise_paragraphs(docs, worst).collect()}
     assert "\n\n" in out[1] or out[1].count("keep") == 2
+
+
+def test_chunk_documents_matches_retired_oracle(spark):
+    # the round-8-retired gate row's DuckDB oracle, kept exercised here
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _CHUNK_SQL, chunk_documents
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in chunk_documents(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(_CHUNK_SQL).fetchall()}
+    assert got == want and len(got) > 0
