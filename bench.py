@@ -450,6 +450,53 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _quality_block(spark, sf_dir: str) -> dict:
+    """recall@k of each approximate retrieval path against brute force —
+    the quality number that belongs NEXT TO the speed numbers (an index
+    that probes too few cells is fast and useless; publishing both makes
+    the approximation trade measurable, the same discipline as the
+    timing A/Bs).
+
+    Reading the numbers: the driver's embeddings are random vectors —
+    the ANN WORST case (no cluster structure, pairwise cosines
+    concentrate near zero, so cell/code assignment carries little
+    signal). These recalls are therefore a floor, not a ceiling; the
+    spread is the informative part (pq_rerank > raw pq shows the
+    two-stage recall repair working; ivf tracks ~n_probe/n_centroids of
+    the corpus scanned, as theory says it must on structureless
+    data)."""
+    from rnadam_spark.operators import similarity
+    from rnadam_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qid = 0
+    q_vec = list(
+        emb.filter(f"vec_id = {qid}").select("embedding").collect()[0].embedding
+    )
+    exact = similarity.brute_force_topk(emb, qid, k=20)
+    cents = similarity.kmeans_centroids(emb, k=8, max_iterations=3)
+    books = similarity.train_pq(emb, m=8, nbits=4, max_iterations=3)
+    rest = emb.filter(f"vec_id != {qid}")
+    paths = {
+        "ivf_topk": similarity.ivf_topk(emb, qid, n_probe=2, centroids=cents),
+        "pq_topk": similarity.pq_topk(emb, qid, books, k=20),
+        "pq_rerank": similarity.exact_rerank(
+            similarity.pq_topk_on_codes(
+                similarity.pq_encode(rest, books), q_vec, books, k=100
+            ),
+            rest,
+            q_vec,
+            k=20,
+        ),
+    }
+    out = {}
+    for name, approx in paths.items():
+        r = similarity.ann_recall(approx, exact).collect()[0]
+        out[f"{name}_recall_at_{r.k}"] = r.recall
+    emb.unpersist()
+    return out
+
+
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
@@ -548,6 +595,7 @@ def main() -> None:
     ab = _ab_blocks(spark, sf_dir)
     extras = _extras_block(spark, sf_dir)
     scaling = _scaling_block(spark, sf_dir, queries, timings)
+    quality = _quality_block(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # Detail blocks print FIRST on their own line (and to a sidecar
@@ -557,6 +605,7 @@ def main() -> None:
     # line stays small — headline total + per-query timings only.
     detail = {
         "metric": "headline_detail",
+        "quality": quality,
         "stages": stages,
         "ab": ab,
         "extras": extras,

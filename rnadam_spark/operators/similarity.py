@@ -819,3 +819,29 @@ def bucket_near_pairs(
         )
         .filter(F.col("cos") >= min_cos)
     )
+
+
+def ann_recall(
+    approx_topk: DataFrame,
+    exact_topk: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One row (k, n_hits, recall): recall@k of an ANN result against
+    the exact top-k — the QUALITY number every approximate index must
+    publish next to its speed number (an IVF that probes too few cells
+    is fast and useless; this makes the trade measurable, the same
+    discipline as the bench A/B rows). Both inputs are tiny top-k
+    tables, so the overlap is a broadcast semi-join + one aggregate;
+    recall = |approx ∩ exact| / |exact| rounded half-up to 6dp."""
+    hits = approx_topk.select(id_col).join(
+        F.broadcast(exact_topk.select(id_col)), id_col, "leftsemi"
+    )
+    n_exact = exact_topk.count()
+    return hits.agg(
+        F.lit(int(n_exact)).alias("k"),
+        F.count("*").cast("bigint").alias("n_hits"),
+        (
+            F.floor(F.count("*").cast("double") / F.lit(float(max(n_exact, 1))) * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("recall"),
+    )

@@ -409,3 +409,34 @@ def test_semantic_dedup_over_hash_embeddings(spark):
     assert not got[100].keep and got[100].component == 0
     assert not got[101].keep and got[101].component == 0
     assert all(got[i].keep for i in range(1, 8))
+
+
+def test_ann_recall_paths(spark):
+    # recall@k of each approximate path against brute force on a seeded
+    # corpus: exact agreement paths score 1.0, quantized paths score
+    # high-but-measurable, and the number itself is what the operator
+    # must report faithfully (verified against a python set overlap)
+    import random
+
+    from rnadam_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(S.DIM)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>").cache()
+    exact = S.brute_force_topk(emb, 0, k=10)
+    exact_ids = {r.vec_id for r in exact.collect()}
+
+    # rerank of a generous PQ candidate list: recall comes from the ADC
+    books = S.train_pq(emb, m=8, nbits=4, max_iterations=2)
+    q = rows[0][1]
+    cand = S.pq_topk_on_codes(
+        S.pq_encode(emb.filter("vec_id != 0"), books), q, books, k=60
+    )
+    rerank = S.exact_rerank(cand, emb.filter("vec_id != 0"), q, k=10)
+    got = S.ann_recall(rerank, exact).collect()[0]
+    want_hits = len({r.vec_id for r in rerank.collect()} & exact_ids)
+    assert got.k == 10 and got.n_hits == want_hits
+    assert abs(got.recall - want_hits / 10) < 1e-9
+    # a self-comparison is perfect recall by construction
+    perfect = S.ann_recall(exact, exact).collect()[0]
+    assert perfect.recall == 1.0 and perfect.n_hits == 10
