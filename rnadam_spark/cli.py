@@ -200,6 +200,22 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("-mixture_group", default="source")
     c.add_argument(
+        "-blocklist",
+        default=None,
+        help="domain blocklist applied FIRST, before any other stage "
+        "(UT1 suffix semantics: an entry bans every subdomain): a "
+        "parquet with a domain column, or a text file with one domain "
+        "per line",
+    )
+    c.add_argument(
+        "-cap_per_domain",
+        type=int,
+        default=None,
+        help="after dedup, keep at most N docs per -cap_group (exact, "
+        "deterministic, skew-safe — the smallest-hash N survive)",
+    )
+    c.add_argument("-cap_group", default="source")
+    c.add_argument(
         "-pack_budget",
         type=int,
         default=0,
@@ -438,6 +454,21 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _read_blocklist(spark, path: str):
+    """(domain) DataFrame from a blocklist file: parquet with a
+    ``domain`` column, or plain text with one domain per line (the UT1
+    distribution format) — blank lines and ``#`` comments skipped."""
+    from pyspark.sql import functions as F
+
+    if path.endswith(".parquet") or path.endswith("/"):
+        return spark.read.parquet(path).select("domain")
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.trim("value").alias("domain"))
+        .filter((F.length("domain") > 0) & ~F.col("domain").startswith("#"))
+    )
+
+
 def _run_curate(spark, args) -> None:
     """The composite curation pipeline as ONE lazy plan: normalize →
     PII scrub → [corpus line dedup] → quality + [repetition] +
@@ -454,7 +485,18 @@ def _run_curate(spark, args) -> None:
     from rnadam_spark.operators import dedup, repetition, text
     from rnadam_spark.sources.sink import write_partitioned
 
-    docs = spark.read.parquet(args.documents)
+    raw_docs = docs = spark.read.parquet(args.documents)
+    blocklist_df = None
+    if args.blocklist is not None:
+        from rnadam_spark.operators import web
+
+        blocklist_df = _read_blocklist(spark, args.blocklist)
+        # the first gate, on the RAW text (RefinedWeb order: provenance
+        # filters before content filters) — broadcast semi-join over
+        # exploded host suffixes, doc_id anti-join back. The -audit
+        # funnel receives raw_docs + the blocklist so its first stage
+        # counts these drops.
+        docs = web.filter_blocklisted_domains(docs, blocklist_df, suffix=True)
     # the stateless prefix (normalize → C4 → Gopher → PII scrub →
     # quality) fuses into ONE projection via the operators' expression
     # builders — the same fusion the streaming chain uses. The staged
@@ -542,7 +584,8 @@ def _run_curate(spark, args) -> None:
         funnel_rows = [
             {"stage": r.stage, "n_dropped": r.n_dropped, "n_remaining": r.n_remaining}
             for r in curation_funnel(
-                docs,
+                raw_docs,
+                blocklist=blocklist_df,
                 quality_min=args.quality_min,
                 use_c4=args.c4,
                 use_gopher=args.gopher,
@@ -633,7 +676,12 @@ def _run_curate(spark, args) -> None:
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )
     curated = kept.join(canon, "doc_id")
-    if args.near_dedup or args.span_dedup or args.mixture_alpha is not None:
+    if (
+        args.near_dedup
+        or args.span_dedup
+        or args.mixture_alpha is not None
+        or args.cap_per_domain is not None
+    ):
         from rnadam_spark.lineage import truncate_lineage
 
         # stage boundary: every chained filter stage re-attaches the
@@ -674,6 +722,18 @@ def _run_curate(spark, args) -> None:
             .filter(F.col("n_tokens_before") > F.col("n_tokens_removed"))
             .select("doc_id", "text")
             .join(curated.drop("text"), "doc_id")
+        )
+    if args.cap_per_domain is not None:
+        from rnadam_spark.lineage import truncate_lineage
+        from rnadam_spark.operators.sampling import cap_per_group
+
+        # quota AFTER dedup (a domain shouldn't fill its quota with
+        # copies) and BEFORE mixture (the mixture should weigh the
+        # capped corpus). cap_per_group traverses its input for counts,
+        # the threshold join, and the rescue check — materialize first
+        # so those passes read rows, not the upstream chain.
+        curated = cap_per_group(
+            truncate_lineage(curated), args.cap_group, args.cap_per_domain, "doc_id"
         )
     if args.mixture_alpha is not None:
         from rnadam_spark.operators import lm

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FUNNEL_STAGES = (
+    "blocklist",
     "c4",
     "gopher",
     "quality",
@@ -52,12 +53,13 @@ def curation_funnel(
     classifier_weights: DataFrame | None = None,
     classifier_min: float = 0.5,
     classifier_intercept: float = 0.0,
+    blocklist: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(stage, n_dropped, n_remaining): documents dropped at each
-    curation stage, in pipeline order (c4 → gopher → quality →
-    repetition → perplexity → classifier → exact_dup), plus an
+    curation stage, in pipeline order (blocklist → c4 → gopher →
+    quality → repetition → perplexity → classifier → exact_dup), plus an
     ``input`` row anchoring the starting count. Disabled stages
     (``use_c4=False`` / ``use_gopher=False`` / ``max_dup_5gram=None`` /
     no model) appear with ``n_dropped = 0`` so the funnel shape is
@@ -82,6 +84,40 @@ def curation_funnel(
         redaction_columns,
     )
 
+    # blocklist judges the RAW text, exactly where the pipeline applies
+    # it (before normalization): offenders = broadcast semi-join over
+    # the exploded suffix set of every mentioned domain (UT1 semantics,
+    # mirroring web.filter_blocklisted_domains(suffix=True)), carried
+    # back as a doc_id-keyed flag join — the one stage whose predicate
+    # cannot be a pure column (the blocklist is corpus-independent but
+    # not literal-sized)
+    if blocklist is not None:
+        from rnadam_spark.operators.web import domains_of, host_suffixes
+
+        offenders = (
+            docs.select(
+                F.col(id_col),
+                F.explode(
+                    F.flatten(F.transform(domains_of(text_col), host_suffixes))
+                ).alias("_domain"),
+            )
+            .join(
+                F.broadcast(
+                    blocklist.select(
+                        F.lower(F.col(blocklist.columns[0])).alias("_domain")
+                    ).distinct()
+                ),
+                "_domain",
+                "leftsemi",
+            )
+            .select(id_col)
+            .distinct()
+            .withColumn("_bl_hit", F.lit(True))
+        )
+        docs = docs.join(offenders, id_col, "left")
+        p_bl = F.col("_bl_hit").isNull()
+    else:
+        p_bl = F.lit(True)
     text_expr = F.col(text_col)
     if not skip_normalize:
         text_expr = normalized_column(text_expr)
@@ -107,6 +143,7 @@ def curation_funnel(
     flagged = docs.select(
         F.col(id_col),
         F.md5(scrubbed).alias("_h"),
+        p_bl.alias("_p_bl"),
         p_c4.alias("_p_c4"),
         p_g.alias("_p_g"),
         p_q.alias("_p_q"),
@@ -134,7 +171,9 @@ def curation_funnel(
     else:
         flagged = flagged.withColumn("_p_cls", F.lit(True))
     # survivors of the projection stages compete for exact-dup canonical
-    surv = flagged.filter("_p_c4 AND _p_g AND _p_q AND _p_rep AND _p_ppl AND _p_cls")
+    surv = flagged.filter(
+        "_p_bl AND _p_c4 AND _p_g AND _p_q AND _p_rep AND _p_ppl AND _p_cls"
+    )
     canon = surv.groupBy("_h").agg(F.min(id_col).alias("_canonical"))
     # hash-keyed join, NOT broadcast: canon has one row per distinct
     # surviving content hash — corpus-scale, never driver-size
@@ -142,7 +181,8 @@ def curation_funnel(
         "_p_dup", F.col("_canonical") == F.col(id_col)
     )
     first_fail = (
-        F.when(~F.col("_p_c4"), "c4")
+        F.when(~F.col("_p_bl"), "blocklist")
+        .when(~F.col("_p_c4"), "c4")
         .when(~F.col("_p_g"), "gopher")
         .when(~F.col("_p_q"), "quality")
         .when(~F.col("_p_rep"), "repetition")

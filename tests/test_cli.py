@@ -840,3 +840,44 @@ def test_cli_mix_plan_and_sample(spark, tmp_path):
     assert realized["web"] == pytest.approx(12_000, rel=0.2)
     assert realized["books"] == pytest.approx(18_000, rel=0.2)
     assert mixed.filter((F.col("source") == "books") & (F.col("n_copy") > 0)).count() > 0
+
+
+def test_cli_curate_blocklist_and_cap(spark, tmp_path, capsys):
+    import json
+
+    good = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!\n"
+            "A third clean normal sentence right here today?")
+    rows = []
+    # domain A: 5 clean docs; domain B: 2 docs, one mentioning a
+    # blocklisted subdomain
+    for i in range(5):
+        t = good + f" Distinct tail number {i} keeps dedup away."
+        rows.append((i, t, "en", "a.example", len(t)))
+    rows.append((10, good + " see https://cdn.bad.site/x now.", "en", "b.example", 300))
+    rows.append((11, good + " Another unique ending sentence.", "en", "b.example", 300))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    blpath = str(tmp_path / "blocklist.txt")
+    with open(blpath, "w") as f:
+        f.write("# comment line\nbad.site\n\nother.example\n")
+
+    out = str(tmp_path / "out")
+    cli.main([
+        "curate", src, out, "-quality_min", "0.0",
+        "-blocklist", blpath, "-cap_per_domain", "3", "-audit",
+    ])
+    kept = spark.read.parquet(out).select("doc_id", "source").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # doc 10 fell to the blocklist (cdn.bad.site is under bad.site);
+    # domain a capped from 5 to 3; domain b keeps its one survivor
+    assert len(by_src["a.example"]) == 3
+    assert by_src["b.example"] == {11}
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    funnel = {f["stage"]: f for f in json.loads(line)["funnel"]}
+    assert funnel["input"]["n_remaining"] == 7
+    assert funnel["blocklist"]["n_dropped"] == 1
