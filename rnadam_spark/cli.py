@@ -251,6 +251,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cs.add_argument("-quality_min", type=float, default=0.9)
     cs.add_argument("-no_c4", action="store_true")
+    cs.add_argument(
+        "-blocklist",
+        default=None,
+        help="domain blocklist (parquet domain column or one-per-line "
+        "text), applied first as a stream-static anti-join; keep it to "
+        "curated thousands at ingest — UT1-scale lists belong in the "
+        "batch pass",
+    )
 
     ai = sub.add_parser(
         "ann-index",
@@ -865,6 +873,11 @@ def main(argv: list[str] | None = None) -> None:
             args.checkpoint,
             quality_min=args.quality_min,
             use_c4=not args.no_c4,
+            blocklist=(
+                _read_blocklist(spark, args.blocklist)
+                if args.blocklist is not None
+                else None
+            ),
         )
     elif args.command == "ann-index":
         import json

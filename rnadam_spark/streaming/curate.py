@@ -9,9 +9,11 @@ stateless stages (normalize → C4 → PII redaction → quality threshold →
 optional chunking) into a single ``select`` built from the operators'
 exposed expression builders (``text.normalized_column`` /
 ``c4_columns`` / ``redaction_columns`` / ``quality_columns``), so the
-streaming plan has NO join, NO aggregation, and NO state: every
-microbatch is a pure map over arriving files, trivially correct under
-any watermark and bounded-memory by construction.
+streaming plan has NO stream-stream join, NO aggregation, and NO
+state: every microbatch is a pure map over arriving files (plus, with
+a blocklist, one stream-STATIC anti-join — stateless by definition),
+trivially correct under any watermark and bounded-memory by
+construction.
 
 What deliberately does NOT run here: corpus-wide stages (exact dedup,
 line dedup, per-group quantile thresholds, mixture resampling) need
@@ -48,18 +50,48 @@ def curate_stream_chain(
     chunk_chars: int = 0,
     chunk_overlap: int = 128,
     text_col: str = "text",
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """The stateless curation chain as one fused projection; works on
     streaming AND batch DataFrames identically (agreement is pinned by
     tests). Output: the input columns with ``text`` cleaned, plus
     ``n_redactions`` and ``quality`` (and ``chunk_idx`` when chunking).
 
-    Stage order matches the batch CLI: normalize → [C4 line+page
-    filter] → PII scrub → quality threshold → [chunk]."""
+    Stage order matches the batch CLI: [blocklist] → normalize →
+    [C4 line+page filter] → PII scrub → quality threshold → [chunk].
+
+    ``blocklist`` (a STATIC (domain) DataFrame) adds the UT1
+    suffix-semantics gate as the first stage. The batch operator's
+    shape (explode suffixes → semi-join → doc_id anti-join back) is
+    ILLEGAL here: the offender set derives from the stream, so the
+    join-back would be a stream-stream anti-join. Instead the suffix
+    array stays IN-ROW and the gate is ONE stream-static broadcast
+    nested-loop anti-join on ``array_contains(suffixes, domain)`` —
+    stateless (no watermark, no state store), at the price of a
+    per-row pass over the broadcast list. That trade caps the sensible
+    list size at ingest (thousands of curated domains, not the
+    millions-entry UT1 dump — which belongs in the periodic batch pass
+    where the equi-join form scales)."""
     from rnadam_spark.operators import text as tx
 
+    cur = docs
+    if blocklist is not None:
+        from rnadam_spark.operators.web import domains_of, host_suffixes
+
+        bl = F.broadcast(
+            blocklist.select(
+                F.lower(F.col(blocklist.columns[0])).alias("_domain")
+            ).distinct()
+        )
+        cur = (
+            cur.withColumn(
+                "_sfx", F.flatten(F.transform(domains_of(text_col), host_suffixes))
+            )
+            .join(bl, F.expr("array_contains(_sfx, _domain)"), "left_anti")
+            .drop("_sfx")
+        )
     passthrough = [c for c in docs.columns if c != text_col]
-    cur = docs.withColumn(text_col, tx.normalized_column(text_col))
+    cur = cur.withColumn(text_col, tx.normalized_column(text_col))
     if use_c4:
         c4 = tx.c4_columns(text_col)
         cur = (
@@ -95,13 +127,16 @@ def run_curate_stream(
     quality_min: float = 0.9,
     use_c4: bool = True,
     available_now: bool = True,
+    blocklist: DataFrame | None = None,
 ) -> None:
     """Drive the fused chain to a parquet sink with a checkpoint.
     ``available_now=True`` processes everything currently in the source
     then stops (the incremental-daily-ingest trigger: each run picks up
     exactly the files that arrived since the last checkpoint commit);
     ``False`` runs continuously until the caller stops the query."""
-    out = curate_stream_chain(docs_stream, quality_min=quality_min, use_c4=use_c4)
+    out = curate_stream_chain(
+        docs_stream, quality_min=quality_min, use_c4=use_c4, blocklist=blocklist
+    )
     writer = (
         out.writeStream.outputMode("append")
         .format("parquet")

@@ -147,3 +147,74 @@ def test_cli_curate_stream_warc_incremental(spark, tmp_path):
     assert {r.url for r in both.collect()} == {
         "http://example.com/page", "http://two.org/page"
     }
+
+
+def test_chain_blocklist_stream_matches_batch_operator(spark, sf_dir):
+    # the streaming blocklist gate (stream-static broadcast nested-loop
+    # anti-join on the in-row suffix array) must (a) run as a genuine
+    # stream and (b) keep exactly the docs the BATCH operator keeps
+    from rnadam_spark.operators.web import filter_blocklisted_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    # synthesize a url-bearing text deterministically; block one source
+    # family via subdomain suffix
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://cdn."),
+            F.col("source"),
+            F.lit(".example.net/x now"),
+        ),
+    )
+    bl = spark.createDataFrame(
+        [("src3.example.net",), ("src7.example.net",)], "domain STRING"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        synth.write.mode("overwrite").parquet(td + "/docs")
+        stream = spark.readStream.schema(synth.schema).parquet(td + "/docs")
+        got = se.run_to_memory(
+            curate_stream_chain(stream, quality_min=0.0, use_c4=False, blocklist=bl),
+            "bl_stream_out",
+        )
+        s = {r.doc_id for r in got.collect()}
+    kept_batch = {
+        r.doc_id for r in filter_blocklisted_domains(synth, bl, suffix=True).collect()
+    }
+    assert s == kept_batch and s
+    assert not any(
+        r.source in ("src3", "src7")
+        for r in synth.join(
+            spark.createDataFrame([(i,) for i in s], "doc_id BIGINT"), "doc_id"
+        ).collect()
+    )
+
+
+def test_cli_curate_stream_blocklist(spark, tmp_path):
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+    good = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!")
+    rows = [
+        (1, good + " see https://x.blocked.org/a", "en", "s1", 100),
+        (2, good + " see https://fine.example.org/b", "en", "s2", 100),
+    ]
+    with open(src + "/batch1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(dict(zip(
+                ["doc_id", "text", "lang", "source", "n_chars"], r))) + "\n")
+    blpath = str(tmp_path / "bl.txt")
+    with open(blpath, "w") as f:
+        f.write("blocked.org\n")
+    cli.main([
+        "curate-stream", src, out, ckpt,
+        "-quality_min", "0.0", "-no_c4", "-blocklist", blpath,
+    ])
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {2}
