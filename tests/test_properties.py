@@ -229,3 +229,46 @@ def test_warc_exact_roundtrips_arbitrary_payloads(spark, payloads, tmp_path_fact
     for i, r in enumerate(sorted(rows, key=lambda r: int(r.target_uri.rsplit("/", 1)[1]))):
         want = payloads[i].decode("utf-8", errors="replace")
         assert r.payload == want, (i, payloads[i])
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_c4_clean_idempotent(spark, texts):
+    """C4 cleaning is a projection to a fixed point: re-cleaning a
+    cleaned page changes nothing (kept lines already satisfy every line
+    rule, and a page that survived keeps surviving) — the property that
+    makes re-running curation over an already-curated corpus a no-op
+    instead of an eroding one."""
+    from rnadam_spark.operators import text as tx
+
+    df = tx.c4_clean(_df(spark, texts))
+    once = df.filter("keep_doc").select("doc_id", "text")
+    twice = tx.c4_clean(once).filter("keep_doc")
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.collect()}
+    assert a == b
+
+
+EMAILISH = st.text(
+    alphabet=st.sampled_from(list("ab @.-_0123456789\n()+")), max_size=120
+)
+
+
+@given(texts=st.lists(EMAILISH, min_size=1, max_size=8))
+@PROP_SETTINGS
+def test_redaction_idempotent(spark, texts):
+    """PII redaction is a fixed point: redacting redacted text is a
+    no-op (the replacement tokens must not themselves match any PII
+    pattern, or a second pass would mangle them)."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators.text import redaction_columns
+
+    df = _df(spark, texts)
+    once_c, _ = redaction_columns(F.col("text"))
+    d1 = df.select("doc_id", once_c.alias("text"))
+    twice_c, n2 = redaction_columns(F.col("text"))
+    rows = d1.select("doc_id", "text", twice_c.alias("t2"), n2.alias("n2")).collect()
+    for r in rows:
+        assert r.text == r.t2, (r.text, r.t2)
+        assert r.n2 == 0, r.text
