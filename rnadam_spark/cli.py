@@ -354,6 +354,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("-quality_min", type=float, default=0.9)
     pr.add_argument("-max_dup_5gram", type=float, default=None)
+    pr.add_argument(
+        "-skew_by",
+        default=None,
+        help="add a shuffle-key skew block for this column: group-size "
+        "distribution, heaviest keys, suggested salt factor",
+    )
 
     we = sub.add_parser(
         "warc-extract",
@@ -821,6 +827,10 @@ def _run_profile(spark, args) -> None:
                 max_dup_5gram=args.max_dup_5gram,
             ).collect()
         ]
+    if args.skew_by is not None and args.skew_by in docs.columns:
+        from rnadam_spark.instrument import skew_report
+
+        report["skew"] = skew_report(docs, [args.skew_by])
     if args.group_by in docs.columns:
         mix = (
             docs.groupBy(args.group_by)

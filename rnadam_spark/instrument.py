@@ -77,3 +77,67 @@ def timed(timers: StageTimers | None, name: str, df: DataFrame) -> DataFrame:
     with timers.stage(name):
         df = df.localCheckpoint(eager=True)
     return df
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> dict:
+    """Shuffle-key skew audit: BEFORE running a big join/groupBy on
+    ``keys``, measure how lopsided the key distribution is and what to
+    do about it. Returns a bounded driver-side dict (the
+    ``skipping_report`` pattern):
+
+    - ``n_rows`` / ``n_groups`` / ``mean`` / ``p50`` / ``p99`` / ``max``
+      — group-size distribution (one map-side-partial groupBy + one
+      aggregate over the group counts; the count table never collects);
+    - ``top`` — the ``top`` heaviest keys with counts and corpus share
+      (TakeOrdered, driver state bounded by ``top``);
+    - ``suggested_salt`` — ceil(max / target_rows_per_task): the salt
+      factor that would split the hottest key into target-sized tasks
+      (1 = no salting needed). The threshold defaults to ~5M rows per
+      task, a sensible shuffle-partition payload; pass your own.
+
+    This is the measurement half of the engine's skew discipline: the
+    guards (``operators.guards``) CAP hot buckets, the skew-safe A/B
+    variants avoid per-group windows — this reports WHICH keys are hot
+    and how hot, so those knobs are set from data, not folklore."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    s = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.avg("n").alias("mean"),
+        F.expr("percentile_approx(n, 0.5, 10000)").alias("p50"),
+        F.expr("percentile_approx(n, 0.99, 10000)").alias("p99"),
+        F.max("n").alias("max"),
+    ).collect()[0]
+    heavy = counts.orderBy(F.col("n").desc(), *keys).limit(top).collect()
+    n_rows = int(s.n_rows or 0)
+    return {
+        "keys": list(keys),
+        "n_rows": n_rows,
+        "n_groups": int(s.n_groups),
+        "mean": round(float(s.mean), 2) if s.mean is not None else None,
+        "p50": int(s.p50) if s.p50 is not None else None,
+        "p99": int(s.p99) if s.p99 is not None else None,
+        "max": int(s.max) if s.max is not None else None,
+        "top": [
+            {
+                "key": {k: r[k] for k in keys},
+                "n": int(r.n),
+                "share": round(int(r.n) / n_rows, 6) if n_rows else 0.0,
+            }
+            for r in heavy
+        ],
+        "suggested_salt": (
+            max(1, math.ceil(int(s.max) / target_rows_per_task))
+            if s.max is not None
+            else 1
+        ),
+    }

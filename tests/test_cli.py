@@ -881,3 +881,19 @@ def test_cli_curate_blocklist_and_cap(spark, tmp_path, capsys):
     funnel = {f["stage"]: f for f in json.loads(line)["funnel"]}
     assert funnel["input"]["n_remaining"] == 7
     assert funnel["blocklist"]["n_dropped"] == 1
+
+
+def test_cli_profile_skew_block(spark, tmp_path, capsys):
+    import json
+
+    rows = [(i, f"word text {i}", "en", "hot" if i < 80 else f"s{i % 5}", 20)
+            for i in range(100)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    cli.main(["profile", src, "-skew_by", "source"])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["skew"]["top"][0]["key"] == {"source": "hot"}
+    assert rep["skew"]["top"][0]["n"] == 80

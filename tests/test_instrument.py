@@ -64,3 +64,23 @@ def test_quantify_stage_timers_and_identical_result(spark):
     } <= names
     # the iteration timer wraps its E and M stages
     assert timers.stages[ins.EM_ITER] >= timers.stages[ins.E_STAGE]
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from rnadam_spark.instrument import skew_report
+
+    rows = [(i, "hot" if i < 9000 else f"k{i % 13}") for i in range(10000)]
+    df = spark.createDataFrame(rows, "id BIGINT, key STRING")
+    rep = skew_report(df, ["key"], top=3, target_rows_per_task=1000)
+    assert rep["n_rows"] == 10000 and rep["n_groups"] == 14
+    assert rep["max"] == 9000
+    assert rep["top"][0]["key"] == {"key": "hot"}
+    assert rep["top"][0]["n"] == 9000
+    assert abs(rep["top"][0]["share"] - 0.9) < 1e-9
+    # 9000 rows / 1000-per-task target -> salt 9
+    assert rep["suggested_salt"] == 9
+    # uniform data needs no salt
+    uni = spark.createDataFrame(
+        [(i, f"k{i % 20}") for i in range(2000)], "id BIGINT, key STRING"
+    )
+    assert skew_report(uni, ["key"], target_rows_per_task=1000)["suggested_salt"] == 1
