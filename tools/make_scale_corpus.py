@@ -1,0 +1,66 @@
+"""Build the deterministic 100x-oracle-scale corpus for sf1 assurance.
+
+Writes a directory shaped like a driver sf dir whose ``documents`` table
+is N tagged copies of the base dir's (copy 0 verbatim so the near-dup
+and exact-dup structure of the base corpus survives; copies 1..N-1 get
+a copy tag appended so they are distinct documents with shifted ids),
+and symlinks every other table unchanged. Feed the result to
+tools/check_correctness.py to hash-compare gate rows Spark-vs-DuckDB
+one decade above the driver's own sf0.1 verification:
+
+    python tools/make_scale_corpus.py /root/testdata/sf0.1 /tmp/sf1 10
+    python tools/check_correctness.py /tmp/sf1 em_quantify cap_per_domain
+
+Deterministic by construction — no RNG anywhere, so repeated builds
+produce byte-identical inputs and the oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rnadam_spark.sources.tables import TABLES
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scale"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    # id offset safely beyond the base id range
+    max_id = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{base}/documents.parquet')"
+    ).fetchone()[0]
+    copies = " UNION ALL ".join(
+        f"""SELECT doc_id + {i * max_id} AS doc_id,
+               text || {"''" if i == 0 else f"' [copy {i}]'"} AS text,
+               lang, source,
+               n_chars + {0 if i == 0 else len(f" [copy {i}]")} AS n_chars
+            FROM read_parquet('{base}/documents.parquet')"""
+        for i in range(factor)
+    )
+    con.execute(
+        f"COPY ({copies} ORDER BY doc_id) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')"
+    ).fetchone()[0]
+    print(f"{out}: documents x{factor} = {n} rows; other tables symlinked")
+
+
+if __name__ == "__main__":
+    main()
