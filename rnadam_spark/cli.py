@@ -85,6 +85,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="skip the whitespace/control-char normalization pass",
     )
     c.add_argument(
+        "-nfkc",
+        action="store_true",
+        help="Unicode NFKC normalization before all other stages "
+        "(fullwidth/ligature/compatibility forms collide in dedup); "
+        "Arrow-batched stdlib unicodedata",
+    )
+    c.add_argument(
         "-c4",
         action="store_true",
         help="apply the C4 line+page heuristic cleaning rules (drops "
@@ -511,6 +518,12 @@ def _run_curate(spark, args) -> None:
         # funnel receives raw_docs + the blocklist so its first stage
         # counts these drops.
         docs = web.filter_blocklisted_domains(docs, blocklist_df, suffix=True)
+    if args.nfkc:
+        from rnadam_spark.operators import text as _tx
+
+        # BEFORE the whitespace chain: NFKC can mint plain spaces from
+        # no-break/ideographic spaces that the chain then canonicalizes
+        docs = _tx.nfkc_normalize(docs).drop("n_changed")
     # the stateless prefix (normalize → C4 → Gopher → PII scrub →
     # quality) fuses into ONE projection via the operators' expression
     # builders — the same fusion the streaming chain uses. The staged

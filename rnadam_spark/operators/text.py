@@ -802,3 +802,58 @@ def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.length(text_col).cast("bigint").alias("n_chars"),
         hround(char_entropy_column(text_col), 6).alias("entropy_bits"),
     )
+
+
+def nfkc_normalize(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, text, n_changed): Unicode NFKC normalization — the
+    canonicalization CCNet-class pipelines run before hashing so that
+    visually-identical text (fullwidth forms, ligatures, compatibility
+    variants, combining sequences) collides in dedup instead of
+    slipping past it. ``n_changed`` is 1 when normalization changed the
+    text and 0 otherwise, so ``sum(n_changed)`` audits how much of a
+    corpus was non-canonical.
+
+    Unicode normalization tables are not expressible in Catalyst, so
+    this is a sanctioned Arrow-batched ``mapInPandas`` boundary (the
+    zlib/codec convention — never a row-at-a-time UDF); per-row work is
+    the stdlib's C-implemented ``unicodedata.normalize``. Composes
+    BEFORE :func:`normalize_text`'s whitespace chain (NFKC can mint
+    spaces from no-break/ideographic spaces that the whitespace rules
+    then canonicalize). Stateless → slots into the streaming chain
+    unchanged. Idempotent by the Unicode invariant
+    NFKC(NFKC(x)) = NFKC(x), pinned by a hypothesis property."""
+    import pandas as pd  # noqa: F401 — clear import error driver-side
+
+    from pyspark.sql import types as T
+
+    passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
+    schema = T.StructType(
+        [f for f in docs.schema.fields if f.name in (id_col, *passthrough)]
+        + [T.StructField(text_col, T.StringType()), T.StructField("n_changed", T.IntegerType())]
+    )
+
+    def batches(it):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in it:
+            texts = pdf[text_col]
+            out = [
+                None if t is None else unicodedata.normalize("NFKC", t) for t in texts
+            ]
+            changed = [
+                0 if (a is None or a == b) else 1 for a, b in zip(texts, out)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    **{c: pdf[c] for c in passthrough},
+                    text_col: out,
+                    "n_changed": changed,
+                }
+            )
+
+    return docs.mapInPandas(batches, schema)

@@ -897,3 +897,26 @@ def test_cli_profile_skew_block(spark, tmp_path, capsys):
     rep = json.loads(line)
     assert rep["skew"]["top"][0]["key"] == {"source": "hot"}
     assert rep["skew"]["top"][0]["n"] == 80
+
+
+def test_cli_curate_nfkc(spark, tmp_path):
+    # fullwidth/ligature variants of the same sentence must collide in
+    # exact dedup once -nfkc is on
+    base = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!")
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base.replace("A first", "Ａ ﬁrst"), "en", "s", 200),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    cli.main(["curate", src, out, "-quality_min", "0.0", "-nfkc"])
+    kept = spark.read.parquet(out).collect()
+    # NFKC folds Ａ->A and ﬁ->fi, so the two variants dedup to one
+    assert len(kept) == 1
+    out2 = str(tmp_path / "out2")
+    cli.main(["curate", src, out2, "-quality_min", "0.0"])
+    assert len(spark.read.parquet(out2).collect()) == 2

@@ -272,3 +272,23 @@ def test_redaction_idempotent(spark, texts):
     for r in rows:
         assert r.text == r.t2, (r.text, r.t2)
         assert r.n2 == 0, r.text
+
+
+UNICODEISH = st.text(
+    alphabet=st.sampled_from(list("ab ﬁﬂＡ１２ 　é" + "é")), max_size=60
+)
+
+
+@given(texts=st.lists(UNICODEISH, min_size=1, max_size=6))
+@PROP_SETTINGS
+def test_nfkc_normalize_idempotent(spark, texts):
+    """NFKC(NFKC(x)) = NFKC(x) — the Unicode invariant, through the
+    Arrow boundary."""
+    from rnadam_spark.operators.text import nfkc_normalize
+
+    once = nfkc_normalize(_df(spark, texts)).select("doc_id", "text")
+    twice = nfkc_normalize(once)
+    rows = twice.collect()
+    assert all(r.n_changed == 0 for r in rows), [
+        (r.doc_id, r.text) for r in rows if r.n_changed
+    ]

@@ -382,3 +382,25 @@ def test_chunk_documents_matches_retired_oracle(spark):
     )
     want = {tuple(r) for r in con.execute(_CHUNK_SQL).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_nfkc_normalize_matches_python_and_counts(spark):
+    import unicodedata
+
+    from rnadam_spark.operators.text import nfkc_normalize
+
+    rows = [
+        (1, "ﬁre ﬂow ＡＢＣ １２３", "en"),          # ligatures + fullwidth
+        (2, "café naı̈ve", "en"),        # combining sequences
+        (3, "plain ascii text", "en"),              # unchanged
+        (4, None, "en"),                            # null passthrough
+        (5, " space　wide", "en"),         # nbsp/ideographic space
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    got = {r.doc_id: r for r in nfkc_normalize(df).collect()}
+    for doc_id, text, _ in rows:
+        want = None if text is None else unicodedata.normalize("NFKC", text)
+        assert got[doc_id].text == want
+        assert got[doc_id].n_changed == (0 if text in (None, want) else 1)
+        assert got[doc_id].lang == "en"  # passthrough column survives
+    assert got[3].n_changed == 0 and got[1].n_changed == 1
