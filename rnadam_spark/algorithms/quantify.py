@@ -294,7 +294,12 @@ def quantify(
         # 5-iteration flagship at sf0.1 with checkpoint_every 5 vs 1;
         # intermediate cadences also lose (r8 min-of-3: 8.66s at 1,
         # 9.20s at 2, 9.54s at 3 — the saved eager action never pays
-        # for the re-executed iteration inside each broadcast).
+        # for the re-executed iteration inside each broadcast). Also
+        # measured and rejected: transporting mu through the driver
+        # (collect + createDataFrame per iteration — mu is bounded
+        # model state, so it is legal) was SLOWER than localCheckpoint
+        # at sf0.1 (5.23s vs 4.91s warm min-of-3, identical results):
+        # the collect round-trip costs more than the checkpoint write.
         if (i + 1) % checkpoint_every == 0:
             mu = truncate_lineage(mu, checkpoint_dir)
         if timers is None:
