@@ -187,12 +187,15 @@ def cap_per_group(
     ranked = survivors.withColumn("_rn", F.row_number().over(w))
     kept = ranked.filter(F.col("_rn") <= n)
     # groups whose threshold under-selected (survivors < min(n, cnt)):
-    # statistically ~never, handled lazily — no driver action
+    # statistically ~never, handled lazily — no driver action. LEFT
+    # join from the over-cap threshold table so a (theoretical)
+    # ZERO-survivor group — absent from the survivor counts entirely —
+    # is still flagged (coalesce(_got, 0)), not silently dropped.
+    got = survivors.groupBy(group).agg(F.count("*").alias("_got"))
     short = (
-        survivors.groupBy(group)
-        .agg(F.count("*").alias("_got"))
-        .join(F.broadcast(thr.filter(F.col("_cnt") > n)), group, "inner")
-        .filter(F.col("_got") < F.least(F.lit(n), F.col("_cnt")))
+        thr.filter(F.col("_cnt") > n)
+        .join(got, group, "left")
+        .filter(F.coalesce(F.col("_got"), F.lit(0)) < F.least(F.lit(n), F.col("_cnt")))
         .select(group)
     )
     rescue = (

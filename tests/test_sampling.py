@@ -192,3 +192,35 @@ def test_stratified_sample_matches_retired_oracle(spark):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_cap_per_group_rescues_zero_survivor_group(spark):
+    # adversarial construction: every key in the hot group hashes ABOVE
+    # the refinement threshold, so the pre-filter keeps zero rows and
+    # the lazy fallback must re-rank the full group (left-join coalesce
+    # path — a group absent from the survivor counts is still flagged)
+    from rnadam_spark.functions.hashing import MOD, hash_family
+
+    seed, n, cnt = 23, 1, 400
+    a, b = hash_family(1, seed)[0]
+    slack = int(n + 6 * (n**0.5) + 20)
+    thr = -(-MOD * slack // cnt)  # ceil, mirrors the operator
+
+    def code(k):
+        return ((k % MOD + MOD) % MOD * a + b) % MOD
+
+    keys, k = [], 0
+    while len(keys) < cnt:
+        if code(k) >= thr:
+            keys.append(k)
+        k += 1
+    rows = [(key, "hot") for key in keys] + [(10**9 + i, f"s{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "k BIGINT, g STRING")
+    got = sampling.cap_per_group(df, "g", n, "k", seed=seed).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r.k)
+    # exactly one survivor for the hot group: the min-(code, key) row
+    want = min(keys, key=lambda x: (code(x), x))
+    assert by_g["hot"] == [want]
+    assert all(len(v) == 1 for v in by_g.values()) and len(by_g) == 4
