@@ -282,6 +282,8 @@ def write_clustered(
     bits: int = 8,
     n_files: int | None = None,
     max_records_per_file: int = 1_000_000,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """Z-order clustered parquet sink (Delta ``OPTIMIZE ZORDER BY`` as
     plain Spark): rows are range-partitioned and sorted by their Morton
@@ -297,7 +299,17 @@ def write_clustered(
     boundary-sampling job over the input once more (reservoir samples
     per partition; rows are sampled, not all evaluated). Only the
     final exchange+write moves full rows. No window, no driver data
-    pass; the z-code is one whole-stage-codegen'd bitwise expression."""
+    pass; the z-code is one whole-stage-codegen'd bitwise expression.
+
+    ``bloom_cols``: write a parquet bloom filter for these columns —
+    the point-lookup complement to z-order. Min/max footer stats prune
+    on the CLUSTERED columns' ranges; a bloom filter prunes row groups
+    on ``col = literal`` probes against HIGH-cardinality columns the
+    layout wasn't sorted by (e.g. doc_id lookups in a (source,
+    quality)-clustered corpus), at a few bits per distinct value of
+    file-size cost. ``bloom_ndv`` sizes the filter (expected distinct
+    values PER ROW GROUP — overestimating wastes bytes, never
+    correctness). Readers that ignore blooms still read the file."""
     z = zordered(df, cluster_by, bits=bits)
     parts = [n_files] if n_files else []
     out = (
@@ -305,11 +317,14 @@ def write_clustered(
         .sortWithinPartitions("_zorder")
         .drop("_zorder")
     )
-    (
-        out.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(path)
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
     )
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(int(bloom_ndv))
+        )
+    writer.parquet(path)
 
 
 def skipping_report(
