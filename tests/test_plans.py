@@ -365,3 +365,34 @@ def test_round7_operators_plan_contracts(spark, sf_dir):
     # rescue anti-join consumed it twice)
     plan = exc._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1
+
+
+def test_round8_operators_plan_contracts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import web
+    from rnadam_spark.operators.sampling import cap_per_group
+    from rnadam_spark.operators.text import nfkc_normalize
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # nfkc: a pure Arrow-batched map — zero shuffle, no join, no window
+    nf = nfkc_normalize(docs)
+    assert count_shuffles(nf) == 0 and not has_window(nf)
+
+    # suffix blocklist: the blocklist side must broadcast (the corpus
+    # explode never shuffles against it) and there is no window anywhere
+    bl = spark.createDataFrame([("example.com",)], "domain STRING")
+    blocked = web.filter_blocklisted_domains(docs, bl, suffix=True)
+    assert has_broadcast_join(blocked) and not has_window(blocked)
+
+    # cap: the per-group threshold rides a broadcast join; the only
+    # windows rank the BOUNDED survivor/rescue subsets, never the raw
+    # corpus — asserted by the threshold filter preceding them in the
+    # plan (a raw-corpus window would show a Window directly over the
+    # scan with no prior _code < _thr filter)
+    capped = cap_per_group(docs.select("doc_id", "source"), "source", 5, "doc_id")
+    assert has_broadcast_join(capped)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "_thr" in plan
