@@ -9,7 +9,8 @@ plus the north-star curation command over a documents table:
 
   rnadam-spark curate DOCUMENTS OUTPUT [-quality_min X]
       [-chunk_chars N] [-chunk_overlap N] [-partition_by COL]
-      [-skip_normalize] [-c4] [-gopher] [-dedup_lines] [-span_dedup N]
+      [-skip_normalize] [-nfkc] [-blocklist FILE] [-cap_per_domain N]
+      [-c4] [-gopher] [-dedup_lines] [-span_dedup N]
       [-max_dup_5gram X]
       [-max_perplexity X -lm_sample_frac F]
       [-classifier_weights PQ -classifier_intercept B -classifier_min P]
@@ -25,11 +26,11 @@ the incremental-ingest dedup pair:
 the arrival-driven streaming curation:
 
   rnadam-spark curate-stream DIR OUTPUT CHECKPOINT
-      [-format jsonl|parquet] [-quality_min X] [-no_c4]
+      [-format jsonl|parquet] [-quality_min X] [-no_c4] [-blocklist FILE]
 
 and the one-pass corpus audit:
 
-  rnadam-spark profile DOCUMENTS [-group_by COL] [-funnel]
+  rnadam-spark profile DOCUMENTS [-group_by COL] [-funnel] [-skew_by COL]
 
 Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
 are parquet datasets with the FIXTURES.md §A schemas. The library API
