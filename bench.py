@@ -494,6 +494,16 @@ def _quality_block(spark, sf_dir: str) -> dict:
         r = similarity.ann_recall(approx, exact).collect()[0]
         out[f"{name}_recall_at_{r.k}"] = r.recall
     emb.unpersist()
+    # LSH banding recall vs brute-force shingle Jaccard on a 20%
+    # deterministic document sample (the near-dup pipeline's quality
+    # number — banding trades recall for scale, so publish the trade)
+    from rnadam_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    rep = dedup.candidate_recall(docs, threshold=0.8, sample_fraction=0.2)
+    out["lsh_candidate_recall"] = rep["recall"]
+    out["lsh_candidate_precision"] = rep["precision"]
+    out["lsh_truth_pairs_in_sample"] = rep["n_true"]
     return out
 
 

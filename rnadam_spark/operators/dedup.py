@@ -419,3 +419,121 @@ def verify_pairs(
         .select("doc_a", "doc_b", hround(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def paragraph_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int | None = 1000,
+    min_chars: int = 40,
+    split_pattern: str = r"\n{2,}",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, para_idx): paragraphs that are NEAR-duplicates of
+    another paragraph anywhere in the corpus, minus one canonical
+    survivor per duplicate family — the fuzzy-granular complement to
+    ``repetition.dedup_paragraphs`` (exact match only): lightly-edited
+    boilerplate blocks (cookie banners with the site name substituted,
+    templated bios, syndicated footers) land in the same family here
+    and would slip past an exact hash.
+
+    Pure composition of the document-level machinery over paragraph
+    units: posexplode on the same ``split_pattern`` the paragraph
+    operators share → each unit keyed by ``xxhash64(doc_id, para_idx)``
+    → the existing LSH candidates → exact-Jaccard verify → connected
+    components; the canonical survivor per family is the component
+    root (min unit hash — deterministic under any partitioning, same
+    convention as every dedup operator here). Paragraphs under
+    ``min_chars`` are ignored (too short for stable shingle Jaccard —
+    headers and one-liners belong to ``dedup_lines``). Feed the output
+    straight to ``text.excise_paragraphs`` to rebuild the corpus.
+
+    Scale shape: everything is the proven document path (banded LSH
+    with the bucket cap, in-row verify, O(log n) star rounds); the
+    paragraph explosion multiplies unit count, not algorithmic
+    risk."""
+    from rnadam_spark.operators.clustering import connected_components
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern)).alias(
+            "para_idx", "_ptext"
+        ),
+    ).filter(F.length(F.trim(F.col("_ptext"))) >= min_chars)
+    units = paras.withColumn("_unit", F.xxhash64(F.col(id_col), F.col("para_idx")))
+    u = units.select(F.col("_unit").alias("doc_id"), F.col("_ptext").alias("text"))
+    cand = lsh_candidate_pairs(u, max_bucket=max_bucket)
+    ver = verify_pairs(cand, u, threshold=threshold)
+    comp = connected_components(ver)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_unit")
+    )
+    return units.join(losers, "_unit", "leftsemi").select(id_col, "para_idx")
+
+
+def candidate_recall(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    sample_fraction: float = 0.05,
+    seed: int = 41,
+    max_bucket: int | None = 1000,
+    k: int = SHINGLE_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Measured recall/precision of the banded-LSH candidate stage
+    against ground truth on a deterministic sample — the quality number
+    the near-dup pipeline must publish next to its speed (banding
+    trades recall for scale; an over-banded config silently misses real
+    duplicates and nothing downstream can recover them). The dedup
+    analogue of ``similarity.ann_recall``.
+
+    Ground truth is brute force, so it only runs on a hash sample:
+    ``sample_fraction`` of documents (deterministic — the same sample
+    on any partitioning, so numbers are comparable across runs), all
+    exact k-shingle Jaccards within the sample via one self-join,
+    pairs ≥ ``threshold`` as truth. Candidates come from the REAL
+    ``lsh_candidate_pairs`` restricted to the same sample. Returns a
+    bounded dict: n_true / n_candidates / n_hit, recall (candidates ∩
+    truth / truth — the number banding controls) and precision (the
+    verify stage's workload efficiency). O(sample²) pairs bounds the
+    cost; size the fraction so the sample stays ~10⁴ docs."""
+    from rnadam_spark.operators.sampling import hash_sample
+
+    sample = hash_sample(
+        docs.select(id_col, text_col), id_col, sample_fraction, seed
+    ).cache()
+    sh = sample.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(text_col, k)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(inter.cast("double") / F.greatest(union, F.lit(1)) >= threshold)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    cand = lsh_candidate_pairs(sample, max_bucket=max_bucket).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    n_sample = sample.count()
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = cand.join(truth, ["doc_a", "doc_b"], "leftsemi").count()
+    sample.unpersist()
+    truth.unpersist()
+    return {
+        "sample_docs": n_sample,
+        "n_true": n_true,
+        "n_candidates": n_cand,
+        "n_hit": n_hit,
+        "recall": round(n_hit / n_true, 6) if n_true else None,
+        "precision": round(n_hit / n_cand, 6) if n_cand else None,
+    }

@@ -296,3 +296,74 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     }
     errs = [abs(est[p] - exact[p]) for p in est if p in exact]
     assert errs and sum(errs) / len(errs) < 0.15  # 16-hash estimator noise
+
+
+def test_paragraph_near_dups_and_excision(spark):
+    from rnadam_spark.operators.dedup import paragraph_near_dups
+    from rnadam_spark.operators.text import excise_paragraphs
+
+    banner = ("This website uses cookies to improve your experience on "
+              "SITE and to personalize advertising content across pages.")
+    body = [
+        "A completely original paragraph about transcript quantification methods.",
+        "Another unique paragraph describing the evaluation protocol in detail.",
+        "Yet another distinct paragraph with its own particular substance here.",
+        "A fourth standalone paragraph covering deployment considerations fully.",
+        "A fifth self-contained paragraph on monitoring and alerting practice.",
+    ]
+    rows = []
+    for i in range(4):
+        # each doc: a lightly-edited banner variant + a UNIQUE body
+        variant = banner.replace("SITE", f"site-{i}.example")
+        rows.append((i, variant + "\n\n" + body[i]))
+    rows.append((9, "Short.\n\n" + body[4]))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    flagged = paragraph_near_dups(df, threshold=0.7, min_chars=40)
+    got = {(r.doc_id, r.para_idx) for r in flagged.collect()}
+    # exactly 3 of the 4 banner variants flagged (one canonical survives);
+    # the unique bodies and the sub-min_chars "Short." are never flagged
+    assert len(got) == 3 and all(p == 0 and d in (0, 1, 2, 3) for (d, p) in got)
+    # determinism under repartition
+    again = {
+        (r.doc_id, r.para_idx)
+        for r in paragraph_near_dups(
+            df.repartition(7), threshold=0.7, min_chars=40
+        ).collect()
+    }
+    assert again == got
+    # composition: excising rebuilds docs without the flagged banners
+    rebuilt = {r.doc_id: r.text for r in excise_paragraphs(df, flagged).collect()}
+    n_with_banner = sum(1 for t in rebuilt.values() if "uses cookies" in t)
+    assert n_with_banner == 1
+    assert all(body[i] in rebuilt[i] for i in range(4))
+
+
+def test_candidate_recall_audit(spark):
+    from rnadam_spark.operators.dedup import candidate_recall
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd watches quietly from the old stands")
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            # near-dup family: small edit per member
+            rows.append((i, base + f" extra tail {i % 2}"))
+        else:
+            # md5-derived tokens: essentially zero shingle overlap
+            import hashlib
+
+            toks = [
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:10]
+                for j in range(25)
+            ]
+            rows.append((i, f"document {i} " + " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    rep = candidate_recall(df, threshold=0.6, sample_fraction=1.0)
+    assert rep["sample_docs"] == 60
+    # the family members are true near-dups and banding must find them:
+    # 20 members sharing ~identical text -> C(20,2) true pairs
+    assert rep["n_true"] == 190
+    assert rep["recall"] == 1.0
+    assert rep["n_candidates"] >= rep["n_hit"] > 0
+    assert 0 < rep["precision"] <= 1.0
