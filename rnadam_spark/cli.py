@@ -163,6 +163,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "(Lee et al. 2021 substring dedup); runs on the dedup survivors",
     )
     c.add_argument(
+        "-para_near_dedup",
+        type=float,
+        default=None,
+        help="excise paragraphs that are NEAR-duplicates (shingle "
+        "Jaccard >= X) of another paragraph anywhere in the corpus, "
+        "keeping one canonical per family (fuzzy boilerplate blocks an "
+        "exact hash misses); docs the cut empties are dropped",
+    )
+    c.add_argument(
         "-max_dup_5gram",
         type=float,
         default=None,
@@ -709,6 +718,7 @@ def _run_curate(spark, args) -> None:
         or args.span_dedup
         or args.mixture_alpha is not None
         or args.cap_per_domain is not None
+        or args.para_near_dedup is not None
     ):
         from rnadam_spark.lineage import truncate_lineage
 
@@ -750,6 +760,19 @@ def _run_curate(spark, args) -> None:
             .filter(F.col("n_tokens_before") > F.col("n_tokens_removed"))
             .select("doc_id", "text")
             .join(curated.drop("text"), "doc_id")
+        )
+    if args.para_near_dedup is not None:
+        from rnadam_spark.lineage import truncate_lineage
+        from rnadam_spark.operators.dedup import paragraph_near_dups
+
+        # fuzzy paragraph dedup after the document-level passes: the
+        # LSH/verify/CC stack traverses its input repeatedly, and the
+        # excision rebuild consumes it again — materialize first
+        curated = truncate_lineage(curated)
+        bad = paragraph_near_dups(curated, threshold=args.para_near_dedup)
+        curated = (
+            text.excise_paragraphs(curated, bad)
+            .filter(F.length("text") > 0)
         )
     if args.cap_per_domain is not None:
         from rnadam_spark.lineage import truncate_lineage

@@ -51,14 +51,18 @@ def curate_stream_chain(
     chunk_overlap: int = 128,
     text_col: str = "text",
     blocklist: DataFrame | None = None,
+    nfkc: bool = False,
 ) -> DataFrame:
     """The stateless curation chain as one fused projection; works on
     streaming AND batch DataFrames identically (agreement is pinned by
     tests). Output: the input columns with ``text`` cleaned, plus
     ``n_redactions`` and ``quality`` (and ``chunk_idx`` when chunking).
 
-    Stage order matches the batch CLI: [blocklist] → normalize →
-    [C4 line+page filter] → PII scrub → quality threshold → [chunk].
+    Stage order matches the batch CLI: [blocklist] → [NFKC] →
+    normalize → [C4 line+page filter] → PII scrub → quality threshold →
+    [chunk]. ``nfkc=True`` adds Unicode NFKC canonicalization — an
+    Arrow-batched map, stateless, so it slots into the stream
+    unchanged.
 
     ``blocklist`` (a STATIC (domain) DataFrame) adds the UT1
     suffix-semantics gate as the first stage. The batch operator's
@@ -91,6 +95,8 @@ def curate_stream_chain(
             .drop("_sfx")
         )
     passthrough = [c for c in docs.columns if c != text_col]
+    if nfkc:
+        cur = tx.nfkc_normalize(cur, text_col=text_col).drop("n_changed")
     cur = cur.withColumn(text_col, tx.normalized_column(text_col))
     if use_c4:
         c4 = tx.c4_columns(text_col)

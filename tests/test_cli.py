@@ -920,3 +920,34 @@ def test_cli_curate_nfkc(spark, tmp_path):
     out2 = str(tmp_path / "out2")
     cli.main(["curate", src, out2, "-quality_min", "0.0"])
     assert len(spark.read.parquet(out2).collect()) == 2
+
+
+def test_cli_curate_para_near_dedup(spark, tmp_path):
+    banner = ("This website uses cookies to improve your experience on "
+              "SITE and to personalize advertising content across pages.")
+    bodies = [
+        "A completely original paragraph about transcript quantification methods.",
+        "Another unique paragraph describing the evaluation protocol in detail.",
+        "Yet another distinct paragraph with its own particular substance here.",
+    ]
+    rows = [
+        (i, banner.replace("SITE", f"site-{i}.example") + "\n\n" + bodies[i],
+         "en", "s", 300)
+        for i in range(3)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    cli.main([
+        "curate", src, out, "-quality_min", "0.0", "-skip_normalize",
+        "-para_near_dedup", "0.7",
+    ])
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1, 2}
+    # exactly one banner variant survives across the corpus; every
+    # unique body paragraph is intact
+    assert sum("uses cookies" in t for t in got.values()) == 1
+    for i in range(3):
+        assert bodies[i] in got[i]

@@ -218,3 +218,35 @@ def test_cli_curate_stream_blocklist(spark, tmp_path):
     ])
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {2}
+
+
+def test_chain_nfkc_stream_matches_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "text", F.concat(F.lit("ﬁrst Ａ１ "), F.col("text"))
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        synth.write.mode("overwrite").parquet(td + "/docs")
+        stream = spark.readStream.schema(synth.schema).parquet(td + "/docs")
+        got = se.run_to_memory(
+            curate_stream_chain(stream, quality_min=0.0, use_c4=False, nfkc=True),
+            "nfkc_stream_out",
+        )
+        s = {tuple(r) for r in got.collect()}
+    b = {
+        tuple(r)
+        for r in curate_stream_chain(
+            synth, quality_min=0.0, use_c4=False, nfkc=True
+        ).collect()
+    }
+    assert s == b and s
+    # the fullwidth/ligature prefix actually folded
+    texts = [
+        r.text
+        for r in curate_stream_chain(
+            synth, quality_min=0.0, use_c4=False, nfkc=True
+        ).collect()
+    ]
+    assert all(t.startswith("first A1 ") for t in texts)
