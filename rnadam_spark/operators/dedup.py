@@ -395,18 +395,45 @@ def verify_pairs(
     verify → connected components is the standard three-stage near-dup
     dedup.
 
-    Scale shape: each side's distinct-shingle array attaches by a
-    doc_id-equi join, so the corpus contributes one row per document
-    that actually appears in a candidate pair (a semi-join-sized
-    subset; AQE broadcasts the pair side when it is small). The
-    intersection runs in-row (``array_intersect`` of sorted distinct
-    shingles) — no shingle-level explode, no per-pair shuffle beyond
-    the two joins."""
+    Scale shape: the pair ids semi-join-prune the corpus FIRST, so
+    shingles are computed once, only for documents that actually
+    appear in a candidate pair, and materialize as a slim table both
+    join sides read (bounded by candidate count). The earlier
+    two-sided form shingled the ENTIRE corpus per side and shuffled
+    those corpus-wide shingle arrays through both joins — fine at toy
+    scale (it measured ~3s faster at sf0.1, where two eager
+    materialization jobs outweigh double-shingling 5,000 docs), a
+    non-starter at 100 TB (two corpus-wide shuffles of shingle
+    payloads vs one scan + broadcast-semi prune + candidate-sized
+    state; the explicit trade, recorded like the z-order write
+    premium). The intersection runs in-row (``array_intersect`` of
+    sorted distinct shingles) — no shingle-level explode, no per-pair
+    shuffle beyond the two candidate-sized joins."""
     from rnadam_spark.functions.rounding import hround
+    from rnadam_spark.lineage import truncate_lineage
 
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(char_shingles(text_col, k)).alias("_sh"),
+    # shingle ONLY the documents that appear in a candidate pair, ONCE:
+    # the naive two-sided join shingles the ENTIRE corpus twice (the
+    # shingle projection sits below each join, so it evaluates for every
+    # doc row per side). Candidates are a tiny subset of a 100 TB corpus
+    # — prune with a semi-join against the pair ids first, then
+    # materialize the slim (id, shingles) table so BOTH sides read rows
+    # (bounded by candidate count, not corpus size).
+    # the pair table is itself an unmaterialized LSH subtree when fed
+    # straight from lsh_candidate_pairs — and it now has three
+    # consumers (two id projections + the final join), so it
+    # materializes first (16 bytes/row, bounded by candidate count)
+    pairs = truncate_lineage(pairs.select("doc_a", "doc_b"))
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = truncate_lineage(
+        docs.join(ids, id_col, "leftsemi").select(
+            F.col(id_col),
+            F.array_distinct(char_shingles(text_col, k)).alias("_sh"),
+        )
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
