@@ -401,9 +401,9 @@ def verify_pairs(
     join sides read (bounded by candidate count). The earlier
     two-sided form shingled the ENTIRE corpus per side and shuffled
     those corpus-wide shingle arrays through both joins — fine at toy
-    scale (it measured ~3s faster at sf0.1, where two eager
-    materialization jobs outweigh double-shingling 5,000 docs), a
-    non-starter at 100 TB (two corpus-wide shuffles of shingle
+    scale (it measured ~2s faster at sf0.1 unloaded, 13.8s vs 15.9s
+    for lsh+verify min-of-3: two eager materialization jobs outweigh
+    double-shingling 5,000 docs), a non-starter at 100 TB (two corpus-wide shuffles of shingle
     payloads vs one scan + broadcast-semi prune + candidate-sized
     state; the explicit trade, recorded like the z-order write
     premium). The intersection runs in-row (``array_intersect`` of
