@@ -186,6 +186,10 @@ def kmeans_centroids(
         .collect()
     )
     cents: list[list[float]] = [list(r.e) for r in init]
+    if not cents:
+        raise ValueError(
+            "kmeans_centroids: embeddings table is empty — nothing to train on"
+        )
     for _ in range(max_iterations):
         cell = F.array_max(_centroid_scores(_as_double("embedding"), cents))["cid"]
         assigned = embeddings.select(cell.alias("cell"), _as_double("embedding").alias("e"))
@@ -433,6 +437,8 @@ def train_pq(
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("train_pq: embeddings table is empty — nothing to train on")
     books: list[list[list[float]]] = [
         [list(r.e[sub * d_sub : (sub + 1) * d_sub]) for r in init] for sub in range(m)
     ]

@@ -440,3 +440,15 @@ def test_ann_recall_paths(spark):
     # a self-comparison is perfect recall by construction
     perfect = S.ann_recall(exact, exact).collect()[0]
     assert perfect.recall == 1.0 and perfect.n_hits == 10
+
+
+def test_trainers_clear_error_on_empty_table(spark):
+    import pytest
+
+    from rnadam_spark.operators import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="empty"):
+        S.kmeans_centroids(empty, k=2, max_iterations=1)
+    with pytest.raises(ValueError, match="empty"):
+        S.train_pq(empty, m=2, nbits=2, max_iterations=1)
