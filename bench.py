@@ -207,7 +207,9 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         # A/B keeps the claim measurement-backed at sf0.1)
         exploded = d.select(
             F.col("doc_id"),
-            F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
+            F.posexplode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+            ).alias("line_no", "line"),
         )
         participating = F.length(F.trim(F.col("line"))) >= 8
         w = Window.partitionBy("line").orderBy("doc_id", "line_no")

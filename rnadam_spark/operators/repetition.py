@@ -172,9 +172,16 @@ def dedup_lines(
     the identical aggregate-then-join machinery."""
     line_no = F.col("line_no")
     line = F.col("line")
+    # coalesce: a NULL-text document must behave as the empty page (one
+    # empty never-participating line) — posexplode of split(NULL) emits
+    # no rows, which would silently drop the document from the rebuild
+    # groupBy, violating the contract above (same null convention as
+    # the HTML extractor)
     exploded = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), split_pattern)
+        ).alias("line_no", "line"),
     )
     participating = F.length(F.trim(line)) >= min_line_chars
     winners = (

@@ -287,3 +287,20 @@ def test_compression_signals_flag_templated_text(spark):
     # templated text compresses far better than prose
     assert got[1].compression_ratio < 0.2 < got[2].compression_ratio
     assert got[3].n_bytes == 0  # empty doc keeps its audit row
+
+
+def test_dedup_lines_null_text_doc_survives(spark):
+    # contract: a curation op must never silently drop a document row —
+    # NULL text behaves as the empty page (kept, empty output text)
+    from rnadam_spark.operators.repetition import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a boilerplate line here\nunique one"),
+         (2, None),
+         (3, "a boilerplate line here\nunique two")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2].text == "" and got[2].n_lines_kept == 1
+    assert "boilerplate" in got[1].text and "boilerplate" not in got[3].text
