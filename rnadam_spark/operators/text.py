@@ -728,9 +728,14 @@ def excise_paragraphs(
     the docs scan twice (a survivors anti-join rescuing all-condemned
     documents) — this folds the rescue into the aggregate itself."""
     other = [c for c in docs.columns if c != text_col]
+    # coalesce: split of EMPTY text yields [""] (one surviving row) but
+    # split of NULL yields NULL, whose posexplode emits nothing and
+    # would silently drop the document — null behaves as the empty page
     paras = docs.select(
         *other,
-        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("para_idx", "_para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), split_pattern)
+        ).alias("para_idx", "_para"),
     )
     bad = (
         bad_paragraphs.select(

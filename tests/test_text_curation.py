@@ -404,3 +404,14 @@ def test_nfkc_normalize_matches_python_and_counts(spark):
         assert got[doc_id].n_changed == (0 if text in (None, want) else 1)
         assert got[doc_id].lang == "en"  # passthrough column survives
     assert got[3].n_changed == 0 and got[1].n_changed == 1
+
+
+def test_excise_paragraphs_null_text_doc_survives(spark):
+    from rnadam_spark.operators.text import excise_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "keep me\n\ndrop me")], "doc_id BIGINT, text STRING"
+    )
+    bad = spark.createDataFrame([(2, 1)], "doc_id BIGINT, para_idx INT")
+    got = {r.doc_id: r.text for r in excise_paragraphs(docs, bad).collect()}
+    assert got == {1: "", 2: "keep me"}
