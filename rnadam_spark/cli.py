@@ -269,6 +269,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cs.add_argument("-quality_min", type=float, default=0.9)
     cs.add_argument("-no_c4", action="store_true")
     cs.add_argument(
+        "-exact_dedup",
+        action="store_true",
+        help="stateful cross-batch exact dedup: one checkpoint-persisted "
+        "state entry per distinct content hash; a re-crawled duplicate "
+        "arriving in a later file or run is dropped",
+    )
+    cs.add_argument(
         "-blocklist",
         default=None,
         help="domain blocklist (parquet domain column or one-per-line "
@@ -925,6 +932,7 @@ def main(argv: list[str] | None = None) -> None:
                 if args.blocklist is not None
                 else None
             ),
+            exact_dedup=args.exact_dedup,
         )
     elif args.command == "ann-index":
         import json

@@ -134,15 +134,30 @@ def run_curate_stream(
     use_c4: bool = True,
     available_now: bool = True,
     blocklist: DataFrame | None = None,
+    exact_dedup: bool = False,
 ) -> None:
     """Drive the fused chain to a parquet sink with a checkpoint.
     ``available_now=True`` processes everything currently in the source
     then stops (the incremental-daily-ingest trigger: each run picks up
     exactly the files that arrived since the last checkpoint commit);
-    ``False`` runs continuously until the caller stops the query."""
+    ``False`` runs continuously until the caller stops the query.
+
+    ``exact_dedup=True`` adds STATEFUL cross-batch exact dedup: the
+    built-in streaming ``dropDuplicates`` over the cleaned content hash
+    keeps one state-store entry per distinct document (16-byte md5
+    keys), so a re-crawled page arriving in a LATER file — or a later
+    RUN, since the state lives in the checkpoint — is dropped, not
+    re-emitted. This is the one deliberately stateful stage in the
+    streaming path: state grows with distinct content (the documented
+    trade — at crawl scale back the state store with RocksDB and
+    compact via the periodic batch pass, which remains the authority
+    for near-dup and corpus-global stages)."""
     out = curate_stream_chain(
         docs_stream, quality_min=quality_min, use_c4=use_c4, blocklist=blocklist
     )
+    if exact_dedup:
+        out = out.withColumn("_h", F.md5(F.coalesce(F.col("text"), F.lit("")))) \
+                 .dropDuplicates(["_h"]).drop("_h")
     writer = (
         out.writeStream.outputMode("append")
         .format("parquet")

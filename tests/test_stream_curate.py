@@ -250,3 +250,38 @@ def test_chain_nfkc_stream_matches_batch(spark, sf_dir):
         ).collect()
     ]
     assert all(t.startswith("first A1 ") for t in texts)
+
+
+def test_cli_curate_stream_exact_dedup_across_runs(spark, tmp_path):
+    # the state store lives in the checkpoint, so a duplicate arriving
+    # in a LATER RUN is dropped — cross-run exactly-once dedup
+    import os
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    good = ("A first clean normal sentence right here today.\n"
+            "A second clean normal sentence right here today!")
+    other = good.replace("first", "different")
+
+    def write_batch(name, rows):
+        with open(f"{src}/{name}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(
+                    ["doc_id", "text", "lang", "source", "n_chars"], r))) + "\n")
+
+    write_batch("b1", [(1, good, "en", "s", 99), (2, good, "en", "s", 99)])
+    cli.main(["curate-stream", src, out, ckpt,
+              "-quality_min", "0.0", "-no_c4", "-exact_dedup"])
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert len(first) == 1  # in-batch duplicate collapsed
+
+    write_batch("b2", [(3, good, "en", "s", 99), (4, other, "en", "s", 99)])
+    cli.main(["curate-stream", src, out, ckpt,
+              "-quality_min", "0.0", "-no_c4", "-exact_dedup"])
+    all_docs = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # doc 3 duplicates run-1 content -> dropped by checkpointed state;
+    # doc 4 is new -> kept
+    assert 4 in all_docs and 3 not in all_docs
+    assert len(all_docs) == 2
