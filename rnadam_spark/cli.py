@@ -276,6 +276,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "arriving in a later file or run is dropped",
     )
     cs.add_argument(
+        "-dedup_within",
+        default=None,
+        help="with -exact_dedup on an event-timed source (warc): bound "
+        "the dedup state to this watermark horizon (e.g. '7 days') — "
+        "older state evicts; re-crawls beyond it fall to the batch pass",
+    )
+    cs.add_argument(
         "-blocklist",
         default=None,
         help="domain blocklist (parquet domain column or one-per-line "
@@ -933,6 +940,7 @@ def main(argv: list[str] | None = None) -> None:
                 else None
             ),
             exact_dedup=args.exact_dedup,
+            dedup_within=args.dedup_within,
         )
     elif args.command == "ann-index":
         import json

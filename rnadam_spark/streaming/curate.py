@@ -135,6 +135,7 @@ def run_curate_stream(
     available_now: bool = True,
     blocklist: DataFrame | None = None,
     exact_dedup: bool = False,
+    dedup_within: str | None = None,
 ) -> None:
     """Drive the fused chain to a parquet sink with a checkpoint.
     ``available_now=True`` processes everything currently in the source
@@ -151,13 +152,35 @@ def run_curate_stream(
     streaming path: state grows with distinct content (the documented
     trade — at crawl scale back the state store with RocksDB and
     compact via the periodic batch pass, which remains the authority
-    for near-dup and corpus-global stages)."""
+    for near-dup and corpus-global stages).
+
+    ``dedup_within`` (e.g. ``"7 days"``, requires ``exact_dedup`` and a
+    ``fetched_at`` event-time column — the WARC path provides one)
+    switches to ``dropDuplicatesWithinWatermark``: duplicates are only
+    suppressed within the watermark horizon, and state older than it is
+    EVICTED — the bounded-state form. The trade is explicit: a
+    re-crawl after the horizon re-emits (the periodic batch dedup
+    catches it), in exchange for state proportional to one horizon of
+    crawl instead of the whole corpus history."""
     out = curate_stream_chain(
         docs_stream, quality_min=quality_min, use_c4=use_c4, blocklist=blocklist
     )
     if exact_dedup:
-        out = out.withColumn("_h", F.md5(F.coalesce(F.col("text"), F.lit("")))) \
-                 .dropDuplicates(["_h"]).drop("_h")
+        out = out.withColumn("_h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        if dedup_within is not None:
+            if "fetched_at" not in out.columns:
+                raise ValueError(
+                    "dedup_within needs a fetched_at event-time column "
+                    "(the WARC ingest path provides one)"
+                )
+            out = (
+                out.withColumn("_ts", F.to_timestamp("fetched_at"))
+                .withWatermark("_ts", dedup_within)
+                .dropDuplicatesWithinWatermark(["_h"])
+                .drop("_h", "_ts")
+            )
+        else:
+            out = out.dropDuplicates(["_h"]).drop("_h")
     writer = (
         out.writeStream.outputMode("append")
         .format("parquet")

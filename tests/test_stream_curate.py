@@ -285,3 +285,24 @@ def test_cli_curate_stream_exact_dedup_across_runs(spark, tmp_path):
     # doc 4 is new -> kept
     assert 4 in all_docs and 3 not in all_docs
     assert len(all_docs) == 2
+
+
+def test_cli_curate_stream_dedup_within_watermark(spark, tmp_path):
+    # bounded-state dedup over the WARC path: a same-content re-crawl
+    # within the watermark horizon is suppressed; distinct pages pass
+    from tests.test_warc import _warc_file
+
+    shards = tmp_path / "warc_w"
+    shards.mkdir()
+    out = str(tmp_path / "curated_w")
+    ckpt = str(tmp_path / "ckpt_w")
+    # same page content served from two URLs: content-hash dedup keeps 1
+    (shards / "a.warc").write_text(_warc_file())
+    (shards / "b.warc").write_text(_warc_file().replace("example.com", "mirror.net"))
+    cli.main([
+        "curate-stream", str(shards), out, ckpt,
+        "-format", "warc", "-quality_min", "-10", "-no_c4",
+        "-exact_dedup", "-dedup_within", "7 days",
+    ])
+    back = spark.read.parquet(out)
+    assert back.count() == 1
