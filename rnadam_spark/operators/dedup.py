@@ -479,7 +479,16 @@ def paragraph_near_dups(
     Scale shape: everything is the proven document path (banded LSH
     with the bucket cap, in-row verify, O(log n) star rounds); the
     paragraph explosion multiplies unit count, not algorithmic
-    risk."""
+    risk.
+
+    Verification note (why this is pytest-pinned, not gate-oracled):
+    the unit key is ``xxhash64(doc_id, para_idx)``, which DuckDB cannot
+    recompute, so the canonical-survivor choice (min unit hash) is not
+    independently re-derivable in SQL. An order-preserving encoded key
+    (doc_id·2²⁰ + para_idx) would be portable but overflows BIGINT for
+    xxhash64-minted doc ids (WARC documents). The underlying kernels —
+    banding, Jaccard verify, connected components — each keep their own
+    gate oracles on the document path."""
     from rnadam_spark.operators.clustering import connected_components
 
     paras = docs.select(
