@@ -49,8 +49,27 @@ def main() -> None:
     con.execute(
         f"COPY ({copies} ORDER BY doc_id) TO '{out}/documents.parquet' (FORMAT PARQUET)"
     )
+    # events scale by DISJOINT-USER copies: each copy shifts user_id and
+    # event_id beyond the base ranges and leaves ts unchanged, so
+    # per-user semantics (sessionization, running stats) see N× distinct
+    # users rather than artificially merged sessions, and time-window
+    # rollups see N× the rows per window — both are the honest 10×
+    # shapes. Deterministic, no RNG.
+    emax_id, umax = con.execute(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 "
+        f"FROM read_parquet('{base}/events.parquet')"
+    ).fetchone()
+    ecopies = " UNION ALL ".join(
+        f"""SELECT event_id + {i * emax_id} AS event_id, ts,
+               user_id + {i * umax} AS user_id, event_type, value, props
+            FROM read_parquet('{base}/events.parquet')"""
+        for i in range(factor)
+    )
+    con.execute(
+        f"COPY ({ecopies} ORDER BY event_id) TO '{out}/events.parquet' (FORMAT PARQUET)"
+    )
     for t in TABLES:
-        if t == "documents":
+        if t in ("documents", "events"):
             continue
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
