@@ -68,8 +68,36 @@ def main() -> None:
     con.execute(
         f"COPY ({ecopies} ORDER BY event_id) TO '{out}/events.parquet' (FORMAT PARQUET)"
     )
+    # orders/lineitem scale by CONSISTENTLY-shifted orderkeys (same
+    # offset in both tables so the fact-fact join stays intact);
+    # customer/part/supplier references stay unchanged — dims are
+    # symlinked and each customer simply carries N× orders, the honest
+    # fact-growth shape for the relational family.
+    omax = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM read_parquet('{base}/orders.parquet')"
+    ).fetchone()[0]
+    ocopies = " UNION ALL ".join(
+        f"""SELECT o_orderkey + {i * omax} AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{base}/orders.parquet')"""
+        for i in range(factor)
+    )
+    con.execute(
+        f"COPY ({ocopies} ORDER BY o_orderkey) TO '{out}/orders.parquet' (FORMAT PARQUET)"
+    )
+    lcopies = " UNION ALL ".join(
+        f"""SELECT l_orderkey + {i * omax} AS l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{base}/lineitem.parquet')"""
+        for i in range(factor)
+    )
+    con.execute(
+        f"COPY ({lcopies} ORDER BY l_orderkey, l_linenumber) "
+        f"TO '{out}/lineitem.parquet' (FORMAT PARQUET)"
+    )
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in ("documents", "events", "orders", "lineitem"):
             continue
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
