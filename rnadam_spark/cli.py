@@ -248,6 +248,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "with a _manifest.json) instead of the -partition_by layout",
     )
     c.add_argument("-shard_seed", type=int, default=0)
+    c.add_argument(
+        "-codec",
+        default=None,
+        help="parquet compression for the output (e.g. zstd — the "
+        "better size/speed point for text at rest; default snappy)",
+    )
 
     cs = sub.add_parser(
         "curate-stream",
@@ -825,10 +831,16 @@ def _run_curate(spark, args) -> None:
         # the SAME shard — deliberate: shard-granular train/val splits
         # then never leak a document's chunks across the split
         write_training_shards(
-            curated, args.output, n_shards=args.shards, seed=args.shard_seed
+            curated,
+            args.output,
+            n_shards=args.shards,
+            seed=args.shard_seed,
+            codec=args.codec,
         )
     else:
-        write_partitioned(curated, args.output, partition_by=[args.partition_by])
+        write_partitioned(
+            curated, args.output, partition_by=[args.partition_by], codec=args.codec
+        )
 
 
 def _run_profile(spark, args) -> None:

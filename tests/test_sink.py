@@ -348,3 +348,26 @@ def test_write_clustered_bloom_filters(spark, tmp_path):
     got = spark.read.parquet(bloomed).filter("doc_id = 12345").collect()
     assert len(got) == 1 and got[0].a == 12345 % 97
     assert spark.read.parquet(bloomed).count() == 20000
+
+
+def test_codec_option_reaches_parquet(spark, tmp_path):
+    import glob
+
+    from rnadam_spark.sources.sink import write_partitioned, write_training_shards
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+    )
+    write_partitioned(df, str(tmp_path / "z"), ["lang"], codec="zstd")
+    import pyarrow.parquet as pq
+
+    f = glob.glob(str(tmp_path / "z" / "lang=0" / "*.parquet"))[0]
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "ZSTD"
+    back = spark.read.parquet(str(tmp_path / "z"))
+    assert back.count() == 2000
+    counts = write_training_shards(df, str(tmp_path / "s"), 2, codec="zstd")
+    assert sum(counts.values()) == 2000
+    f2 = glob.glob(str(tmp_path / "s" / "shard=0" / "*.parquet"))[0]
+    assert pq.ParquetFile(f2).metadata.row_group(0).column(0).compression == "ZSTD"
