@@ -638,10 +638,21 @@ def _run_curate(spark, args) -> None:
 
         from rnadam_spark.operators.funnel import curation_funnel
 
+        funnel_input = raw_docs
+        if args.nfkc:
+            from rnadam_spark.operators import text as _tx
+
+            # the real pipeline NFKC-normalizes right after the blocklist
+            # gate, so the funnel must judge c4/gopher/quality/dup hashes
+            # on the SAME text or its drop attribution drifts from the
+            # actual run. NFKC only touches the text column — the
+            # blocklist stage keys on source/url, so pre-normalizing the
+            # funnel input leaves its first-stage counts identical.
+            funnel_input = _tx.nfkc_normalize(raw_docs).drop("n_changed")
         funnel_rows = [
             {"stage": r.stage, "n_dropped": r.n_dropped, "n_remaining": r.n_remaining}
             for r in curation_funnel(
-                raw_docs,
+                funnel_input,
                 blocklist=blocklist_df,
                 quality_min=args.quality_min,
                 use_c4=args.c4,

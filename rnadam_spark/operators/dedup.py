@@ -488,7 +488,17 @@ def paragraph_near_dups(
     (doc_id·2²⁰ + para_idx) would be portable but overflows BIGINT for
     xxhash64-minted doc ids (WARC documents). The underlying kernels —
     banding, Jaccard verify, connected components — each keep their own
-    gate oracles on the document path."""
+    gate oracles on the document path.
+
+    Collision bound: a 64-bit key over P paragraphs collides with
+    probability ≈ P²/2⁶⁵ (birthday) — negligible below ~10⁸ units, but
+    at full crawl scale (10¹⁰⁺ paragraphs) expect ~10³ spurious unit
+    merges: a collided pair joins two unrelated families, which can
+    excise a wrong paragraph or shift a canonical. If that matters,
+    run per-shard/per-snapshot (P per run stays small) or swap the key
+    for a struct(doc_id, para_idx) carried through CC — the CC loop is
+    key-type-agnostic; only the min-hash canonical convention assumes a
+    scalar orderable key."""
     from rnadam_spark.operators.clustering import connected_components
 
     paras = docs.select(
@@ -537,15 +547,22 @@ def candidate_recall(
     cost; size the fraction so the sample stays ~10⁴ docs."""
     from rnadam_spark.operators.sampling import hash_sample
 
+    # normalize to the (doc_id, text) shape up front: the downstream
+    # lsh_candidate_pairs / minhash_signatures chain keys on those names
+    # (same convention as paragraph_near_dups), so custom text_col /
+    # id_col callers work instead of dying on an unresolved column
     sample = hash_sample(
-        docs.select(id_col, text_col), id_col, sample_fraction, seed
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+        sample_fraction,
+        seed,
     ).cache()
     sh = sample.select(
-        F.col(id_col),
-        F.array_distinct(char_shingles(text_col, k)).alias("_sh"),
+        F.col("doc_id"),
+        F.array_distinct(char_shingles("text", k)).alias("_sh"),
     )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
     truth = (

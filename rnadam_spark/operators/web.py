@@ -146,7 +146,13 @@ def blocklist_filter_urls(
     )
     if patterns:
         alternation = "|".join(_re.escape(p) for p in sorted(patterns))
-        kept = kept.filter(~F.col(url_col).rlike(alternation))
+        # NULL urls pass the suffix branch (explode of a NULL host emits
+        # nothing, so they never reach the blocked set) — keep the same
+        # contract here: rlike(NULL) is NULL, and a bare ~rlike filter
+        # would silently drop those rows only when patterns are given
+        kept = kept.filter(
+            F.col(url_col).isNull() | ~F.col(url_col).rlike(alternation)
+        )
     return kept
 
 

@@ -162,6 +162,11 @@ def run_curate_stream(
     re-crawl after the horizon re-emits (the periodic batch dedup
     catches it), in exchange for state proportional to one horizon of
     crawl instead of the whole corpus history."""
+    if dedup_within is not None and not exact_dedup:
+        raise ValueError(
+            "dedup_within requires exact_dedup=True (it bounds the exact-dedup "
+            "state horizon; alone it would silently do no dedup at all)"
+        )
     out = curate_stream_chain(
         docs_stream, quality_min=quality_min, use_c4=use_c4, blocklist=blocklist
     )

@@ -367,3 +367,26 @@ def test_candidate_recall_audit(spark):
     assert rep["recall"] == 1.0
     assert rep["n_candidates"] >= rep["n_hit"] > 0
     assert 0 < rep["precision"] <= 1.0
+
+
+def test_candidate_recall_custom_columns(spark):
+    # ADVICE r8: text_col/id_col used to be accepted but not forwarded
+    # to lsh_candidate_pairs, so non-default names crashed
+    from rnadam_spark.operators.dedup import candidate_recall
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd watches quietly from the old stands")
+    rows = [(i, base + f" tail {i % 2}") for i in range(12)]
+    default = candidate_recall(
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING"),
+        threshold=0.6,
+        sample_fraction=1.0,
+    )
+    renamed = candidate_recall(
+        spark.createDataFrame(rows, "uid BIGINT, body STRING"),
+        threshold=0.6,
+        sample_fraction=1.0,
+        text_col="body",
+        id_col="uid",
+    )
+    assert renamed == default and default["n_true"] > 0

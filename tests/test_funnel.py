@@ -176,3 +176,35 @@ def test_funnel_gopher_stage(spark):
         for r in curation_funnel(docs, quality_min=0.0, use_c4=False).collect()
     }
     assert off["gopher"] == 0
+
+
+def test_audit_applies_nfkc_when_enabled(spark, tmp_path, capsys):
+    # ADVICE r8: with -nfkc the funnel used to judge RAW text while the
+    # pipeline ran on NFKC text — here a fullwidth variant of doc 1 only
+    # collides in exact dedup after NFKC, so a raw-text audit would
+    # report zero exact-dup drops while the real run drops one
+    import json
+
+    from rnadam_spark import cli
+
+    ascii_doc = ("The committee will meet on Tuesday to review the annual "
+                 "budget report and publish the minutes for everyone.")
+    fw_doc = "".join(
+        chr(ord(c) + 0xFEE0) if "!" <= c <= "~" else c for c in ascii_doc
+    )
+    assert fw_doc != ascii_doc
+    other = ("A completely different second document about gardening and "
+             "the proper seasonal care of tomato plants in raised beds.")
+    rows = [(1, ascii_doc, "en", "web"), (2, fw_doc, "en", "web"),
+            (3, other, "en", "web")]
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    out = str(tmp_path / "out")
+    cli.main(["curate", src, out, "-quality_min", "0.0", "-nfkc", "-audit"])
+    kept = spark.read.parquet(out).count()
+    assert kept == 2  # NFKC makes docs 1/2 exact duplicates
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    funnel = {f["stage"]: f for f in json.loads(line)["funnel"]}
+    assert funnel["exact_dup"]["n_dropped"] == 1
+    assert funnel["exact_dup"]["n_remaining"] == kept

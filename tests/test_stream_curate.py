@@ -306,3 +306,21 @@ def test_cli_curate_stream_dedup_within_watermark(spark, tmp_path):
     ])
     back = spark.read.parquet(out)
     assert back.count() == 1
+
+
+def test_run_curate_stream_dedup_within_requires_exact_dedup(spark, tmp_path):
+    # ADVICE r8: -dedup_within alone used to be silently ignored — a
+    # user asking for bounded-horizon dedup got NO dedup with no warning
+    import pytest
+
+    from rnadam_spark.sources.tables import load_table
+    from rnadam_spark.streaming.curate import run_curate_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="dedup_within requires exact_dedup"):
+        run_curate_stream(
+            docs,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            dedup_within="7 days",
+        )

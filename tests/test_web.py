@@ -266,3 +266,21 @@ def test_blocklist_filter_urls_matches_duckdb(spark):
     assert got == want == sorted(
         ["https://nottracker.example/ok", "https://docs.python.org/3/"]
     )
+
+
+def test_blocklist_filter_urls_null_url_consistent(spark):
+    # ADVICE r8: with `patterns`, ~rlike(NULL) is NULL and used to drop
+    # NULL-url rows that the pattern-less branch keeps — null handling
+    # must not depend on whether patterns are provided
+    from rnadam_spark.operators import web
+
+    df = spark.createDataFrame(
+        [("https://ok.example/",), (None,)], "url STRING"
+    )
+    bl = spark.createDataFrame([("bad.site",)], "domain STRING")
+    no_pat = {r.url for r in web.blocklist_filter_urls(df, bl).collect()}
+    with_pat = {
+        r.url
+        for r in web.blocklist_filter_urls(df, bl, patterns=["download.php"]).collect()
+    }
+    assert no_pat == with_pat == {"https://ok.example/", None}
