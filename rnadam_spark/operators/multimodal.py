@@ -2,11 +2,16 @@
 
 Media ride as opaque ``binary`` columns with typed metadata; decode /
 feature-extraction / resize / frame-sampling run as Arrow-batched
-Pandas functions over ``mapInPandas`` (SURVEY.md §2.7 north star). The
-container has no image/audio libraries, so the actual codec step is
-STUBBED — gated behind an import-try with a clearly-marked
-deterministic fake — while everything Spark-side (schema, partitioning,
-UDF signatures, batch iteration) is real and tested.
+Pandas functions over ``mapInPandas`` (SURVEY.md §2.7 north star).
+Decode is three-tiered, per function: (1) REAL pure-stdlib+numpy
+decoders for the uncompressed containers — 24-bit BMP pixel decode and
+RIFF/WAV PCM decode (8/16-bit, channels mono-averaged) — are always
+available and carry the pixel/sample-exact tests; (2) PIL handles other
+image containers when installed; (3) everything else falls to a
+clearly-marked DETERMINISTIC FAKE (content-hash-seeded), kept only so
+the Spark-side plumbing — schema, partitioning, UDF signatures, batch
+iteration — stays exercised in containers without codec libraries.
+Tests that assert real decode run on tiers 1–2 only.
 
 Scale notes: binary payloads dominate row size, so asset tables should
 be written with small ``maxRecordsPerFile`` / row-group targets;

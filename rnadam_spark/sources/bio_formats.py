@@ -374,12 +374,21 @@ def read_bam(spark: SparkSession, path: str) -> DataFrame:
 
 def reads_from_bam(bam: DataFrame) -> DataFrame:
     """Adapt BAM records to the engine's READS table (read_id BIGINT,
-    sequence) — the same content-hash id policy as
-    :func:`reads_from_fastq`. Secondary/supplementary alignments
-    (flags 0x100/0x800) drop so one physical read contributes once,
-    matching what an aligner-agnostic quantifier wants."""
+    sequence): read_id is ``xxhash64(read_name, flag & 0xC0)`` — a
+    NAME hash like :func:`reads_from_fastq`'s, with the pair-segment
+    bits (0x40 first-in-pair / 0x80 second-in-pair) mixed in because
+    paired-end MATES share a read name and would otherwise collide on
+    the same id. Remaining collisions are the 64-bit birthday bound,
+    and as with FASTQ they are harmless here: quantification counts
+    k-mers and never joins on read_id. Secondary/supplementary
+    alignments (flags 0x100/0x800) drop so one physical read
+    contributes once, matching what an aligner-agnostic quantifier
+    wants."""
     return bam.filter((F.col("flag").bitwiseAND(0x100 | 0x800)) == 0).select(
-        F.xxhash64("read_name").alias("read_id"), "sequence"
+        F.xxhash64(
+            "read_name", F.col("flag").bitwiseAND(0xC0).cast("int")
+        ).alias("read_id"),
+        "sequence",
     )
 
 
