@@ -4,9 +4,10 @@ Closes the ingestion gap the parquet-table boundary left open
 (SURVEY.md §1.4, VERDICT "What's missing #1"): the reference reads its
 inputs through ADAM's SAM/BAM/FASTQ/GTF loaders and a 2bit reference
 file (rice-cli/.../cli/Quantify.scala:73-94, cli/Index.scala:60-62).
-The three TEXT formats, the 2bit binary genome format, and BAM
-(``read_bam``) all parse natively here with zero external
-dependencies, closing the last reference input format. BGZF is plain
+The text formats (FASTA/FASTQ/GTF and plain-text SAM via
+``read_sam``), the 2bit binary genome format, and BAM (``read_bam``)
+all parse natively here with zero external dependencies, closing the
+reference's full input-format surface. BGZF is plain
 concatenated gzip members, so stdlib ``gzip.decompress`` inflates a
 whole shard; the binary record walk runs in an Arrow-batched
 ``mapInPandas`` per shard — the same sanctioned Python codec boundary
@@ -243,11 +244,13 @@ def load_transcripts_any(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_reads_any(spark: SparkSession, path: str) -> DataFrame:
-    """Reads table from FASTQ, BAM, or parquet, by extension."""
+    """Reads table from FASTQ, SAM, BAM, or parquet, by extension."""
     if _endswith_any(path, _FASTQ_EXTS):
         return reads_from_fastq(read_fastq(spark, path))
     if path.endswith(".bam"):
         return reads_from_bam(read_bam(spark, path))
+    if _endswith_any(path, _SAM_EXTS):
+        return reads_from_bam(read_sam(spark, path))
     from rnadam_spark.sources import genomics
 
     return genomics.load_reads(spark, path)
@@ -390,6 +393,66 @@ def reads_from_bam(bam: DataFrame) -> DataFrame:
         ).alias("read_id"),
         "sequence",
     )
+
+
+# ---------------------------------------------------------------- SAM
+
+_SAM_EXTS = (".sam", ".sam.gz")
+
+
+def read_sam(spark: SparkSession, path: str) -> DataFrame:
+    """(read_name, flag, contig, pos, mapq, cigar, sequence, quality,
+    source_file) from plain-text SAM — the text twin of ``read_bam``,
+    emitting the SAME schema so the two forms of one alignment read
+    identically downstream (pinned by a BAM↔SAM round-trip golden).
+    Completes the reference's SAM/BAM/FASTQ loader surface
+    (cli/Quantify.scala:73 via ADAM).
+
+    Scale shape: SAM is newline-delimited TSV, so ``spark.read.text``
+    gives SPLITTABLE parallel scans of uncompressed multi-GB files (the
+    FASTA argument; .sam.gz falls back to per-file parallelism like
+    every engine), and the 11 mandatory fields map in one in-row
+    projection — no Python boundary at all, unlike the binary walk BAM
+    needs. Header lines ('@' prefix) and blank lines drop; a non-header
+    line with fewer than 11 tab fields raises with the offending file
+    name (the FASTQ malformed-shard stance). Missing-value sentinels
+    follow the BAM decoder's conventions: RNAME '*' → null contig,
+    POS 0 → null, QUAL '*' → null, SEQ '*' → empty string; optional
+    tag columns beyond field 11 are ignored."""
+    raw = spark.read.text(path).select(
+        # nullif wrapper: schema-parity with read_bam needs a NULLABLE
+        # source_file (input_file_name() alone is non-nullable, and a
+        # literal-true when() gets constant-folded back to non-nullable)
+        F.nullif(F.input_file_name(), F.lit("")).alias("source_file"),
+        "value",
+    )
+    body = raw.filter(
+        (F.length(F.trim("value")) > 0) & ~F.col("value").startswith("@")
+    )
+    fields = F.split("value", "\t")
+    ok = F.size(fields) >= 11
+    f = body.withColumn(
+        "_f",
+        F.when(ok, fields).otherwise(
+            F.raise_error(
+                F.concat(F.lit("malformed SAM line (<11 fields): "), "source_file")
+            )
+        ),
+    )
+    el = lambda i: F.element_at("_f", i)  # noqa: E731 — 1-based, mirrors spec column numbers
+    return f.select(
+        el(1).alias("read_name"),
+        el(2).cast("int").alias("flag"),
+        F.when(el(3) == "*", F.lit(None)).otherwise(el(3)).alias("contig"),
+        F.when(el(4).cast("bigint") <= 0, F.lit(None))
+        .otherwise(el(4).cast("bigint"))
+        .alias("pos"),
+        el(5).cast("int").alias("mapq"),
+        el(6).alias("cigar"),
+        F.when(el(10) == "*", F.lit("")).otherwise(el(10)).alias("sequence"),
+        F.when(el(11) == "*", F.lit(None)).otherwise(el(11)).alias("quality"),
+        "source_file",
+    ).to(T.StructType.fromDDL(_BAM_SCHEMA))  # exact type parity with read_bam
 
 
 # --------------------------------------------------------------- 2bit

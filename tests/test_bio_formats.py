@@ -155,6 +155,30 @@ def test_cli_index_quantify_from_native_formats(spark, tmp_path):
     for v in got.values():
         assert v == pytest.approx(1 / 3, abs=0.08)
 
+    # SAM e2e: the same reads as unaligned SAM records through the same
+    # quantify entry point recover the same abundances
+    sam = tmp_path / "reads.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\n"
+        + "".join(f"{n}\t4\t*\t0\t0\t*\t*\t0\t0\t{s}\t{'I' * len(s)}\n"
+                  for n, s in reads)
+    )
+    out_sam = str(tmp_path / "out_sam")
+    cli.main([
+        "quantify", str(sam), idx, str(gtf), "8", out_sam,
+        "-max_iterations", "5", "-disable_kmer_calibration",
+        "-disable_length_calibration",
+    ])
+    got_sam = {}
+    for f in glob.glob(out_sam + "/part-*"):
+        for line in open(f):
+            if line.strip():
+                t_id, ab = line.strip().split(", ")
+                got_sam[t_id] = float(ab)
+    assert got_sam.keys() == got.keys()
+    for t_id, v in got.items():
+        assert got_sam[t_id] == pytest.approx(v, abs=1e-9)
+
 
 def _write_twobit(path, seqs, order="<", n_blocks=None, mask_blocks=None):
     """Synthesize a spec-conformant .2bit file: seqs is {name: ACGT
@@ -394,3 +418,54 @@ def test_read_bam_rejects_garbage_and_truncation(spark, tmp_path):
     (tmp_path / "trunc.bam").write_bytes((hdr + recs)[:-7])
     with _pytest.raises(Exception, match="truncated BAM record"):
         bio.read_bam(spark, str(tmp_path / "trunc.bam")).collect()
+
+
+# ---------------------------------------------------------------- SAM
+
+_SAM_TEXT = (
+    "@HD\tVN:1.6\n"
+    "@SQ\tSN:chr1\tLN:1000\n"
+    "@SQ\tSN:chr2\tLN:500\n"
+    "read1\t0\tchr1\t100\t60\t5M\t*\t0\t0\tACGTA\tIIIII\n"
+    "read2\t4\t*\t0\t0\t*\t*\t0\t0\tGGCC\t*\n"
+    "read3\t256\tchr2\t10\t30\t4M\t*\t0\t0\tTTAA\tFFFF\n"
+)
+
+
+def test_read_sam_matches_bam_same_alignments(spark, tmp_path):
+    # the text and binary forms of the SAME alignments must read
+    # identically: _SAM_TEXT is the textual form of _bam_payload()
+    hdr, recs = _bam_payload()
+    (tmp_path / "x.bam").write_bytes(hdr + recs)
+    (tmp_path / "x.sam").write_text(_SAM_TEXT)
+    drop_sf = lambda rows: sorted(
+        tuple(v for k, v in r.asDict().items() if k != "source_file") for r in rows
+    )
+    via_bam = drop_sf(bio.read_bam(spark, str(tmp_path / "x.bam")).collect())
+    via_sam = drop_sf(bio.read_sam(spark, str(tmp_path / "x.sam")).collect())
+    assert via_sam == via_bam and len(via_sam) == 3
+    # schema parity too (same names/types -> downstream code agnostic)
+    assert (
+        bio.read_sam(spark, str(tmp_path / "x.sam")).schema
+        == bio.read_bam(spark, str(tmp_path / "x.bam")).schema
+    )
+
+
+def test_read_sam_gzip_and_reads_adapter(spark, tmp_path):
+    import gzip
+
+    (tmp_path / "x.sam.gz").write_bytes(gzip.compress(_SAM_TEXT.encode()))
+    rows = bio.read_sam(spark, str(tmp_path / "x.sam.gz")).collect()
+    assert len(rows) == 3
+    # load_reads_any dispatches .sam/.sam.gz; secondary (read3) drops
+    reads = bio.load_reads_any(spark, str(tmp_path / "x.sam.gz")).collect()
+    assert sorted(r.sequence for r in reads) == ["ACGTA", "GGCC"]
+    assert len({r.read_id for r in reads}) == 2
+
+
+def test_read_sam_malformed_line_raises(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    (tmp_path / "bad.sam").write_text("@HD\tVN:1.6\nonly\tfour\tfields\there\n")
+    with pytest.raises(SparkRuntimeException, match="malformed SAM"):
+        bio.read_sam(spark, str(tmp_path / "bad.sam")).collect()
