@@ -456,6 +456,7 @@ def paragraph_near_dups(
     split_pattern: str = r"\n{2,}",
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit_key: str = "hash",
 ) -> DataFrame:
     """(doc_id, para_idx): paragraphs that are NEAR-duplicates of
     another paragraph anywhere in the corpus, minus one canonical
@@ -481,23 +482,29 @@ def paragraph_near_dups(
     paragraph explosion multiplies unit count, not algorithmic
     risk.
 
-    Verification note (why this is pytest-pinned, not gate-oracled):
-    the unit key is ``xxhash64(doc_id, para_idx)``, which DuckDB cannot
-    recompute, so the canonical-survivor choice (min unit hash) is not
-    independently re-derivable in SQL. An order-preserving encoded key
-    (doc_id·2²⁰ + para_idx) would be portable but overflows BIGINT for
-    xxhash64-minted doc ids (WARC documents). The underlying kernels —
-    banding, Jaccard verify, connected components — each keep their own
-    gate oracles on the document path.
+    ``unit_key`` picks the unit-id minting: the default ``"hash"``
+    (``xxhash64(doc_id, para_idx)``) works for ANY id type — including
+    the negative xxhash64-minted ids WARC documents carry — but DuckDB
+    cannot recompute xxhash64, so the canonical-survivor choice (min
+    unit key) is not SQL-re-derivable in that mode. ``"encoded"``
+    (``doc_id·2²⁰ + para_idx``) is fully engine-portable — it is the
+    gate-oracle mode (registered round 9) — and collision-FREE, but
+    requires integral doc ids in [0, 2⁴³) and < 2²⁰ paragraphs per
+    document; min encoded key = lexicographic min (doc_id, para_idx),
+    so the canonical is the first paragraph of the smallest doc in
+    each family. The underlying kernels — banding, Jaccard verify,
+    connected components — also keep their own gate oracles on the
+    document path.
 
-    Collision bound: a 64-bit key over P paragraphs collides with
-    probability ≈ P²/2⁶⁵ (birthday) — negligible below ~10⁸ units, but
-    at full crawl scale (10¹⁰⁺ paragraphs) expect ~10³ spurious unit
-    merges: a collided pair joins two unrelated families, which can
-    excise a wrong paragraph or shift a canonical. If that matters,
-    run per-shard/per-snapshot (P per run stays small) or swap the key
-    for a struct(doc_id, para_idx) carried through CC — the CC loop is
-    key-type-agnostic; only the min-hash canonical convention assumes a
+    Collision bound (``"hash"`` mode): a 64-bit key over P paragraphs
+    collides with probability ≈ P²/2⁶⁵ (birthday) — negligible below
+    ~10⁸ units, but at full crawl scale (10¹⁰⁺ paragraphs) expect ~10³
+    spurious unit merges: a collided pair joins two unrelated families,
+    which can excise a wrong paragraph or shift a canonical. If that
+    matters, run per-shard/per-snapshot (P per run stays small), use
+    ``"encoded"`` when ids permit, or swap the key for a
+    struct(doc_id, para_idx) carried through CC — the CC loop is
+    key-type-agnostic; only the min-key canonical convention assumes a
     scalar orderable key."""
     from rnadam_spark.operators.clustering import connected_components
 
@@ -507,7 +514,15 @@ def paragraph_near_dups(
             "para_idx", "_ptext"
         ),
     ).filter(F.length(F.trim(F.col("_ptext"))) >= min_chars)
-    units = paras.withColumn("_unit", F.xxhash64(F.col(id_col), F.col("para_idx")))
+    if unit_key == "encoded":
+        key = F.col(id_col).cast("bigint") * F.lit(1 << 20).cast("bigint") + F.col(
+            "para_idx"
+        )
+    elif unit_key == "hash":
+        key = F.xxhash64(F.col(id_col), F.col("para_idx"))
+    else:
+        raise ValueError(f"unit_key must be 'hash' or 'encoded', got {unit_key!r}")
+    units = paras.withColumn("_unit", key)
     u = units.select(F.col("_unit").alias("doc_id"), F.col("_ptext").alias("text"))
     cand = lsh_candidate_pairs(u, max_bucket=max_bucket)
     ver = verify_pairs(cand, u, threshold=threshold)

@@ -10,7 +10,15 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_sql
 from rnadam_spark.functions.rounding import hround, hround_sql
-from rnadam_spark.operators import dedup, repetition, sampling, similarity, sketches, text
+from rnadam_spark.operators import (
+    dedup,
+    mixing,
+    repetition,
+    sampling,
+    similarity,
+    sketches,
+    text,
+)
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
 
@@ -118,6 +126,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = clustering.connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+# Paragraph-level fuzzy dedup (registered round 9). The driver corpus is
+# single-line, so pseudo-paragraph boundaries come from a literal token
+# both engines split on with identical regex semantics; every downstream
+# stage — posexplode indexing, min_chars filter, encoded unit keys,
+# MinHash banding with the bucket cap, exact-Jaccard verify, connected
+# components, loser decoding — is re-derived end-to-end in the oracle.
+_PARA_SPLIT = " table "
+_PARA_MIN_CHARS = 40
+_PARA_ENC = 1 << 20  # unit = doc_id * 2^20 + para_idx (unit_key="encoded")
+
+_PARA_UNITS_SQL = f"""
+SELECT doc_id * {_PARA_ENC} + para_idx AS unit,
+       arr[CAST(para_idx + 1 AS INT)] AS text
+FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS para_idx
+      FROM (SELECT doc_id, string_split_regex(text, '{_PARA_SPLIT}') AS arr
+            FROM documents))
+WHERE length(trim(arr[CAST(para_idx + 1 AS INT)])) >= {_PARA_MIN_CHARS}
+"""
+
+_PARA_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT unit, {b} AS band, concat_ws('_', h{b * 4}, h{b * 4 + 1}, h{b * 4 + 2}, h{b * 4 + 3}) AS band_sig FROM psig"
+    for b in range(dedup.N_BANDS)
+)
+
+_PARA_INTER = "len(list_intersect(a.sset, b.sset))"
+_PARA_JAC = (
+    f"CAST({_PARA_INTER} AS DOUBLE) / "
+    f"CAST(greatest(len(a.sset) + len(b.sset) - {_PARA_INTER}, 1) AS DOUBLE)"
+)
+
+_PARA_SQL = f"""
+    WITH RECURSIVE
+    units AS ({_PARA_UNITS_SQL}),
+    sh AS (SELECT unit, substring(text, CAST(i AS INT), 4) AS s
+           FROM (SELECT unit, text,
+                        unnest(range(1, greatest(length(text) - 3, 0) + 1)) AS i
+                 FROM units WHERE length(text) >= 4)),
+    psig AS (SELECT unit, {_MIN_COLS} FROM sh GROUP BY unit),
+    bands AS ({_PARA_BANDS_SQL}),
+    capped AS (SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= {LSH_MAX_BUCKET}),
+    cand AS (SELECT DISTINCT a.unit AS ua, b.unit AS ub
+             FROM capped a JOIN capped b USING (band, band_sig)
+             WHERE a.unit < b.unit),
+    shs AS (SELECT unit, list_distinct(list(s)) AS sset FROM sh GROUP BY unit),
+    ver AS (SELECT c.ua, c.ub
+            FROM cand c JOIN shs a ON a.unit = c.ua JOIN shs b ON b.unit = c.ub
+            WHERE {hround_sql(_PARA_JAC, 6)} >= 0.8),
+    sym AS (SELECT ua AS node, ub AS nbr FROM ver
+            UNION
+            SELECT ub AS node, ua AS nbr FROM ver),
+    walk(node, lbl) AS (
+      SELECT node, node FROM sym
+      UNION
+      SELECT s.node, w.lbl FROM sym s JOIN walk w ON s.nbr = w.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+    SELECT CAST(node // {_PARA_ENC} AS BIGINT) AS doc_id,
+           CAST(node % {_PARA_ENC} AS INT) AS para_idx
+    FROM comp WHERE node <> component
+    """
+
+
+@query("paragraph_near_dups", oracle=_PARA_SQL)
+def paragraph_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular fuzzy dedup (operators/dedup.paragraph_near_dups):
+    posexplode into units → encoded unit keys → the document LSH/verify/CC
+    stack → non-canonical (doc_id, para_idx) losers, ready for
+    text.excise_paragraphs. ``unit_key="encoded"`` (doc_id·2²⁰+para_idx)
+    makes the canonical-survivor choice — min unit key = lexicographic
+    min (doc_id, para_idx) — fully re-derivable in SQL, which the
+    default xxhash64 key is not; the oracle re-runs the whole chain
+    including the exact-Jaccard verify stage (this row is the verify
+    stage's first gate oracle — dedup_clusters covers LSH→CC without
+    it)."""
+    return dedup.paragraph_near_dups(
+        load_table(spark, sf_dir, "documents", widen=True),
+        threshold=0.8,
+        max_bucket=LSH_MAX_BUCKET,
+        min_chars=_PARA_MIN_CHARS,
+        split_pattern=_PARA_SPLIT,
+        unit_key="encoded",
+    )
 
 
 _TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"
@@ -520,9 +613,15 @@ _LANG_SQL = f"""
     """
 
 
-@query("lang_id_scores", oracle=_LANG_SQL)
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID heuristic (argmax, first-wins ties)."""
+    """Marker-token language-ID heuristic (argmax, first-wins ties).
+
+    Not registered (gate rotation r9): the lang_columns kernel stays
+    hash-verified inside ``curated_documents`` (whose oracle embeds
+    ``_LANG_SQL`` and filters on predicted_lang), and the full output
+    incl. best_score keeps a pytest DuckDB cross-check
+    (tests/test_text_curation.py); row retired to make room for
+    ``mixture_sample``."""
     return text.lang_scores(load_table(spark, sf_dir, "documents"))
 
 
@@ -669,6 +768,59 @@ def cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.cap_per_group(
         docs.select("doc_id", "source"), "source", CAP_N, "doc_id", seed=CAP_SEED
     )
+
+
+# Token-budget mixture sampling (registered round 9). The fixed budget
+# makes the three listed sources UPSAMPLE at gate scale (~7.5k chars per
+# source → rates 2.5/1.4/1.0) and DOWNSAMPLE at sf0.1 (~75k → 0.27/0.16/
+# 0.11), so one row exercises both regimes across the two verification
+# scales. The oracle re-derives the rates from the same share CASE and
+# IEEE-double arithmetic (never the collected literals), the fractional
+# draw from the shared affine-mod hash with floor() mirroring Spark's
+# truncating double→bigint cast, and the copy explosion via range().
+_MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 40_000
+_MIX_SEED = 41
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN CAST({v} AS DOUBLE)" for s, v in sorted(_MIX_SHARES.items())
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+_MIX_SQL = f"""
+    WITH totals AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+                    FROM documents GROUP BY source),
+    rated AS (SELECT d.doc_id, d.source, d.n_chars,
+                     ({_MIX_CASE}) * CAST({_MIX_BUDGET} AS DOUBLE)
+                       / CAST(t.avail AS DOUBLE) AS rate
+              FROM documents d JOIN totals t USING (source)),
+    n AS (SELECT doc_id, source, n_chars,
+                 CAST(floor(rate) AS BIGINT)
+                 + CASE WHEN ({sampling.sample_code_sql("doc_id", _MIX_SEED)})
+                        < CAST(floor((rate - floor(rate)) * {MOD}.0) AS BIGINT)
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM rated)
+    SELECT doc_id, source, n_chars, unnest(range(n_copies)) AS n_copy
+    FROM n WHERE n_copies > 0
+    """
+
+
+@query("mixture_sample", oracle=_MIX_SQL)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture realization (operators/mixing.mixture_sample):
+    per-source token accounting → rates = share·budget/available →
+    floor(rate) guaranteed copies + one deterministic fractional draw,
+    emitted with a dense ``n_copy`` repeat index via in-row
+    sequence+explode. Broadcast-CASE + projection — no window, no
+    global sort (plan-pinned in tests/test_mixing.py); the oracle
+    reproduces the full (doc_id, n_copy) multiset including upsampled
+    repeats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.mixture_sample(
+        docs, _MIX_SHARES, _MIX_BUDGET, seed=_MIX_SEED
+    ).select("doc_id", "source", "n_chars", "n_copy")
 
 
 QUALITY_TOP_FRACTION = 0.25
@@ -1212,14 +1364,19 @@ _BOILER_SQL = f"""
     """
 
 
-@query("boilerplate_3grams", oracle=_BOILER_SQL)
 def boilerplate_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate miner: corpus 3-grams present in >= 2 documents with
     document and term frequency (operators/repetition.boilerplate_ngrams)
     — the discovery stage feeding filter_bad_phrases' blocklist. The
     in-row value-counts kernel makes df a plain count(*) (no distinct
     expansion); the oracle re-derives per-doc gram multiplicities with
-    the shared slicing arithmetic."""
+    the shared slicing arithmetic.
+
+    Not registered (gate rotation r9): the in-row value-counts kernel
+    stays hash-verified via ``vocabulary`` (tf/df over the same
+    run-length machinery), and ``_BOILER_SQL`` keeps a pytest DuckDB
+    cross-check (tests/test_repetition.py); row retired to make room
+    for ``paragraph_near_dups``."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     return repetition.boilerplate_ngrams(docs, n=_BOILER_N, min_df=2)
 

@@ -304,3 +304,20 @@ def test_dedup_lines_null_text_doc_survives(spark):
     assert set(got) == {1, 2, 3}
     assert got[2].text == "" and got[2].n_lines_kept == 1
     assert "boilerplate" in got[1].text and "boilerplate" not in got[3].text
+
+
+def test_boilerplate_ngrams_matches_retired_oracle(spark):
+    # the round-9-retired gate row's DuckDB oracle, kept exercised here
+    # (the rotation discipline: retired rows keep their cross-check)
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _BOILER_SQL, boilerplate_3grams
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in boilerplate_3grams(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(_BOILER_SQL).fetchall()}
+    assert got == want and len(got) > 0

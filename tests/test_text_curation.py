@@ -415,3 +415,21 @@ def test_excise_paragraphs_null_text_doc_survives(spark):
     bad = spark.createDataFrame([(2, 1)], "doc_id BIGINT, para_idx INT")
     got = {r.doc_id: r.text for r in excise_paragraphs(docs, bad).collect()}
     assert got == {1: "", 2: "keep me"}
+
+
+def test_lang_scores_matches_retired_oracle(spark):
+    # the round-9-retired gate row's DuckDB oracle, kept exercised here
+    # (the predicted_lang kernel stays gate-verified inside
+    # curated_documents; this pins the full output incl. best_score)
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _LANG_SQL, lang_id_scores
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in lang_id_scores(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(_LANG_SQL).fetchall()}
+    assert got == want and len(got) > 0
