@@ -24,3 +24,29 @@ def hround(col: Column | str, d: int) -> Column:
 def hround_sql(expr: str, d: int) -> str:
     scale = 10**d
     return f"floor(({expr}) * {scale}.0 + 0.5) / {scale}.0"
+
+
+# Order-independent money sums. A double SUM is order-dependent (~1e-10
+# relative drift over millions of rows), so fixed-decimal rounding of an
+# unbounded sum has a data-volume ceiling: at ~3×10¹¹ magnitudes, 4dp
+# demands 15 significant digits of agreement and the half-up boundary
+# flips in the last place (observed at 6M lineitem rows, SURVEY sf1
+# block). Fix the SUM, not the rounding: cast each double term to
+# DECIMAL(38,10) per row — a deterministic function of the double's
+# bits that Spark and DuckDB compute identically (pinned row-for-row in
+# tests/test_approx.py) — then sum EXACTLY in decimal (associative, so
+# no partition/engine order can change the result), then cast the one
+# identical decimal back to double for the usual hround. Exact at every
+# scale a DECIMAL(38,10) accumulator can hold (10²⁷ absolute), with no
+# floor(log10) boundary mode the significant-digit form would add.
+
+MONEY_DECIMAL = "DECIMAL(38,10)"
+
+
+def money_sum(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY_DECIMAL)).cast("double")
+
+
+def money_sum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST(({expr}) AS {MONEY_DECIMAL})) AS DOUBLE)"

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rnadam_spark.functions.rounding import hround
+from rnadam_spark.functions.rounding import hround, money_sum, money_sum_sql
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
 
@@ -29,15 +29,15 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 @query(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
-           floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
-           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
-           floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-           floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-           floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+           floor(({money_sum_sql('l_quantity')}) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+           floor(({money_sum_sql('l_extendedprice')}) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+           floor(({money_sum_sql('l_extendedprice * (1 - l_discount)')}) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+           floor(({money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+           floor(({money_sum_sql('l_quantity')} / count(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           floor(({money_sum_sql('l_extendedprice')} / count(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           floor(({money_sum_sql('l_discount')} / count(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -49,7 +49,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalyst plans partial+final HashAggregate (map-side combine), the
     same shape the reference hand-built with reduceByKey
-    (Quantify.scala:157) — but codegen'd and spill-aware.
+    (Quantify.scala:157) — but codegen'd and spill-aware. Money sums and
+    avgs use the order-independent ``money_sum`` form (exact decimal
+    accumulation; see functions/rounding.py) so the row stays
+    value-exact at ANY data volume — plain double sums drift past the
+    4dp grain at ~6M rows (SURVEY sf1 block).
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -57,13 +61,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            hround(F.sum("l_quantity"), 4).alias("sum_qty"),
-            hround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            hround(F.sum(disc_price), 4).alias("sum_disc_price"),
-            hround(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            hround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            hround(F.avg("l_discount"), 4).alias("avg_disc"),
+            hround(money_sum("l_quantity"), 4).alias("sum_qty"),
+            hround(money_sum("l_extendedprice"), 4).alias("sum_base_price"),
+            hround(money_sum(disc_price), 4).alias("sum_disc_price"),
+            hround(money_sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            hround(money_sum("l_quantity") / F.count("l_quantity"), 4).alias("avg_qty"),
+            hround(
+                money_sum("l_extendedprice") / F.count("l_extendedprice"), 4
+            ).alias("avg_price"),
+            hround(money_sum("l_discount") / F.count("l_discount"), 4).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
     )
@@ -286,25 +294,33 @@ def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "conditional_pivot",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END)) * 10000.0 + 0.5) / 10000.0 AS rev_open,
-           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END)) * 10000.0 + 0.5) / 10000.0 AS rev_filled,
+           floor(({money_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END")}) * 10000.0 + 0.5) / 10000.0 AS rev_open,
+           floor(({money_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END")}) * 10000.0 + 0.5) / 10000.0 AS rev_filled,
            CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot expressed as conditional aggregation (portable to any SQL)."""
+    """Pivot expressed as conditional aggregation (portable to any SQL).
+    Revenue sums use the order-independent ``money_sum`` form (exact at
+    any data volume; functions/rounding.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        hround(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)), 4).alias(
-            "rev_open"
-        ),
-        hround(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)), 4).alias(
-            "rev_filled"
-        ),
+        hround(
+            money_sum(
+                F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)
+            ),
+            4,
+        ).alias("rev_open"),
+        hround(
+            money_sum(
+                F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)
+            ),
+            4,
+        ).alias("rev_filled"),
         F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
     )
 
@@ -401,9 +417,9 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "returns_cube",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,
+           floor(({money_sum_sql('l_extendedprice')}) * 10000.0 + 0.5) / 10000.0 AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -412,9 +428,12 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dims (§2.7 grouping sets; complements ROLLUP in
     revenue_rollup). Spark expands grouping sets before the partial
-    aggregate, so the map-side combine still applies per set."""
+    aggregate, so the map-side combine still applies per set. Revenue
+    uses the order-independent ``money_sum`` form — the grand-total
+    cell sums the WHOLE table, the first place a double sum drifts
+    past the 4dp grain."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        hround(F.sum("l_extendedprice"), 4).alias("revenue"),
+        hround(money_sum("l_extendedprice"), 4).alias("revenue"),
         F.count("*").alias("n"),
     )

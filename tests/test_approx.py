@@ -47,3 +47,38 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
     ).first()
     # high-accuracy t-digest: within 1% of the value spread
     assert abs(row["approx"] - row["exact"]) <= 0.01 * row["spread"]
+
+
+def test_money_decimal_cast_identical_across_engines(spark, sf_dir):
+    # the money_sum contract (functions/rounding.py): double ->
+    # DECIMAL(38,10) is a deterministic per-row function both engines
+    # compute identically, so the exact decimal SUM is order- and
+    # engine-independent. Pinned row-for-row on the real money product.
+    import duckdb
+
+    from rnadam_spark.functions.rounding import MONEY_DECIMAL
+
+    li = load_table(spark, sf_dir, "lineitem")
+    expr = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast(MONEY_DECIMAL)
+    got = {
+        (r.l_orderkey, r.l_linenumber): r.d
+        for r in li.select(
+            "l_orderkey", "l_linenumber", expr.cast("string").alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = {
+        (a, b): c
+        for a, b, c in con.execute(
+            f"""SELECT l_orderkey, l_linenumber,
+                       CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 AS {MONEY_DECIMAL}) AS VARCHAR)
+                FROM lineitem"""
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
