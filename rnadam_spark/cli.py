@@ -328,10 +328,37 @@ def _build_parser() -> argparse.ArgumentParser:
         help="exact-cosine rerank of the 4k-deep ADC candidates",
     )
 
+    _INGEST_RECIPE = """\
+the continuous-ingest near-dedup recipe (batch pass + per-shard ingest):
+
+  1. periodic authoritative pass (e.g. weekly), full corpus:
+       rnadam-spark curate CORPUS CURATED -near_dedup 0.8 ...
+     the batch LSH -> verify -> connected-components pass is the only
+     stage that canonicalizes whole duplicate FAMILIES (transitive
+     closure across every shard ever ingested).
+  2. rebuild the signature store from the curated survivors:
+       rnadam-spark dedup-index CURATED STORE
+     the store is doc_id + 16 minhashes (~0.1%% of corpus bytes) — the
+     only artifact the ingest path reads; stored text is never re-read.
+  3. per arriving shard, between batch passes:
+       rnadam-spark ingest SHARD STORE PAIRS -update_store
+     flags shard docs near-duplicating ANYTHING already indexed;
+     -update_store appends the shard's signatures so the NEXT shard
+     also dedups against this one (shard N vs shards 1..N-1, not just
+     vs the last batch pass).
+  ingest catches pairs; only the periodic batch pass collapses families
+  and re-canonicalizes — run it on the cadence your duplication rate
+  tolerates. The same recipe drives the arrival-driven path: point
+  curate-stream at the shard directory for stages that stream, and keep
+  dedup-index/ingest as the near-dup bridge (near-dedup needs a corpus-
+  wide self-join, which has no bounded-state streaming form)."""
+
     di = sub.add_parser(
         "dedup-index",
         help="build and persist the MinHash signature store (the ~0.1%%-"
         "of-corpus artifact incremental ingest dedups against)",
+        description=_INGEST_RECIPE,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     di.add_argument("documents", help="parquet: documents table")
     di.add_argument("output", help="parquet signature store (doc_id, h0..h15)")
@@ -341,6 +368,8 @@ def _build_parser() -> argparse.ArgumentParser:
         help="near-dup check a NEW shard against a persisted signature "
         "store without touching stored text; optionally append the "
         "shard's signatures to the store",
+        description=_INGEST_RECIPE,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     ing.add_argument("new_documents", help="parquet: the arriving shard")
     ing.add_argument("signature_store", help="store built by dedup-index")

@@ -158,8 +158,12 @@ _PARA_JAC = (
     f"CAST(greatest(len(a.sset) + len(b.sset) - {_PARA_INTER}, 1) AS DOUBLE)"
 )
 
-_PARA_SQL = f"""
-    WITH RECURSIVE
+# CTE chain up to the verified pair set — shared between the gate
+# oracle below (which appends the recursive reachability walk) and the
+# sf1 union-find verification path (tools/unionfind_oracle.py), where
+# the walk is the infeasible part: DuckDB derives these pairs in
+# seconds, python union-find closes the components
+_PARA_CTES = f"""
     units AS ({_PARA_UNITS_SQL}),
     sh AS (SELECT unit, substring(text, CAST(i AS INT), 4) AS s
            FROM (SELECT unit, text,
@@ -175,7 +179,12 @@ _PARA_SQL = f"""
     shs AS (SELECT unit, list_distinct(list(s)) AS sset FROM sh GROUP BY unit),
     ver AS (SELECT c.ua, c.ub
             FROM cand c JOIN shs a ON a.unit = c.ua JOIN shs b ON b.unit = c.ub
-            WHERE {hround_sql(_PARA_JAC, 6)} >= 0.8),
+            WHERE {hround_sql(_PARA_JAC, 6)} >= 0.8)"""
+
+_PARA_PAIRS_SQL = f"WITH {_PARA_CTES}\n    SELECT ua, ub FROM ver"
+
+_PARA_SQL = f"""
+    WITH RECURSIVE {_PARA_CTES},
     sym AS (SELECT ua AS node, ub AS nbr FROM ver
             UNION
             SELECT ub AS node, ua AS nbr FROM ver),

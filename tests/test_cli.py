@@ -412,6 +412,58 @@ def test_cli_dedup_index_and_ingest(spark, tmp_path):
     assert spark.read.parquet(store).count() == 7
 
 
+def test_cli_ingest_two_pass_bridge(spark, tmp_path):
+    """The continuous-ingest recipe's load-bearing property: with
+    -update_store, shard B dedups against shard A — not just against
+    the last batch pass. B's near-copy targets a doc that exists ONLY
+    in A, so the pair can only come from the store update."""
+    base = ("Original corpus document about distributed query planning and "
+            "shuffle-free aggregation over columnar storage at petabyte scale.")
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, base, "en", "web", 140)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(src)
+    store = str(tmp_path / "sigs")
+    cli.main(["dedup-index", src, store])
+
+    novel_a = ("Shard-A exclusive text describing watermark eviction in "
+               "stateful stream processing and bounded checkpoint growth "
+               "for long-running continuous ingestion pipelines today.")
+    shard_a = str(tmp_path / "shard_a")
+    spark.createDataFrame(
+        [(200, novel_a, "en", "web", 150)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(shard_a)
+    cli.main(["ingest", shard_a, store, str(tmp_path / "pairs_a"),
+              "-est_threshold", "0.5", "-update_store"])
+    assert spark.read.parquet(store).count() == 2  # corpus + shard A
+
+    shard_b = str(tmp_path / "shard_b")
+    spark.createDataFrame(
+        [(300, novel_a + " Lightly edited!", "en", "web", 150)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(shard_b)
+    pairs_b_out = str(tmp_path / "pairs_b")
+    cli.main(["ingest", shard_b, store, pairs_b_out, "-est_threshold", "0.5"])
+    pairs_b = spark.read.parquet(pairs_b_out).collect()
+    # the cross-shard catch: B's dup resolves to A's doc id
+    assert any(r.new_id == 300 and r.index_id == 200 for r in pairs_b)
+
+    # the recipe is runnable from the help text alone
+    import io
+    import contextlib
+
+    for cmd in ("dedup-index", "ingest"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            try:
+                cli.main([cmd, "--help"])
+            except SystemExit:
+                pass
+        assert "per arriving shard" in buf.getvalue()
+
+
 def test_cli_curate_pack_budget(spark, tmp_path):
     good = ("A first clean normal sentence right here today.\n"
             "A second clean normal sentence right here today!\n"

@@ -103,3 +103,78 @@ def test_random_graph_matches_union_find(spark):
 
     got = _cc(spark, edges)
     assert got == expected
+
+
+def _load_unionfind_oracle():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "unionfind_oracle.py",
+    )
+    spec = importlib.util.spec_from_file_location("unionfind_oracle", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_union_find_oracle_min_root_invariant():
+    # the sf1 verification tool's core claim: the union-find root IS the
+    # component minimum (smaller id stays root at every union) — pinned
+    # on the adversarial topologies for that invariant: a chain unioned
+    # in descending order (root changes every step) and a hub whose
+    # minimum arrives last
+    uf = _load_unionfind_oracle()
+    chain = [(i + 1, i) for i in range(9, 0, -1)]  # (10,9),(9,8),…,(2,1)
+    got = uf.union_find_components(chain)
+    assert got == {i: 1 for i in range(1, 11)}
+    hub = [(50, 60), (50, 70), (50, 80), (50, 7)]  # min joins last
+    got = uf.union_find_components(hub)
+    assert got == {7: 7, 50: 7, 60: 7, 70: 7, 80: 7}
+    assert uf.union_find_components([]) == {}
+
+
+def test_union_find_matches_recursive_cte(sf_dir):
+    # the python union-find reference (tools/unionfind_oracle.py — the
+    # dedup_clusters oracle at sf1, where the recursive CTE needs 50+
+    # CPU-min) agrees with the gate's recursive-CTE oracle on the real
+    # LSH pair graph at a scale where BOTH are feasible
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _LSH_PAIRS_SQL
+    from __spark_entry__ import oracle_sql
+
+    uf = _load_unionfind_oracle()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    pairs = con.execute(_LSH_PAIRS_SQL).fetchall()
+    assert pairs  # the corpus is dup-heavy; an empty graph proves nothing
+    expected = dict(con.execute(oracle_sql()["dedup_clusters"]).fetchall())
+    assert uf.union_find_components(pairs) == expected
+
+
+def test_union_find_paragraph_losers_match_recursive_cte(sf_dir):
+    # same split for the paragraph gate row: union-find losers over the
+    # DuckDB-verified paragraph-unit pairs == the recursive-CTE oracle
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _PARA_ENC, _PARA_PAIRS_SQL
+    from __spark_entry__ import oracle_sql
+
+    uf = _load_unionfind_oracle()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    pairs = con.execute(_PARA_PAIRS_SQL).fetchall()
+    assert pairs
+    comp = uf.union_find_components(pairs)
+    losers = {(n // _PARA_ENC, n % _PARA_ENC) for n, c in comp.items() if n != c}
+    expected = set(
+        map(tuple, con.execute(oracle_sql()["paragraph_near_dups"]).fetchall())
+    )
+    assert losers == expected
