@@ -28,9 +28,13 @@ the arrival-driven streaming curation:
   rnadam-spark curate-stream DIR OUTPUT CHECKPOINT
       [-format jsonl|parquet] [-quality_min X] [-no_c4] [-blocklist FILE]
 
-and the one-pass corpus audit:
+the one-pass corpus audit:
 
   rnadam-spark profile DOCUMENTS [-group_by COL] [-funnel] [-skew_by COL]
+
+and the BAI-index-driven BAM region slice:
+
+  rnadam-spark bam-region BAM CONTIG[:BEG-END] OUTPUT
 
 Args mirror cli/Index.scala:41-53 and cli/Quantify.scala:41-65; inputs
 are parquet datasets with the FIXTURES.md §A schemas. The library API
@@ -72,6 +76,15 @@ def _build_parser() -> argparse.ArgumentParser:
         default=None,
         help="fault-tolerant dir for reliable EM checkpointing (default: localCheckpoint)",
     )
+
+    br = sub.add_parser(
+        "bam-region",
+        help="index-driven region slice of BAM shard(s): reads only the "
+        "BGZF blocks the sibling .bam.bai names, never the full shard",
+    )
+    br.add_argument("bam", help=".bam file or glob of shards, each with a .bam.bai")
+    br.add_argument("region", help="CONTIG[:BEG-END], 1-based inclusive (samtools form)")
+    br.add_argument("output", help="parquet: the overlapping alignment records")
 
     c = sub.add_parser("curate", help="PII-scrub, quality-filter, dedup, chunk, shard")
     c.add_argument("documents", help="parquet: (doc_id, text, lang, source, n_chars)")
@@ -1064,6 +1077,12 @@ def main(argv: list[str] | None = None) -> None:
         else:
             rows = [{"vec_id": r.vec_id, "score": r.score} for r in cands.collect()]
         print(json.dumps({"query_id": args.query_id, "results": rows}))
+    elif args.command == "bam-region":
+        from rnadam_spark.sources import bio_formats
+
+        bio_formats.read_bam_region(spark, args.bam, args.region).write.mode(
+            "overwrite"
+        ).parquet(args.output)
     elif args.command == "dedup-index":
         from rnadam_spark.operators import dedup
 

@@ -469,3 +469,193 @@ def test_read_sam_malformed_line_raises(spark, tmp_path):
     (tmp_path / "bad.sam").write_text("@HD\tVN:1.6\nonly\tfour\tfields\there\n")
     with pytest.raises(SparkRuntimeException, match="malformed SAM"):
         bio.read_sam(spark, str(tmp_path / "bad.sam")).collect()
+
+
+# ----------------------------------------------------- BAM + BAI region
+
+def _ref_span(cigar_ops):
+    return sum(ln for ln, op in cigar_ops if op in (0, 2, 3, 7, 8)) or 1
+
+
+def _write_bgzf_bam_with_bai(tmp_path, fname, refs, members, bins_override=None):
+    """Write a BGZF-layout BAM (header member + one gzip member per
+    ``members`` entry, each entry a list of records as _bam_record args)
+    and a spec-faithful sibling .bam.bai. Returns the bam path.
+
+    ``bins_override``: {(ref_id, member_idx, rec_idx): bin} forces a
+    record's chunk into a chosen bin (adversarial fixtures)."""
+    import struct
+
+    text = b"@HD\tVN:1.6\n"
+    hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text
+    hdr += struct.pack("<i", len(refs))
+    for rname, rlen in refs:
+        hdr += struct.pack("<i", len(rname) + 1) + rname.encode() + b"\x00"
+        hdr += struct.pack("<i", rlen)
+
+    blobs = [gzip.compress(hdr)]
+    placed = []  # (ref_id, beg0, end0, vbeg, vend, member_idx, rec_idx)
+    for mi, recs in enumerate(members):
+        payload = b""
+        offs = []
+        for args in recs:
+            offs.append(len(payload))
+            payload += _bam_record(*args)
+        offs.append(len(payload))
+        coffset = sum(len(b) for b in blobs)
+        for ri, args in enumerate(recs):
+            _, _, ref_id, pos0, _, cigar_ops, _, _ = args
+            if ref_id < 0:
+                continue
+            vbeg = (coffset << 16) | offs[ri]
+            vend = (coffset << 16) | offs[ri + 1]
+            placed.append((ref_id, pos0, pos0 + _ref_span(cigar_ops), vbeg, vend, mi, ri))
+        blobs.append(gzip.compress(payload))
+    # last chunk of each member may also legally end at the next member
+    bam_path = tmp_path / fname
+    bam_path.write_bytes(b"".join(blobs))
+
+    bai = bytearray(b"BAI\x01" + struct.pack("<i", len(refs)))
+    for rid in range(len(refs)):
+        mine = [p for p in placed if p[0] == rid]
+        bins = {}
+        for _, beg0, end0, vbeg, vend, mi, ri in mine:
+            b = (bins_override or {}).get((rid, mi, ri), bio.reg2bin(beg0, end0))
+            bins.setdefault(b, []).append((vbeg, vend))
+        bai += struct.pack("<i", len(bins))
+        for b, chunks in sorted(bins.items()):
+            bai += struct.pack("<Ii", b, len(chunks))
+            for cb, ce in chunks:
+                bai += struct.pack("<QQ", cb, ce)
+        n_intv = (max((p[2] - 1 for p in mine), default=0) >> 14) + 1 if mine else 0
+        bai += struct.pack("<i", n_intv)
+        for w in range(n_intv):
+            lo, hi = w << 14, (w + 1) << 14
+            over = [p[3] for p in mine if p[1] < hi and p[2] > lo]
+            after = [p[3] for p in mine if p[1] >= hi]
+            bai += struct.pack("<Q", min(over or after or [0]))
+    (tmp_path / (fname + ".bai")).write_bytes(bytes(bai))
+    return str(bam_path)
+
+
+def _region_rows(spark, path, region):
+    return sorted(
+        (r.read_name, r.contig, r.pos, r.cigar)
+        for r in bio.read_bam_region(spark, path, region).collect()
+    )
+
+
+def test_bam_region_basic(spark, tmp_path):
+    path = _write_bgzf_bam_with_bai(
+        tmp_path, "basic.bam",
+        [("chr1", 100000), ("chr2", 500)],
+        [
+            [("a", 0, 0, 99, 60, [(5, 0)], "ACGTA", "IIIII")],
+            [("b", 0, 0, 200, 60, [(10, 0)], "ACGTACGTAC", None)],
+            [("c", 0, 0, 20000, 30, [(7, 0)], "ACGTACG", None)],
+            [("d", 0, 1, 9, 30, [(4, 0)], "TTAA", None)],
+            [("u", 4, -1, -1, 0, [], "GG", None)],
+        ],
+    )
+    assert [r[0] for r in _region_rows(spark, path, "chr1:100-104")] == ["a"]
+    assert [r[0] for r in _region_rows(spark, path, "chr1:198-202")] == ["b"]
+    # 16kb linear-index window 1, deep bin level
+    assert [r[0] for r in _region_rows(spark, path, "chr1:20001-20005")] == ["c"]
+    assert [r[0] for r in _region_rows(spark, path, "chr2")] == ["d"]
+    assert _region_rows(spark, path, "chr1:50000-60000") == []
+    assert _region_rows(spark, path, "chrX:1-10") == []  # absent contig
+    assert [r[0] for r in _region_rows(spark, path, "chr1")] == ["a", "b", "c"]
+
+
+def test_bam_region_matches_full_scan_filter(spark, tmp_path):
+    # the strong pin: for a pile of regions, the index-driven slice
+    # equals read_bam + an exact overlap filter over the full scan
+    recs = [
+        (f"r{i}", 0, i % 2, (i * 997) % 30000, 60, [(5 + i % 9, 0)],
+         "ACGTA" + "CG" * (i % 5), None)
+        for i in range(40)
+    ]
+    path = _write_bgzf_bam_with_bai(
+        tmp_path, "many.bam",
+        [("chr1", 40000), ("chr2", 40000)],
+        [recs[i:i + 3] for i in range(0, len(recs), 3)],
+    )
+    full = bio.read_bam(spark, path).collect()
+    for region in ("chr1:1-1000", "chr1:5000-20000", "chr2:29000-30000",
+                   "chr2:1-40000", "chr1:15000-15010"):
+        contig, beg0, end0 = bio.parse_region(region)
+        want = sorted(
+            (r.read_name, r.contig, r.pos, r.cigar)
+            for r in full
+            if r.contig == contig and r.pos is not None
+            and r.pos - 1 < end0
+            and r.pos - 1 + (bio._cigar_ref_span(r.cigar) or 1) > beg0
+        )
+        assert _region_rows(spark, path, region) == want, region
+
+
+def test_bam_region_virtual_offsets_exact(spark, tmp_path):
+    # one member holds r1|rmid|r2. rmid overlaps the query but its
+    # chunk is forced into a bin the query never visits, and the
+    # r1/r2 chunks are non-adjacent so they cannot merge:
+    #  - if a chunk walk overruns its vend, rmid leaks into the result
+    #  - if a chunk walk ignores its begin uoffset, r1 duplicates
+    path = _write_bgzf_bam_with_bai(
+        tmp_path, "voff.bam",
+        [("chr1", 50000)],
+        [[
+            ("r1", 0, 0, 100, 60, [(40000, 0)], "AC", None),
+            ("rmid", 0, 0, 30001, 60, [(3, 0)], "ACG", None),
+            ("r2", 0, 0, 30000, 60, [(5, 0)], "ACGTA", None),
+        ]],
+        bins_override={(0, 0, 1): 9999},
+    )
+    got = _region_rows(spark, path, "chr1:30001-30005")
+    assert [g[0] for g in got] == ["r1", "r2"]
+
+
+def test_bam_region_bai_guards(spark, tmp_path):
+    path = _write_bgzf_bam_with_bai(
+        tmp_path, "g.bam", [("chr1", 1000)],
+        [[("a", 0, 0, 9, 60, [(5, 0)], "ACGTA", None)]],
+    )
+    # pseudo-bin 37450 entries are metadata, not chunks: graft one in
+    import struct
+
+    bai = (tmp_path / "g.bam.bai").read_bytes()
+    # rewrite: n_bin+1 with a pseudo-bin carrying 2 bogus "chunks"
+    (n_bin,) = struct.unpack_from("<i", bai, 8)
+    pseudo = struct.pack("<Ii", 37450, 2) + struct.pack("<QQQQ", 1, 2, 3, 4)
+    patched = bai[:8] + struct.pack("<i", n_bin + 1) + pseudo + bai[12:]
+    (tmp_path / "g.bam.bai").write_bytes(patched)
+    assert [r[0] for r in _region_rows(spark, path, "chr1:1-100")] == ["a"]
+
+    (tmp_path / "g.bam.bai").write_bytes(b"JUNK" + patched[4:])
+    with pytest.raises(Exception, match="bad magic"):
+        _region_rows(spark, path, "chr1:1-100")
+
+
+def test_parse_region_forms():
+    assert bio.parse_region("chr1:100-200") == ("chr1", 99, 200)
+    assert bio.parse_region("chr1:1,000-2,000") == ("chr1", 999, 2000)
+    assert bio.parse_region("chr1") == ("chr1", 0, 1 << 29)
+    assert bio.parse_region("chr1:7") == ("chr1", 6, 7)
+    for bad in ("chr1:0-5", "chr1:9-3", ":1-2"):
+        with pytest.raises(ValueError):
+            bio.parse_region(bad)
+
+
+def test_cli_bam_region_e2e(spark, tmp_path):
+    from rnadam_spark import cli
+
+    path = _write_bgzf_bam_with_bai(
+        tmp_path, "cli.bam", [("chr1", 100000)],
+        [
+            [("a", 0, 0, 99, 60, [(5, 0)], "ACGTA", "IIIII")],
+            [("b", 0, 0, 20000, 60, [(10, 0)], "ACGTACGTAC", None)],
+        ],
+    )
+    out = str(tmp_path / "slice")
+    cli.main(["bam-region", path, "chr1:20001-20005", out])
+    rows = spark.read.parquet(out).collect()
+    assert [r.read_name for r in rows] == ["b"] and rows[0].pos == 20001
