@@ -147,10 +147,12 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from rnadam_spark.functions.rounding import hround
     from rnadam_spark.lineage import truncate_lineage
     from rnadam_spark.operators import dedup, repetition, similarity, text
     from rnadam_spark.queries.genomics_q import em_quantify
     from rnadam_spark.queries.pipeline_q import _BENCH_MOD, DECONTAM_N, LSH_MAX_BUCKET
+    from rnadam_spark.queries.relational import pricing_summary
     from rnadam_spark.sources.tables import load_table
 
     def timed(make_df) -> float:
@@ -227,10 +229,38 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             F.sum((~F.col("keep")).cast("bigint")).alias("n_lines_dropped"),
         )
 
+    def pricing_double_drift():
+        # the pre-round-9 double-sum twin of pricing_summary: ~4x
+        # faster, but its 4dp-rounded sums drift with summation order
+        # past ~6M rows (SURVEY sf1 block) — the A/B prices what the
+        # order-independent decimal accumulation costs at sf0.1
+        li = load_table(spark, sf_dir, "lineitem")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                hround(F.sum("l_quantity"), 4).alias("sum_qty"),
+                hround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                hround(F.sum(disc), 4).alias("sum_disc_price"),
+                hround(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                hround(F.avg("l_quantity"), 4).alias("avg_qty"),
+                hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                hround(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
     return {
         "clustered_write": {
             "zorder": zorder_write,
             "linear_sort": linear_write,
+        },
+        # round-9: scale-exact decimal money sums vs the double twin —
+        # the measured price of value-exactness at any data volume
+        "pricing_summary_money_sum": {
+            "decimal_exact": timed(lambda: pricing_summary(spark, sf_dir)),
+            "double_drift": timed(pricing_double_drift),
         },
         # VERDICT r6 #5: plan-literal ADC vs broadcast-join ADC over the
         # same persisted codes (m=8, nbits=4 → 128 table entries;

@@ -32,7 +32,7 @@ the one-pass corpus audit:
 
   rnadam-spark profile DOCUMENTS [-group_by COL] [-funnel] [-skew_by COL]
 
-and the BAI-index-driven BAM region slice:
+and the index-driven (BAI/CSI) BAM region slice:
 
   rnadam-spark bam-region BAM CONTIG[:BEG-END] OUTPUT
 
@@ -80,9 +80,12 @@ def _build_parser() -> argparse.ArgumentParser:
     br = sub.add_parser(
         "bam-region",
         help="index-driven region slice of BAM shard(s): reads only the "
-        "BGZF blocks the sibling .bam.bai names, never the full shard",
+        "BGZF blocks the sibling .bam.bai/.bam.csi names, never the "
+        "full shard",
     )
-    br.add_argument("bam", help=".bam file or glob of shards, each with a .bam.bai")
+    br.add_argument(
+        "bam", help=".bam file or glob of shards, each with a .bam.bai or .bam.csi"
+    )
     br.add_argument("region", help="CONTIG[:BEG-END], 1-based inclusive (samtools form)")
     br.add_argument("output", help="parquet: the overlapping alignment records")
 

@@ -11,14 +11,13 @@ reference's full input-format surface. BGZF is plain
 concatenated gzip members, so stdlib ``gzip.decompress`` inflates a
 whole shard; the binary record walk runs in an Arrow-batched
 ``mapInPandas`` per shard — the same sanctioned Python codec boundary
-as the WARC exact splitter and the BMP/WAV decodes. BAI index-driven
+as the WARC exact splitter and the BMP/WAV decodes. Index-driven
 region slices are supported too (``read_bam_region``): tasks seek
-straight to the BGZF blocks the sibling ``.bam.bai`` names, so a
-region read costs I/O proportional to the region, not the shard.
-Documented boundary within BAM: CRAM (reference-based compression
-needs an htslib-class codec stack) and CSI (the variable-depth bin
-variant for contigs beyond 2^29 bp) — batch quantification scans
-whole shards, and region access on human-scale contigs is BAI.
+straight to the BGZF blocks the sibling ``.bam.bai`` or ``.bam.csi``
+names (CSI = the variable min_shift/depth generalization for contigs
+beyond 2^29 bp), so a region read costs I/O proportional to the
+region, not the shard. Documented boundary within BAM: CRAM —
+reference-based compression needs an htslib-class codec stack.
 
 Scale design per format:
 
@@ -481,44 +480,53 @@ def read_sam(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------- BAM + BAI
 
 _BAI_MAGIC = b"BAI\x01"
-_BAI_PSEUDO_BIN = 37450  # per-ref unmapped-count pseudo-bin, not a region bin
-_LINEAR_SHIFT = 14  # 16 kb linear-index windows
+_CSI_MAGIC = b"CSI\x01"
+_LINEAR_SHIFT = 14  # BAI 16 kb linear-index windows
+_BAI_MIN_SHIFT, _BAI_DEPTH = 14, 5  # BAI is CSI binning fixed at (14, 5)
 
 
-def reg2bin(beg: int, end: int) -> int:
+def _pseudo_bin(depth: int) -> int:
+    # the per-ref unmapped-count metadata bin = max_bin + 2
+    # (37450 for BAI's depth 5)
+    return ((1 << (depth + 1) * 3) - 1) // 7 + 1
+
+
+def reg2bin(beg: int, end: int, min_shift: int = _BAI_MIN_SHIFT, depth: int = _BAI_DEPTH) -> int:
     """Finest bin fully containing the 0-based half-open interval
-    [beg, end) — the SAM spec §5.3 binning scheme (6 levels, 2^29 max)."""
+    [beg, end) — the SAM spec §5.3 binning scheme, parameterized the
+    CSI way (BAI is the fixed (14, 5) instance: 6 levels, 2^29 max)."""
     end -= 1
-    if beg >> 14 == end >> 14:
-        return ((1 << 15) - 1) // 7 + (beg >> 14)
-    if beg >> 17 == end >> 17:
-        return ((1 << 12) - 1) // 7 + (beg >> 17)
-    if beg >> 20 == end >> 20:
-        return ((1 << 9) - 1) // 7 + (beg >> 20)
-    if beg >> 23 == end >> 23:
-        return ((1 << 6) - 1) // 7 + (beg >> 23)
-    if beg >> 26 == end >> 26:
-        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    s, t, level = min_shift, ((1 << depth * 3) - 1) // 7, depth
+    while level > 0:
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        level -= 1
+        s += 3
+        t -= 1 << (level * 3)
     return 0
 
 
-def _reg2bins(beg: int, end: int) -> list[int]:
+def _reg2bins(beg: int, end: int, min_shift: int = _BAI_MIN_SHIFT, depth: int = _BAI_DEPTH) -> list[int]:
     """Every bin that may hold an alignment overlapping [beg, end)."""
     end -= 1
-    bins = [0]
-    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
-        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    bins = []
+    s, t = min_shift + depth * 3, 0
+    for level in range(depth + 1):
+        bins.extend(range(t + (beg >> s), t + (end >> s) + 1))
+        t += 1 << (level * 3)
+        s -= 3
     return bins
 
 
-def _parse_bai(data: bytes) -> list[tuple[dict, tuple]]:
-    """Per-reference (bins, linear_index) from BAI bytes: bins maps
-    bin number → [(voffset_beg, voffset_end)] chunks; linear_index is
-    the 16kb-window minimum-voffset array (SAM spec §5.2)."""
+def _parse_bai(data: bytes) -> dict:
+    """BAI index: per-reference (bins, linear_index) where bins maps
+    bin number → [(voffset_beg, voffset_end)] chunks and linear_index
+    is the 16kb-window minimum-voffset array (SAM spec §5.2)."""
     import struct
 
     if data[:4] != _BAI_MAGIC:
         raise ValueError("not a BAI index (bad magic)")
+    pseudo = _pseudo_bin(_BAI_DEPTH)
     (n_ref,) = struct.unpack_from("<i", data, 4)
     at = 8
     refs = []
@@ -531,27 +539,85 @@ def _parse_bai(data: bytes) -> list[tuple[dict, tuple]]:
             at += 8
             flat = struct.unpack_from(f"<{2 * n_chunk}Q", data, at)
             at += 16 * n_chunk
-            if bin_no != _BAI_PSEUDO_BIN:
+            if bin_no != pseudo:
                 bins[bin_no] = list(zip(flat[0::2], flat[1::2]))
         (n_intv,) = struct.unpack_from("<i", data, at)
         at += 4
         linear = struct.unpack_from(f"<{n_intv}Q", data, at)
         at += 8 * n_intv
-        refs.append((bins, linear))
-    return refs
+        refs.append({"bins": bins, "linear": linear})
+    return {"min_shift": _BAI_MIN_SHIFT, "depth": _BAI_DEPTH, "refs": refs}
 
 
-def _candidate_chunks(bai_ref, beg0: int, end0: int) -> list[tuple[int, int]]:
+def _parse_csi(data: bytes) -> dict:
+    """CSI index (CSIv1 spec): like BAI with parameterized
+    (min_shift, depth) and a per-bin ``loffset`` virtual-offset lower
+    bound in place of the linear index."""
+    import struct
+
+    if data[:4] != _CSI_MAGIC:
+        raise ValueError("not a CSI index (bad magic)")
+    min_shift, depth, l_aux = struct.unpack_from("<iii", data, 4)
+    at = 16 + l_aux
+    pseudo = _pseudo_bin(depth)
+    (n_ref,) = struct.unpack_from("<i", data, at)
+    at += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, at)
+        at += 4
+        bins: dict[int, list[tuple[int, int]]] = {}
+        loffsets: dict[int, int] = {}
+        for _ in range(n_bin):
+            bin_no, loffset, n_chunk = struct.unpack_from("<IQi", data, at)
+            at += 16
+            flat = struct.unpack_from(f"<{2 * n_chunk}Q", data, at)
+            at += 16 * n_chunk
+            if bin_no != pseudo:
+                bins[bin_no] = list(zip(flat[0::2], flat[1::2]))
+                loffsets[bin_no] = loffset
+        refs.append({"bins": bins, "loffsets": loffsets})
+    return {"min_shift": min_shift, "depth": depth, "refs": refs}
+
+
+def _parse_bam_index(data: bytes) -> dict:
+    """Dispatch on the index magic: BAI or CSI."""
+    if data[:4] == _CSI_MAGIC:
+        return _parse_csi(data)
+    return _parse_bai(data)
+
+
+def _min_voffset(index: dict, ref: dict, beg0: int) -> int:
+    """Coordinate-sort lower bound on the virtual offset of any record
+    overlapping a query starting at ``beg0``: BAI reads its 16kb linear
+    index; CSI reads the ``loffset`` of the deepest indexed bin
+    containing ``beg0``, walking up levels until one is present (the
+    htslib iterator's rule)."""
+    if "linear" in ref:
+        w = beg0 >> _LINEAR_SHIFT
+        return ref["linear"][w] if w < len(ref["linear"]) else 0
+    loffsets = ref["loffsets"]
+    s, t, level = index["min_shift"], ((1 << index["depth"] * 3) - 1) // 7, index["depth"]
+    while level >= 0:
+        b = t + (beg0 >> s)
+        if b in loffsets:
+            return loffsets[b]
+        level -= 1
+        s += 3
+        t -= 1 << (level * 3) if level >= 0 else 0
+    return 0
+
+
+def _candidate_chunks(index: dict, ref: dict, beg0: int, end0: int) -> list[tuple[int, int]]:
     """Merged virtual-offset chunks that may hold alignments
-    overlapping [beg0, end0): bin lookup → linear-index lower bound →
+    overlapping [beg0, end0): bin lookup → linear/loffset lower bound →
     sort/merge (adjacent or overlapping chunks coalesce so one seek
     serves them)."""
-    bins, linear = bai_ref
-    w = beg0 >> _LINEAR_SHIFT
-    min_off = linear[w] if w < len(linear) else 0
+    bins = ref["bins"]
+    min_off = _min_voffset(index, ref, beg0)
     chunks = [
         (cb, ce)
-        for b in _reg2bins(beg0, end0)
+        for b in _reg2bins(beg0, end0, index["min_shift"], index["depth"])
         for (cb, ce) in bins.get(b, ())
         if ce > min_off
     ]
@@ -687,20 +753,23 @@ def read_bam_region(spark: SparkSession, path: str, region: str) -> DataFrame:
     the public spec; the reference gets the same capability from
     htsjdk via ADAM).
 
-    Scale shape: the driver never opens a file — the SMALL ``.bai``
-    sidecars ride a binaryFile scan (a few MB per 100 GB shard), and
-    each task opens only its own shard, inflating only the indexed
-    chunk byte ranges. Parallelism is shard count, the same unit as
-    ``read_bam``; per-task work is proportional to the REGION's data,
-    not the shard's. Shards whose index has no overlapping chunk cost
-    one linear-index lookup and contribute zero I/O against the BAM
-    itself. The bin/linear candidate set is a superset, so records are
-    re-filtered exactly (CIGAR reference span) — index pruning is an
-    optimization, never a semantics change. CSI (variable-depth bins
-    for >2^29 contigs) and CRAM remain the documented boundary."""
+    Scale shape: the driver never opens a file — the SMALL ``.bai`` /
+    ``.csi`` sidecars ride a binaryFile scan (a few MB per 100 GB
+    shard), and each task opens only its own shard, inflating only the
+    indexed chunk byte ranges. Parallelism is shard count, the same
+    unit as ``read_bam``; per-task work is proportional to the
+    REGION's data, not the shard's. Shards whose index has no
+    overlapping chunk cost one lower-bound lookup and contribute zero
+    I/O against the BAM itself. The bin candidate set is a superset,
+    so records are re-filtered exactly (CIGAR reference span) — index
+    pruning is an optimization, never a semantics change. CSI indexes
+    (the variable min_shift/depth generalization for >2^29-bp contigs)
+    parse through the same path; a shard carrying BOTH sidecars is
+    read once (BAI preferred). CRAM remains the documented boundary."""
     import os
 
     import pandas as pd
+    from pyspark.sql import Window
 
     contig, beg0, end0 = parse_region(region)
     cols = (
@@ -711,25 +780,26 @@ def read_bam_region(spark: SparkSession, path: str, region: str) -> DataFrame:
     def slice_shards(batches):
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in cols}
-            for bai_path, content in zip(pdf["path"], pdf["content"]):
-                bam_path = bai_path[:-4]  # strip ".bai"
+            for idx_path, content in zip(pdf["path"], pdf["content"]):
+                bam_path = idx_path[:-4]  # strip ".bai" / ".csi"
                 local = bam_path.removeprefix("file:")
                 if not os.path.exists(local):
                     raise FileNotFoundError(
-                        f"index {bai_path} has no sibling BAM at {local}"
+                        f"index {idx_path} has no sibling BAM at {local}"
                     )
                 with open(local, "rb") as f:
                     refs = _bam_refs_from_file(f)
                     if contig not in refs:
                         continue
-                    bai = _parse_bai(bytes(content))
+                    index = _parse_bam_index(bytes(content))
                     ref_id = refs.index(contig)
-                    if ref_id >= len(bai):
+                    if ref_id >= len(index["refs"]):
                         raise ValueError(
-                            f"{bai_path}: {len(bai)} references indexed, "
-                            f"BAM header has {len(refs)}"
+                            f"{idx_path}: {len(index['refs'])} references "
+                            f"indexed, BAM header has {len(refs)}"
                         )
-                    for vbeg, vend in _candidate_chunks(bai[ref_id], beg0, end0):
+                    ref = index["refs"][ref_id]
+                    for vbeg, vend in _candidate_chunks(index, ref, beg0, end0):
                         for rec in _chunk_records(f, vbeg, vend, refs):
                             pos1 = rec[3]
                             if rec[2] != contig or pos1 is None:
@@ -740,9 +810,20 @@ def read_bam_region(spark: SparkSession, path: str, region: str) -> DataFrame:
                                     out[c].append(v)
             yield pd.DataFrame(out)
 
-    bai_glob = path + ".bai"
-    raw = spark.read.format("binaryFile").load(bai_glob)
-    return raw.select("path", "content").mapInPandas(slice_shards, _BAM_SCHEMA)
+    raw = spark.read.format("binaryFile").load(path + ".{bai,csi}")
+    # a shard with both sidecars must be read once: prefer .bai
+    # ('.bai' < '.csi' lexicographically); the window runs over the
+    # tiny sidecar row set, never the BAM bytes
+    one_per_bam = (
+        raw.select("path", "content")
+        .withColumn("bam", F.expr("substring(path, 1, length(path) - 4)"))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("bam").orderBy("path"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("path", "content")
+    )
+    return one_per_bam.mapInPandas(slice_shards, _BAM_SCHEMA)
 
 
 # --------------------------------------------------------------- 2bit

@@ -295,7 +295,12 @@ def test_read_twobit_chromosome_scale_decode_is_fast(spark, tmp_path):
     t0 = time.time()
     rows = bio.read_twobit(spark, str(p)).collect()
     elapsed = time.time() - t0
-    assert elapsed < 20.0, f"chromosome-scale decode took {elapsed:.1f}s"
+    # regression bound, not a benchmark: the numpy path runs ~10-35s
+    # depending on session warmth and host load (observed 34.7s on an
+    # idle host with a COLD session), while the per-base Python loop
+    # this guards against takes ~30+ minutes. 120s separates those two
+    # regimes under any plausible load without flaking.
+    assert elapsed < 120.0, f"chromosome-scale decode took {elapsed:.1f}s"
 
     (row,) = rows
     seq = row.sequence
@@ -659,3 +664,149 @@ def test_cli_bam_region_e2e(spark, tmp_path):
     cli.main(["bam-region", path, "chr1:20001-20005", out])
     rows = spark.read.parquet(out).collect()
     assert [r.read_name for r in rows] == ["b"] and rows[0].pos == 20001
+
+
+def _write_csi(bam_path, refs, placed, min_shift, depth):
+    """Spec-faithful CSI sidecar for a fixture written by
+    _write_bgzf_bam_with_bai's layout: per-bin loffset = min voffset of
+    the records overlapping that bin's interval (the coordinate-sort
+    lower bound the reader prunes with)."""
+    import struct
+
+    def bin_interval(b):
+        s, t = min_shift + depth * 3, 0
+        for level in range(depth + 1):
+            nbins = 1 << (level * 3)
+            if b < t + nbins:
+                start = (b - t) << s
+                return start, start + (1 << s)
+            t += nbins
+            s -= 3
+        raise ValueError(b)
+
+    csi = bytearray(b"CSI\x01" + struct.pack("<iii", min_shift, depth, 0))
+    csi += struct.pack("<i", len(refs))
+    for rid in range(len(refs)):
+        mine = [p for p in placed if p[0] == rid]
+        bins = {}
+        for _, beg0, end0, vbeg, vend, _, _ in mine:
+            b = bio.reg2bin(beg0, end0, min_shift, depth)
+            bins.setdefault(b, []).append((vbeg, vend))
+        csi += struct.pack("<i", len(bins))
+        for b, chunks in sorted(bins.items()):
+            lo, hi = bin_interval(b)
+            loffset = min(
+                (p[3] for p in mine if p[1] < hi and p[2] > lo), default=0
+            )
+            csi += struct.pack("<IQi", b, loffset, len(chunks))
+            for cb, ce in chunks:
+                csi += struct.pack("<QQ", cb, ce)
+    import pathlib
+
+    pathlib.Path(bam_path + ".csi").write_bytes(bytes(csi))
+
+
+def test_reg2bin_generalization_matches_bai_constants():
+    # the parameterized loops reproduce the SAM-spec fixed-constant
+    # forms at (14, 5): finest level, a mid level, the root, and the
+    # reg2bins candidate walk
+    assert bio.reg2bin(99, 104) == 4681 + (99 >> 14)
+    assert bio.reg2bin(30000, 30005) == 4681 + (30000 >> 14)
+    assert bio.reg2bin(0, 1 << 20) == 73
+    assert bio.reg2bin(100, 40100) == 585
+    assert bio.reg2bin(0, 1 << 29) == 0
+    got = bio._reg2bins(30000, 30005)
+    want = [0]
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        want.extend(range(offset + (30000 >> shift), offset + (30004 >> shift) + 1))
+    assert sorted(got) == sorted(want)
+    assert bio._pseudo_bin(5) == 37450
+
+
+def test_bam_region_csi_matches_full_scan_filter(spark, tmp_path):
+    # same strong pin as the BAI sweep, driven through a CSI sidecar
+    # with NON-default geometry (min_shift=12, depth=4) — the variable
+    # min_shift/depth path has no BAI twin to hide behind
+    recs = [
+        (f"c{i}", 0, i % 2, (i * 991) % 20000, 60, [(6 + i % 7, 0)],
+         "ACGTAC" + "GT" * (i % 4), None)
+        for i in range(30)
+    ]
+    bam = _write_bgzf_bam_with_bai(
+        tmp_path, "csi.bam", [("chr1", 30000), ("chr2", 30000)],
+        [recs[i:i + 4] for i in range(0, len(recs), 4)],
+    )
+    import os
+
+    os.remove(bam + ".bai")
+    # rebuild 'placed' the way the BAI writer does, then write only CSI
+    # (reuse the builder's bookkeeping by re-deriving from the full scan)
+    full = bio.read_bam(spark, bam).collect()
+    name_to_voff = {}
+    # re-derive voffsets: members were written 4 records at a time, in
+    # order, after the header member — reconstruct from the blobs
+    data = open(bam, "rb").read()
+    import zlib
+
+    offs, pos = [], 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(data[pos:])
+        offs.append((pos, raw))
+        pos = len(data) - len(d.unused_data)
+    placed = []
+    ref_ids = {"chr1": 0, "chr2": 1}
+    for coffset, raw in offs[1:]:
+        at = 0
+        while at < len(raw):
+            import struct
+
+            (bs,) = struct.unpack_from("<i", raw, at)
+            rec, nxt = bio._decode_bam_record(raw, at, ["chr1", "chr2"])
+            span = bio._cigar_ref_span(rec[5]) or 1
+            placed.append(
+                (ref_ids[rec[2]], rec[3] - 1, rec[3] - 1 + span,
+                 (coffset << 16) | at, (coffset << 16) | nxt, 0, 0)
+            )
+            at = nxt
+    _write_csi(bam, [("chr1", 30000), ("chr2", 30000)], placed,
+               min_shift=12, depth=4)
+    for region in ("chr1:1-500", "chr1:5000-15000", "chr2:19000-20000",
+                   "chr2:1-30000", "chr1:10000-10005"):
+        contig, beg0, end0 = bio.parse_region(region)
+        want = sorted(
+            (r.read_name, r.contig, r.pos, r.cigar)
+            for r in full
+            if r.contig == contig and r.pos is not None
+            and r.pos - 1 < end0
+            and r.pos - 1 + (bio._cigar_ref_span(r.cigar) or 1) > beg0
+        )
+        assert _region_rows(spark, bam, region) == want, region
+
+
+def test_bam_region_both_sidecars_read_once(spark, tmp_path):
+    # a shard carrying BOTH .bai and .csi must contribute each record
+    # once (BAI preferred), not twice
+    bam = _write_bgzf_bam_with_bai(
+        tmp_path, "both.bam", [("chr1", 100000)],
+        [[("a", 0, 0, 99, 60, [(5, 0)], "ACGTA", None)]],
+    )
+    import struct
+
+    placed = [(0, 99, 104, 0, 0, 0, 0)]
+    # cheap valid CSI: recompute voffsets from the file layout
+    data = open(bam, "rb").read()
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    d.decompress(data)
+    m1 = len(data) - len(d.unused_data)  # header member size
+    placed = [(0, 99, 104, m1 << 16, (len(data)) << 16, 0, 0)]
+    _write_csi(bam, [("chr1", 100000)], placed, min_shift=14, depth=5)
+    got = _region_rows(spark, bam, "chr1:95-110")
+    assert [g[0] for g in got] == ["a"]
+
+
+def test_csi_bad_magic_raises():
+    with pytest.raises(ValueError, match="bad magic"):
+        bio._parse_csi(b"JUNKxxxx")
