@@ -50,3 +50,32 @@ def money_sum(col: Column | str) -> Column:
 
 def money_sum_sql(expr: str) -> str:
     return f"CAST(sum(CAST(({expr}) AS {MONEY_DECIMAL})) AS DOUBLE)"
+
+
+# When the ROUNDED SUM is itself the output column, the rounding must
+# also happen in decimal. At ~5×10¹¹ sums (60M lineitem rows) a second
+# failure mode appeared past the summation-order one: the exact decimal
+# sums AGREE, but each engine's decimal(38,10)→double conversion rounds
+# differently (DuckDB converts the hugeint then divides — two IEEE
+# roundings; Java's BigDecimal.doubleValue rounds once, correctly), so
+# the 4dp hround over doubles flips its floor by one ulp. Rounding to
+# d places in exact decimal first removes the conversion from the
+# rounding path entirely; the remaining decimal(38,d)→double cast is
+# correctly rounded in BOTH engines while the unscaled value fits 2⁵³
+# (|sum| ≲ 9×10¹¹ at d=4). Past that, the DOUBLE TYPE itself cannot
+# express a 4dp grain (ulp(10¹²) > 10⁻⁴) — the remedy there is a
+# decimal output column, not cleverer rounding.
+#
+# Engine pairing (probed, ties included, pinned in tests/test_approx.py):
+# Spark's decimal downcast CAST rounds HALF_UP (= half away from zero);
+# DuckDB's CAST truncates but its round() is half away from zero — so
+# the pair is Spark-CAST ↔ DuckDB-round().
+
+
+def money_sum_rounded(col: Column | str, d: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY_DECIMAL)).cast(f"decimal(38,{d})").cast("double")
+
+
+def money_sum_rounded_sql(expr: str, d: int = 4) -> str:
+    return f"CAST(round(sum(CAST(({expr}) AS {MONEY_DECIMAL})), {d}) AS DOUBLE)"

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rnadam_spark.functions.rounding import hround, money_sum, money_sum_sql
+from rnadam_spark.functions.rounding import (
+    hround,
+    money_sum,
+    money_sum_rounded,
+    money_sum_rounded_sql,
+    money_sum_sql,
+)
 from rnadam_spark.registry import query
 from rnadam_spark.sources.tables import load_table
 
@@ -31,10 +37,10 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           floor(({money_sum_sql('l_quantity')}) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
-           floor(({money_sum_sql('l_extendedprice')}) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
-           floor(({money_sum_sql('l_extendedprice * (1 - l_discount)')}) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
-           floor(({money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+           {money_sum_rounded_sql('l_quantity')} AS sum_qty,
+           {money_sum_rounded_sql('l_extendedprice')} AS sum_base_price,
+           {money_sum_rounded_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {money_sum_rounded_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
            floor(({money_sum_sql('l_quantity')} / count(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
            floor(({money_sum_sql('l_extendedprice')} / count(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
            floor(({money_sum_sql('l_discount')} / count(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
@@ -61,10 +67,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            hround(money_sum("l_quantity"), 4).alias("sum_qty"),
-            hround(money_sum("l_extendedprice"), 4).alias("sum_base_price"),
-            hround(money_sum(disc_price), 4).alias("sum_disc_price"),
-            hround(money_sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            money_sum_rounded("l_quantity").alias("sum_qty"),
+            money_sum_rounded("l_extendedprice").alias("sum_base_price"),
+            money_sum_rounded(disc_price).alias("sum_disc_price"),
+            money_sum_rounded(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             hround(money_sum("l_quantity") / F.count("l_quantity"), 4).alias("avg_qty"),
             hround(
                 money_sum("l_extendedprice") / F.count("l_extendedprice"), 4
@@ -296,8 +302,8 @@ def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_pivot",
     oracle=f"""
     SELECT l_returnflag,
-           floor(({money_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END")}) * 10000.0 + 0.5) / 10000.0 AS rev_open,
-           floor(({money_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END")}) * 10000.0 + 0.5) / 10000.0 AS rev_filled,
+           {money_sum_rounded_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END")} AS rev_open,
+           {money_sum_rounded_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END")} AS rev_filled,
            CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem
     GROUP BY l_returnflag
@@ -309,17 +315,11 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     any data volume; functions/rounding.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        hround(
-            money_sum(
-                F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)
-            ),
-            4,
+        money_sum_rounded(
+            F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)
         ).alias("rev_open"),
-        hround(
-            money_sum(
-                F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)
-            ),
-            4,
+        money_sum_rounded(
+            F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)
         ).alias("rev_filled"),
         F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
     )
@@ -419,7 +419,7 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returns_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           floor(({money_sum_sql('l_extendedprice')}) * 10000.0 + 0.5) / 10000.0 AS revenue,
+           {money_sum_rounded_sql('l_extendedprice')} AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -434,6 +434,6 @@ def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the 4dp grain."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        hround(money_sum("l_extendedprice"), 4).alias("revenue"),
+        money_sum_rounded("l_extendedprice").alias("revenue"),
         F.count("*").alias("n"),
     )

@@ -82,3 +82,50 @@ def test_money_decimal_cast_identical_across_engines(spark, sf_dir):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_money_decimal_rounding_pairing_across_engines(spark):
+    # the money_sum_rounded contract (functions/rounding.py): rounding
+    # to 4dp happens in EXACT decimal on both sides, and the engine
+    # pairing is Spark's downcast CAST (HALF_UP) <-> DuckDB's round()
+    # (half away from zero) — DuckDB's own CAST truncates and must not
+    # be used. Pinned on ties, near-ties, negatives, and a >2^53-
+    # unscaled magnitude where double-path rounding provably diverges.
+    import duckdb
+
+    cases = [
+        "123.0000500000",      # exact tie
+        "-123.0000500000",     # negative tie (both round away from zero)
+        "123.0000499999",      # just below
+        "123.0000500001",      # just above
+        "417556465744.9100500000",  # the sf10 one-ulp divergence case
+        "0.0000500000",
+        "-0.0000499999",
+    ]
+    sdf = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"CAST(CAST('{c}' AS DECIMAL(38,10)) AS DECIMAL(38,4)) AS c{i}"
+            for i, c in enumerate(cases)
+        )
+    )
+    got = [str(v) for v in sdf.collect()[0]]
+    want = [
+        str(v)
+        for v in duckdb.sql(
+            "SELECT "
+            + ", ".join(
+                f"round(CAST('{c}' AS DECIMAL(38,10)), 4)" for c in cases
+            )
+        ).fetchall()[0]
+    ]
+    assert got == want
+    # and the final decimal(38,4) -> double cast agrees bit-for-bit
+    # while the unscaled value fits 2^53
+    s2 = spark.sql(
+        "SELECT CAST(CAST('417556465744.9101' AS DECIMAL(38,4)) AS DOUBLE)"
+    ).collect()[0][0]
+    d2 = duckdb.sql(
+        "SELECT CAST(CAST('417556465744.9101' AS DECIMAL(38,4)) AS DOUBLE)"
+    ).fetchall()[0][0]
+    assert s2 == d2 and repr(s2) == repr(d2)
