@@ -100,6 +100,11 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark("check-correctness")
     con = duckdb.connect()
+    # an in-memory DuckDB cannot spill, so scale-corpus oracles
+    # (10^8-row shingle CTEs at sf10) die with OOM instead of going
+    # out-of-core; a temp directory turns those into disk-backed runs
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='120GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
