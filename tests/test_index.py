@@ -72,3 +72,42 @@ def test_index_deterministic_ids(spark):
     a, _, _ = build_index(transcripts, genome, 5)
     b, _, _ = build_index(transcripts.repartition(7), genome, 5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pyref_kmer_oracle_matches_duckdb(sf_dir):
+    # the sf10 python reference (tools/pyref_kmer_oracle.py — used where
+    # the DuckDB string_agg oracle OOMs) agrees with the DuckDB oracle
+    # at a scale where BOTH are feasible, for the class rows AND the
+    # normalized roll-up derived from them
+    import importlib.util
+    import os
+
+    import duckdb
+
+    from __spark_entry__ import oracle_sql
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "pyref_kmer_oracle.py",
+    )
+    spec = importlib.util.spec_from_file_location("pyref_kmer_oracle", path)
+    ref = importlib.util.module_from_spec(spec)
+    import sys
+
+    sys.modules["pyref_kmer_oracle"] = ref  # ProcessPool pickles by module name
+    spec.loader.exec_module(ref)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = ref.expected_equivalence_classes(sf_dir)
+    want = set(map(tuple, con.execute(oracle_sql()["equivalence_classes"]).fetchall()))
+    assert rows == want and rows
+
+    counts = ref.expected_class_counts(rows)
+    want_counts = set(
+        map(tuple, con.execute(oracle_sql()["class_counts_normalized"]).fetchall())
+    )
+    assert counts == want_counts
