@@ -49,6 +49,8 @@ Scale design per format:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -730,18 +732,45 @@ def _bam_refs_from_file(f) -> list[str]:
         buf = d.unused_data
 
 
-def parse_region(region: str) -> tuple[str, int, int]:
+def parse_region(region: str) -> tuple[str, int, int | None]:
     """'chr1:100-200' (1-based inclusive, the samtools convention) →
-    (contig, beg0, end0) 0-based half-open."""
-    contig, _, span = region.partition(":")
+    (contig, beg0, end0) 0-based half-open.
+
+    A bare contig ('chr1') means the WHOLE contig: end0 is None and
+    the reader resolves the bound per shard from its own index
+    geometry (``1 << (min_shift + 3*depth)``, the index's maximum
+    addressable coordinate). A fixed ``1 << 29`` here would silently
+    drop alignments past 512 Mbp on CSI-indexed long contigs — the
+    exact case CSI exists for."""
+    contig, sep, span = region.partition(":")
+    if not contig or (sep and not span):
+        raise ValueError(f"bad region {region!r} (want CONTIG[:BEG-END], 1-based)")
     if not span:
-        return contig, 0, 1 << 29
+        return contig, 0, None
     lo, _, hi = span.partition("-")
     beg0 = int(lo.replace(",", "")) - 1
     end0 = int(hi.replace(",", "")) if hi else beg0 + 1
-    if not contig or beg0 < 0 or end0 <= beg0:
+    if beg0 < 0 or end0 <= beg0:
         raise ValueError(f"bad region {region!r} (want CONTIG[:BEG-END], 1-based)")
     return contig, beg0, end0
+
+
+def _open_shard(bam_path: str):
+    """Seekable handle on a BAM shard, honoring the sidecar's URI
+    scheme: plain open() for local / file: paths, pyarrow.fs for
+    everything else (hdfs://, s3a://, ...) so index-driven slices work
+    on whatever filesystem served the sidecar — the sidecars already
+    arrive through Spark's binaryFile source, which is scheme-agnostic,
+    and the shard open must match."""
+    if "://" not in bam_path or bam_path.startswith("file:"):
+        local = bam_path.removeprefix("file:")
+        if not os.path.exists(local):
+            raise FileNotFoundError(f"no sibling BAM at {local}")
+        return open(local, "rb")
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(bam_path)
+    return fs.open_input_file(rel)
 
 
 def read_bam_region(spark: SparkSession, path: str, region: str) -> DataFrame:
@@ -766,8 +795,6 @@ def read_bam_region(spark: SparkSession, path: str, region: str) -> DataFrame:
     (the variable min_shift/depth generalization for >2^29-bp contigs)
     parse through the same path; a shard carrying BOTH sidecars is
     read once (BAI preferred). CRAM remains the documented boundary."""
-    import os
-
     import pandas as pd
     from pyspark.sql import Window
 
@@ -782,12 +809,7 @@ def read_bam_region(spark: SparkSession, path: str, region: str) -> DataFrame:
             out: dict[str, list] = {c: [] for c in cols}
             for idx_path, content in zip(pdf["path"], pdf["content"]):
                 bam_path = idx_path[:-4]  # strip ".bai" / ".csi"
-                local = bam_path.removeprefix("file:")
-                if not os.path.exists(local):
-                    raise FileNotFoundError(
-                        f"index {idx_path} has no sibling BAM at {local}"
-                    )
-                with open(local, "rb") as f:
+                with _open_shard(bam_path) as f:
                     refs = _bam_refs_from_file(f)
                     if contig not in refs:
                         continue
@@ -799,13 +821,22 @@ def read_bam_region(spark: SparkSession, path: str, region: str) -> DataFrame:
                             f"indexed, BAM header has {len(refs)}"
                         )
                     ref = index["refs"][ref_id]
-                    for vbeg, vend in _candidate_chunks(index, ref, beg0, end0):
+                    # bare-contig form: the end bound is THIS shard's
+                    # index ceiling (2^29 for BAI, larger for CSI) —
+                    # never a fixed constant that would truncate long
+                    # CSI-indexed contigs
+                    hi0 = (
+                        end0
+                        if end0 is not None
+                        else 1 << (index["min_shift"] + 3 * index["depth"])
+                    )
+                    for vbeg, vend in _candidate_chunks(index, ref, beg0, hi0):
                         for rec in _chunk_records(f, vbeg, vend, refs):
                             pos1 = rec[3]
                             if rec[2] != contig or pos1 is None:
                                 continue
                             span = _cigar_ref_span(rec[5]) or 1
-                            if pos1 - 1 < end0 and pos1 - 1 + span > beg0:
+                            if pos1 - 1 < hi0 and pos1 - 1 + span > beg0:
                                 for c, v in zip(cols, (*rec, bam_path)):
                                     out[c].append(v)
             yield pd.DataFrame(out)

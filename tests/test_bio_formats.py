@@ -643,9 +643,11 @@ def test_bam_region_bai_guards(spark, tmp_path):
 def test_parse_region_forms():
     assert bio.parse_region("chr1:100-200") == ("chr1", 99, 200)
     assert bio.parse_region("chr1:1,000-2,000") == ("chr1", 999, 2000)
-    assert bio.parse_region("chr1") == ("chr1", 0, 1 << 29)
+    # bare contig = whole contig: end bound deferred to the per-shard
+    # index geometry (2^29 would truncate long CSI-indexed contigs)
+    assert bio.parse_region("chr1") == ("chr1", 0, None)
     assert bio.parse_region("chr1:7") == ("chr1", 6, 7)
-    for bad in ("chr1:0-5", "chr1:9-3", ":1-2"):
+    for bad in ("chr1:0-5", "chr1:9-3", ":1-2", "", "chr1:", ":"):
         with pytest.raises(ValueError):
             bio.parse_region(bad)
 
@@ -810,3 +812,45 @@ def test_bam_region_both_sidecars_read_once(spark, tmp_path):
 def test_csi_bad_magic_raises():
     with pytest.raises(ValueError, match="bad magic"):
         bio._parse_csi(b"JUNKxxxx")
+
+
+def test_bam_region_csi_bare_contig_beyond_2pow29(spark, tmp_path):
+    # a bare-contig region ('chr1') on a CSI-indexed contig LONGER than
+    # 2^29 bp must return records past 512 Mbp: the whole-contig end
+    # bound resolves per shard from the index geometry
+    # (1 << (min_shift + 3*depth)), never a fixed 1 << 29
+    import os
+    import zlib
+
+    far = 600_000_000  # > 1 << 29
+    bam = _write_bgzf_bam_with_bai(
+        tmp_path, "long.bam", [("chr1", 700_000_000)],
+        [
+            [("near", 0, 0, 99, 60, [(5, 0)], "ACGTA", None)],
+            [("deep", 0, 0, far, 60, [(5, 0)], "ACGTA", None)],
+        ],
+    )
+    os.remove(bam + ".bai")  # BAI cannot address pos >= 2^29
+    data = open(bam, "rb").read()
+    offs, pos = [], 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(data[pos:])
+        offs.append((pos, raw))
+        pos = len(data) - len(d.unused_data)
+    placed = []
+    for coffset, raw in offs[1:]:
+        at = 0
+        while at < len(raw):
+            rec, nxt = bio._decode_bam_record(raw, at, ["chr1"])
+            span = bio._cigar_ref_span(rec[5]) or 1
+            placed.append(
+                (0, rec[3] - 1, rec[3] - 1 + span,
+                 (coffset << 16) | at, (coffset << 16) | nxt, 0, 0)
+            )
+            at = nxt
+    # depth=6 → max addressable coordinate 1 << (14 + 18) = 2^32
+    _write_csi(bam, [("chr1", 700_000_000)], placed, min_shift=14, depth=6)
+    assert [g[0] for g in _region_rows(spark, bam, "chr1")] == ["deep", "near"]
+    got = _region_rows(spark, bam, "chr1:600000000-600000010")
+    assert [g[0] for g in got] == ["deep"]
