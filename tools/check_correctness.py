@@ -8,6 +8,20 @@ reported separately — if only the approximate check passes, the query
 needs explicit rounding on both sides.
 
 Usage: python tools/check_correctness.py [sf_dir] [name ...]
+       python tools/check_correctness.py --stream [sf_dir] [name ...]
+
+``--stream`` switches to the scale-safe compare: instead of collecting
+both result sets to driver lists (infeasible at 10^8 rows), Spark
+writes its result to parquet DISTRIBUTEDLY, DuckDB COPYs the oracle to
+parquet out-of-core, and both files stream through the same
+record-batch digest — an order-insensitive multiset hash (count + sum
+and sum-of-squares of per-row 64-bit hashes, mod 2^64) whose memory is
+bounded by one batch regardless of row count. Both sides hash in the
+same process through the same code path, so the digest needs no
+cross-engine hash compatibility; equal digests certify multiset
+equality up to 2^-64-scale collision odds. Scalar columns only (ints,
+floats, strings, bools, timestamps) — list/struct results raise and
+should use the collect path at a feasible scale instead.
 """
 
 from __future__ import annotations
@@ -95,9 +109,104 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     return out
 
 
+def _digest_parquet(path: str) -> dict:
+    """Order-insensitive multiset digest of a parquet result set.
+
+    Streams record batches (bounded memory at any row count),
+    canonicalizes dtypes so logically-equal values hash equally
+    regardless of which engine wrote the file (all ints → int64, all
+    floats → float64, string flavors → object), sorts columns by name
+    (the same convention as the collect-path compare), and combines
+    per-row hashes commutatively: count, Σh mod 2^64, Σh² mod 2^64.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    names = sorted(dataset.schema.names)
+    for field in dataset.schema:
+        if pa.types.is_nested(field.type):
+            raise ValueError(
+                f"streamed digest supports scalar columns only; "
+                f"{field.name} is {field.type}"
+            )
+    count, h1, h2 = 0, 0, 0
+    for batch in dataset.to_batches(batch_size=1 << 20, columns=names):
+        if batch.num_rows == 0:
+            continue
+        pdf = batch.to_pandas()
+        for c in pdf.columns:
+            dt = pdf[c].dtype
+            if isinstance(dt, pd.DatetimeTZDtype):
+                # Spark writes isAdjustedToUTC=true, DuckDB writes
+                # naive — same instant must hash the same
+                pdf[c] = (
+                    pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+                    .astype("datetime64[us]")
+                )
+            elif pd.api.types.is_datetime64_any_dtype(dt):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+            elif pd.api.types.is_integer_dtype(dt):
+                pdf[c] = pdf[c].astype("int64")
+            elif pd.api.types.is_float_dtype(dt):
+                pdf[c] = pdf[c].astype("float64")
+        hv = pd.util.hash_pandas_object(pdf, index=False).to_numpy(dtype=np.uint64)
+        count += len(hv)
+        h1 = (h1 + int(hv.sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF
+        h2 = (h2 + int((hv * hv).sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF
+    return {"rows": count, "cols": names, "h1": h1, "h2": h2}
+
+
+def stream_compare(name, fn, sql, spark, sf_dir, con) -> dict:
+    """Scale-safe compare: both sides land in parquet (Spark writes
+    distributed, DuckDB out-of-core), then stream through the same
+    digest. No driver-side collect anywhere."""
+    import shutil
+    import tempfile
+
+    out = {"name": name, "mode": "stream"}
+    tmp = tempfile.mkdtemp(prefix=f"ccstream_{name}_", dir="/tmp")
+    try:
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").parquet(f"{tmp}/spark")
+        out["sec_spark"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        con.execute(
+            f"COPY ({sql.rstrip().rstrip(';')}) TO '{tmp}/oracle.parquet' "
+            f"(FORMAT PARQUET)"
+        )
+        out["sec_oracle"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        s = _digest_parquet(f"{tmp}/spark")
+        d = _digest_parquet(f"{tmp}/oracle.parquet")
+        out["sec_digest"] = round(time.time() - t0, 2)
+        out["rows_spark"], out["rows_oracle"] = s["rows"], d["rows"]
+        if s["cols"] != d["cols"]:
+            out["status"] = "SCHEMA_MISMATCH"
+            out["spark_cols"], out["oracle_cols"] = s["cols"], d["cols"]
+        elif s["rows"] != d["rows"]:
+            out["status"] = "ROWCOUNT_MISMATCH"
+        elif (s["h1"], s["h2"]) != (d["h1"], d["h2"]):
+            out["status"] = "VALUE_MISMATCH"
+            out["digest_spark"] = [s["h1"], s["h2"]]
+            out["digest_oracle"] = [d["h1"], d["h2"]]
+        else:
+            out["status"] = "OK"
+            out["digest"] = [s["h1"], s["h2"]]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    stream = "--stream" in argv
+    if stream:
+        argv.remove("--stream")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check-correctness")
     con = duckdb.connect()
     # an in-memory DuckDB cannot spill, so scale-corpus oracles
@@ -111,6 +220,19 @@ def main():
     results, failed = [], 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if stream:
+            if name not in oracles:
+                results.append({"name": name, "status": "NO_ORACLE", "mode": "stream"})
+                continue
+            try:
+                r = stream_compare(name, fn, oracles[name], spark, sf_dir, con)
+            except Exception as e:  # noqa: BLE001
+                r = {"name": name, "status": "STREAM_ERROR", "error": str(e)[:500]}
+            results.append(r)
+            if r["status"] != "OK":
+                failed += 1
+            print(json.dumps(r), flush=True)
             continue
         t0 = time.time()
         try:
@@ -137,8 +259,9 @@ def main():
         results.append(r)
         if r["status"] != "OK":
             failed += 1
-    for r in results:
-        print(json.dumps(r))
+    if not stream:  # stream mode prints each row as it completes
+        for r in results:
+            print(json.dumps(r))
     print(f"\n{len(results) - failed}/{len(results)} OK")
     sys.exit(1 if failed else 0)
 
