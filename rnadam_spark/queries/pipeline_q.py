@@ -700,6 +700,41 @@ def token_budget_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 1024
+PACK_GROUPS = 16
+
+_PACK_SQL = f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                      doc_id % {PACK_GROUPS} AS pack_group
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens, pack_group,
+                 sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+          FROM t)
+    SELECT doc_id, n_tokens, pack_group,
+           CAST(floor(start / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM s
+    """
+
+
+@query("pack_sequences", oracle=_PACK_SQL)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/lm.pack_sequences): each
+    document gets its position in a stream of fixed-budget training
+    examples — (pack_group, pack_id, pack_offset) via a running token
+    sum windowed over pack_group = doc_id % {n_groups}, NOT the whole
+    corpus, so there is ONE hash-partition exchange and no global sort;
+    the same corpus packs identically on any partitioning (order pinned
+    to (pack_group, doc_id)). The oracle is the running-sum window SQL
+    re-derived in DuckDB."""
+    from rnadam_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.pack_sequences(docs, budget=PACK_BUDGET, n_groups=PACK_GROUPS)
+
+
 # ------------------------------------------------------------- sampling
 
 SAMPLE_SEED = 17
@@ -1084,13 +1119,19 @@ _VOCAB_SQL = f"""
     """
 
 
-@query("vocabulary", oracle=_VOCAB_SQL)
 def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with term and document frequencies: the df
     side runs on the per-document run-length counts (one struct row
     per distinct (doc, token) BEFORE the shuffle — no count(distinct)
     expansion), so the single groupBy moves per-doc-distinct tokens,
-    not raw token occurrences."""
+    not raw token occurrences.
+
+    Retired from the gate in the round-10 rotation to make room for
+    ``vocabulary_shift``, whose oracle re-derives the tf kernel as its
+    first CTEs (per snapshot) and whose Spark side calls
+    text.vocabulary twice — the kernel stays gate-verified through it.
+    ``_VOCAB_SQL`` stays the full (tf AND df) oracle for the pytest
+    cross-check (tests/test_text_curation.py)."""
     return text.vocabulary(load_table(spark, sf_dir, "documents", widen=True))
 
 
@@ -1238,6 +1279,66 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return corpus_diff(old, new)
+
+
+# p_* magnitudes are ~1/vocab-size (1e-7 at sf10), so the usual 6dp
+# grain would zero the whole table; 15dp keeps >= 8 significant digits
+# at any plausible corpus while floor(x*1e15+0.5) stays under 2^53 for
+# x <= 1 (probabilities and their JS summands both are).
+_VSHIFT_D = 15
+
+_VSHIFT_SQL = f"""
+    WITH old_docs AS (SELECT text FROM documents WHERE doc_id % 97 != 3),
+    new_docs AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+                 FROM documents WHERE doc_id % 89 != 5),
+    o AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT unnest({_TOKS_SQL}) AS token FROM old_docs) GROUP BY token),
+    n AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT unnest({_TOKS_SQL}) AS token FROM new_docs) GROUP BY token),
+    po AS (SELECT token, CAST(tf AS DOUBLE) / (SELECT CAST(sum(tf) AS DOUBLE) FROM o) AS p_old FROM o),
+    pn AS (SELECT token, CAST(tf AS DOUBLE) / (SELECT CAST(sum(tf) AS DOUBLE) FROM n) AS p_new FROM n),
+    j AS (SELECT coalesce(po.token, pn.token) AS token,
+                 coalesce(p_old, 0.0) AS p, coalesce(p_new, 0.0) AS q
+          FROM po FULL OUTER JOIN pn ON po.token = pn.token)
+    SELECT token,
+           {hround_sql('p', _VSHIFT_D)} AS p_old,
+           {hround_sql('q', _VSHIFT_D)} AS p_new,
+           {hround_sql('''(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END)
+            + (CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0.0 END)''', _VSHIFT_D)} AS js_contribution
+    FROM j
+    """
+
+
+@query("vocabulary_shift", oracle=_VSHIFT_SQL)
+def vocabulary_shift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots
+    (operators/diffing.vocabulary_shift): per-snapshot term frequencies
+    normalized to probabilities, full-outer-joined on token, and each
+    token's Jensen-Shannon summand (½·p·ln(p/m) + ½·q·ln(q/m),
+    m=(p+q)/2 — contributions SUM to the JS divergence). Snapshot views
+    reuse corpus_diff's deterministic mods so the two monitoring rows
+    describe the same synthetic release. Full table, no top_k: the
+    output is bounded by vocabulary size, not corpus size, and the
+    order-insensitive gate needs no tie-prone ranking. Shape: two
+    bounded token aggregates (map-side partial), one token-keyed
+    full-outer join, broadcast scalar totals — the corpus is read twice
+    and never shuffled raw."""
+    from rnadam_spark.operators.diffing import vocabulary_shift
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 97 != 3)
+    new = docs.filter(F.col("doc_id") % 89 != 5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [v2]")))
+        .otherwise(F.col("text")),
+    )
+    out = vocabulary_shift(old, new, top_k=None)
+    return out.select(
+        "token",
+        hround("p_old", _VSHIFT_D).alias("p_old"),
+        hround("p_new", _VSHIFT_D).alias("p_new"),
+        hround("js_contribution", _VSHIFT_D).alias("js_contribution"),
+    )
 
 
 # ------------------------------------------------------- model scoring

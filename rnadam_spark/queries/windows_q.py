@@ -217,19 +217,24 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hourly_event_rollup",
-    oracle="""
+_HOURLY_SQL = """
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            CAST(count(*) AS BIGINT) AS n,
            floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
-    """,
-)
+    """
+
+
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation, batch form (streaming twin uses
-    ``window(ts, '1 hour')`` — rnadam_spark.streaming.events)."""
+    ``window(ts, '1 hour')`` — rnadam_spark.streaming.events).
+
+    Retired from the gate in the round-10 rotation to make room for
+    ``pack_sequences``: the tumbling-bucket kernel is a strict subset
+    of ``sessionize_events``' window arithmetic and the streaming twin
+    keeps its own golden; ``_HOURLY_SQL`` stays the oracle for the
+    pytest cross-check (tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type").agg(
         F.count("*").alias("n"), hround(F.sum("value"), 4).alias("total_value")

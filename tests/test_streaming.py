@@ -311,3 +311,25 @@ def test_streaming_extract_html_and_split_match_batch(spark, sf_dir):
         tuple(r) for r in chain(load_table(spark, sf_dir, "documents")).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_hourly_rollup_matches_retired_oracle(spark, sf_dir):
+    # the round-10-retired gate row's DuckDB oracle, kept exercised
+    # here (the tumbling-bucket kernel also stays pinned through the
+    # stream-vs-batch twin above)
+    import duckdb
+
+    from rnadam_spark.queries.windows_q import _HOURLY_SQL, hourly_event_rollup
+
+    got = {
+        (r.bucket.isoformat(), r.event_type, r.n, r.total_value)
+        for r in hourly_event_rollup(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = {
+        (b.isoformat(), t, n, v) for b, t, n, v in con.execute(_HOURLY_SQL).fetchall()
+    }
+    assert got == want and got

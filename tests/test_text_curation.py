@@ -433,3 +433,21 @@ def test_lang_scores_matches_retired_oracle(spark):
     )
     want = {tuple(r) for r in con.execute(_LANG_SQL).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_vocabulary_matches_retired_oracle(spark):
+    # the round-10-retired gate row's DuckDB oracle (tf AND df), kept
+    # exercised here; the tf kernel stays gate-verified inside
+    # vocabulary_shift's per-snapshot CTEs
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _VOCAB_SQL, vocabulary
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in vocabulary(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(_VOCAB_SQL).fetchall()}
+    assert got == want and len(got) > 0
