@@ -31,51 +31,92 @@ def hround_sql(expr: str, d: int) -> str:
 # unbounded sum has a data-volume ceiling: at ~3×10¹¹ magnitudes, 4dp
 # demands 15 significant digits of agreement and the half-up boundary
 # flips in the last place (observed at 6M lineitem rows, SURVEY sf1
-# block). Fix the SUM, not the rounding: cast each double term to
-# DECIMAL(38,10) per row — a deterministic function of the double's
-# bits that Spark and DuckDB compute identically (pinned row-for-row in
-# tests/test_approx.py) — then sum EXACTLY in decimal (associative, so
-# no partition/engine order can change the result), then cast the one
-# identical decimal back to double for the usual hround. Exact at every
-# scale a DECIMAL(38,10) accumulator can hold (10²⁷ absolute), with no
-# floor(log10) boundary mode the significant-digit form would add.
+# block). Fix the SUM, not the rounding: quantize each term
+# DETERMINISTICALLY, then sum exactly in integers (associative, so no
+# partition/engine order can change anything).
+#
+# Per-term quantization: q = floor(x·10⁶ + 0.5) — two IEEE ops both
+# engines compute identically on equal double bits. The 6dp grain is
+# not approximation for TPC-H-shaped money: sources are 2dp decimals
+# and their 2-/3-factor products are 4dp/6dp decimals, while the double
+# that carries them is within ~10⁻¹² of that true decimal — so the 6dp
+# re-quantization RECOVERS the exact decimal value per term, and the
+# integer sum equals the true exact-decimal money sum. (The previous
+# form summed DECIMAL(38,10) casts of the doubles: equally exact
+# cross-engine, but the per-row BigDecimal cast plus wide-decimal
+# accumulator benched ~5× slower than long sums at sf0.1 and needed
+# probed engine pairings for three different decimal cast/round ops.)
+#
+# Unbounded scale without long overflow: a single scaled-long
+# accumulator caps at ~9·10¹⁸/10¹¹ ≈ 10⁸ max-magnitude rows per group —
+# too low for 100 TB. So each q splits into hi = floor(x) (≈ the value,
+# ≤10⁵ per term) and lo = q − hi·10⁶ (≤~10⁶ per term), each summed as a
+# plain codegen'd long (ceilings ~10¹³ rows per group), and the two
+# sums recombine EXACTLY into one DECIMAL(38,0) per GROUP — per-group,
+# not per-row, so the decimal cost is O(groups). The split convention
+# cannot leak cross-engine: hi·10⁶ + lo == q by construction, so the
+# recombined total is Σq no matter how either engine rounds hi.
+#
+# Rounding to d output places happens in exact integer arithmetic on
+# the recombined decimal (half-up via pmod — Spark's pmod and DuckDB's
+# ((x % m) + m) % m are the probed-identical pair), and only the ONE
+# final scale-0 decimal converts to double (a single correctly-rounded
+# conversion in both engines — the old decimal(38,10)→double pair
+# diverged because DuckDB converted then divided, two roundings),
+# followed by a single division. Pinned in tests/test_approx.py.
 
-MONEY_DECIMAL = "DECIMAL(38,10)"
+MONEY_SCALE = 1_000_000  # 6dp per-term grain (see above)
+
+
+def _money_split(c: Column) -> tuple[Column, Column]:
+    q = F.floor(c * F.lit(float(MONEY_SCALE)) + F.lit(0.5))
+    hi = F.floor(c)
+    return hi, q - hi * F.lit(MONEY_SCALE)
+
+
+def money_sum_exact(col: Column | str) -> Column:
+    """Exact DECIMAL(38,0) of Σ round₆(term)·10⁶ — the engine- and
+    order-independent integer the double-facing forms derive from."""
+    c = F.col(col) if isinstance(col, str) else col
+    hi, lo = _money_split(c)
+    return F.sum(hi).cast("decimal(38,0)") * F.lit(MONEY_SCALE) + F.sum(lo).cast(
+        "decimal(38,0)"
+    )
+
+
+def money_sum_exact_sql(expr: str) -> str:
+    hi = f"CAST(floor({expr}) AS BIGINT)"
+    q = f"CAST(floor(({expr}) * {MONEY_SCALE}.0 + 0.5) AS BIGINT)"
+    lo = f"({q} - {hi} * {MONEY_SCALE})"
+    return (
+        f"(CAST(sum({hi}) AS DECIMAL(38,0)) * {MONEY_SCALE}"
+        f" + CAST(sum({lo}) AS DECIMAL(38,0)))"
+    )
 
 
 def money_sum(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(MONEY_DECIMAL)).cast("double")
+    return money_sum_exact(col).cast("double") / F.lit(float(MONEY_SCALE))
 
 
 def money_sum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS {MONEY_DECIMAL})) AS DOUBLE)"
-
-
-# When the ROUNDED SUM is itself the output column, the rounding must
-# also happen in decimal. At ~5×10¹¹ sums (60M lineitem rows) a second
-# failure mode appeared past the summation-order one: the exact decimal
-# sums AGREE, but each engine's decimal(38,10)→double conversion rounds
-# differently (DuckDB converts the hugeint then divides — two IEEE
-# roundings; Java's BigDecimal.doubleValue rounds once, correctly), so
-# the 4dp hround over doubles flips its floor by one ulp. Rounding to
-# d places in exact decimal first removes the conversion from the
-# rounding path entirely; the remaining decimal(38,d)→double cast is
-# correctly rounded in BOTH engines while the unscaled value fits 2⁵³
-# (|sum| ≲ 9×10¹¹ at d=4). Past that, the DOUBLE TYPE itself cannot
-# express a 4dp grain (ulp(10¹²) > 10⁻⁴) — the remedy there is a
-# decimal output column, not cleverer rounding.
-#
-# Engine pairing (probed, ties included, pinned in tests/test_approx.py):
-# Spark's decimal downcast CAST rounds HALF_UP (= half away from zero);
-# DuckDB's CAST truncates but its round() is half away from zero — so
-# the pair is Spark-CAST ↔ DuckDB-round().
+    return f"(CAST({money_sum_exact_sql(expr)} AS DOUBLE) / {MONEY_SCALE}.0)"
 
 
 def money_sum_rounded(col: Column | str, d: int = 4) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(MONEY_DECIMAL)).cast(f"decimal(38,{d})").cast("double")
+    """Half-up d-place rounding of the exact sum, done in exact integer
+    arithmetic BEFORE the one decimal→double conversion."""
+    assert 0 <= d <= 6, "per-term grain is 6dp; cannot round finer"
+    step = MONEY_SCALE // 10**d
+    half = step // 2
+    s = money_sum_exact(col) + F.lit(half)
+    r = s - F.pmod(s, F.lit(step))
+    return r.cast("double") / F.lit(float(MONEY_SCALE))
 
 
 def money_sum_rounded_sql(expr: str, d: int = 4) -> str:
-    return f"CAST(round(sum(CAST(({expr}) AS {MONEY_DECIMAL})), {d}) AS DOUBLE)"
+    assert 0 <= d <= 6, "per-term grain is 6dp; cannot round finer"
+    step = MONEY_SCALE // 10**d
+    half = step // 2
+    s = f"({money_sum_exact_sql(expr)} + {half})"
+    r = f"({s} - ((({s} % {step}) + {step}) % {step}))"
+    return f"(CAST({r} AS DOUBLE) / {MONEY_SCALE}.0)"

@@ -56,10 +56,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans partial+final HashAggregate (map-side combine), the
     same shape the reference hand-built with reduceByKey
     (Quantify.scala:157) — but codegen'd and spill-aware. Money sums and
-    avgs use the order-independent ``money_sum`` form (exact decimal
-    accumulation; see functions/rounding.py) so the row stays
-    value-exact at ANY data volume — plain double sums drift past the
-    4dp grain at ~6M rows (SURVEY sf1 block).
+    avgs use the order-independent ``money_sum`` form (quantized-long
+    hi/lo sums recombined per group in exact decimal; see
+    functions/rounding.py) so the row stays value-exact at ANY data
+    volume — plain double sums drift past the 4dp grain at ~6M rows
+    (SURVEY sf1 block) — at ~2x the plain double sum's cost instead of
+    the earlier per-row-decimal ~4x.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))

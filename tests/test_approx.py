@@ -49,25 +49,29 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
     assert abs(row["approx"] - row["exact"]) <= 0.01 * row["spread"]
 
 
-def test_money_decimal_cast_identical_across_engines(spark, sf_dir):
-    # the money_sum contract (functions/rounding.py): double ->
-    # DECIMAL(38,10) is a deterministic per-row function both engines
-    # compute identically, so the exact decimal SUM is order- and
-    # engine-independent. Pinned row-for-row on the real money product.
+def test_money_term_quantization_identical_across_engines(spark, sf_dir):
+    # the money_sum contract (functions/rounding.py): per-term
+    # q = floor(x·10⁶ + 0.5) is two IEEE ops both engines compute
+    # identically on equal double bits, and the hi/lo split recombines
+    # to q by construction. Pinned row-for-row on the real 3-factor
+    # money product, plus the in-engine split identity.
     import duckdb
 
-    from rnadam_spark.functions.rounding import MONEY_DECIMAL
+    from rnadam_spark.functions.rounding import MONEY_SCALE, _money_split
 
     li = load_table(spark, sf_dir, "lineitem")
-    expr = (
+    charge = (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast(MONEY_DECIMAL)
-    got = {
-        (r.l_orderkey, r.l_linenumber): r.d
-        for r in li.select(
-            "l_orderkey", "l_linenumber", expr.cast("string").alias("d")
-        ).collect()
-    }
+    )
+    hi, lo = _money_split(charge)
+    rows = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(charge * F.lit(float(MONEY_SCALE)) + F.lit(0.5)).alias("q"),
+        (hi * F.lit(MONEY_SCALE) + lo).alias("recombined"),
+    ).collect()
+    assert all(r.q == r.recombined for r in rows)  # split identity
+    got = {(r.l_orderkey, r.l_linenumber): r.q for r in rows}
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
@@ -76,56 +80,72 @@ def test_money_decimal_cast_identical_across_engines(spark, sf_dir):
         (a, b): c
         for a, b, c in con.execute(
             f"""SELECT l_orderkey, l_linenumber,
-                       CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                 AS {MONEY_DECIMAL}) AS VARCHAR)
+                       CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                  * {MONEY_SCALE}.0 + 0.5) AS BIGINT)
                 FROM lineitem"""
         ).fetchall()
     }
     assert got == want and len(got) > 0
 
 
-def test_money_decimal_rounding_pairing_across_engines(spark):
-    # the money_sum_rounded contract (functions/rounding.py): rounding
-    # to 4dp happens in EXACT decimal on both sides, and the engine
-    # pairing is Spark's downcast CAST (HALF_UP) <-> DuckDB's round()
-    # (half away from zero) — DuckDB's own CAST truncates and must not
-    # be used. Pinned on ties, near-ties, negatives, and a >2^53-
-    # unscaled magnitude where double-path rounding provably diverges.
+def test_money_rounding_pairing_across_engines(spark):
+    # the money_sum_rounded contract: half-up rounding happens in exact
+    # integer arithmetic on the recombined DECIMAL(38,0) via pmod
+    # (Spark pmod <-> DuckDB ((x%m)+m)%m — the probed-identical pair),
+    # and only the ONE final scale-0 decimal converts to double. Pinned
+    # on ties, near-ties, negatives, and a magnitude past 2^53 where
+    # the old decimal(38,10)->double path provably diverged.
     import duckdb
 
+    # scaled-integer sums (value·10⁶) at the d=4 rounding step 100
     cases = [
-        "123.0000500000",      # exact tie
-        "-123.0000500000",     # negative tie (both round away from zero)
-        "123.0000499999",      # just below
-        "123.0000500001",      # just above
-        "417556465744.9100500000",  # the sf10 one-ulp divergence case
-        "0.0000500000",
-        "-0.0000499999",
+        "123000050",            # exact tie -> half-up to 123000100
+        "-123000050",           # negative tie -> half-up (toward +inf)
+        "123000049",            # just below
+        "123000051",            # just above
+        "417556465744910050",   # the sf10 one-ulp divergence magnitude
+        "12345678901234567890123",  # past 2^53: conversion must agree
+        "50",
+        "-49",
     ]
-    sdf = spark.sql(
-        "SELECT "
-        + ", ".join(
-            f"CAST(CAST('{c}' AS DECIMAL(38,10)) AS DECIMAL(38,4)) AS c{i}"
-            for i, c in enumerate(cases)
-        )
-    )
-    got = [str(v) for v in sdf.collect()[0]]
+
+    def spark_round(c: str) -> str:
+        s = f"(CAST('{c}' AS DECIMAL(38,0)) + 50)"
+        return f"CAST(({s} - pmod({s}, 100)) AS DOUBLE) / 1000000.0"
+
+    def duck_round(c: str) -> str:
+        s = f"(CAST('{c}' AS DECIMAL(38,0)) + 50)"
+        return f"CAST(({s} - ((({s} % 100) + 100) % 100)) AS DOUBLE) / 1000000.0"
+
+    got = [
+        repr(v)
+        for v in spark.sql(
+            "SELECT " + ", ".join(f"{spark_round(c)} AS c{i}" for i, c in enumerate(cases))
+        ).collect()[0]
+    ]
     want = [
-        str(v)
+        repr(v)
         for v in duckdb.sql(
-            "SELECT "
-            + ", ".join(
-                f"round(CAST('{c}' AS DECIMAL(38,10)), 4)" for c in cases
-            )
+            "SELECT " + ", ".join(duck_round(c) for c in cases)
         ).fetchall()[0]
     ]
     assert got == want
-    # and the final decimal(38,4) -> double cast agrees bit-for-bit
-    # while the unscaled value fits 2^53
-    s2 = spark.sql(
-        "SELECT CAST(CAST('417556465744.9101' AS DECIMAL(38,4)) AS DOUBLE)"
-    ).collect()[0][0]
-    d2 = duckdb.sql(
-        "SELECT CAST(CAST('417556465744.9101' AS DECIMAL(38,4)) AS DOUBLE)"
-    ).fetchall()[0][0]
-    assert s2 == d2 and repr(s2) == repr(d2)
+
+
+def test_money_sum_exact_past_double_grain(spark):
+    # sums past the old ~9x10^11 double-grain ceiling stay value-exact:
+    # 24 rows of ~4.2x10^11 reach 10^13, where a double SUM's 4dp half-up
+    # is no longer trustworthy, and the hi/lo split must still equal the
+    # DuckDB twin bit-for-bit
+    import duckdb
+
+    from rnadam_spark.functions.rounding import money_sum_rounded, money_sum_rounded_sql
+
+    vals = [417556465744.91005 + i * 1e9 for i in range(24)]
+    sdf = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = sdf.agg(money_sum_rounded("x").alias("s")).collect()[0].s
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(f"SELECT {money_sum_rounded_sql('x')} FROM t").fetchone()[0]
+    assert repr(got) == repr(want)

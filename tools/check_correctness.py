@@ -213,7 +213,10 @@ def main():
     # (10^8-row shingle CTEs at sf10) die with OOM instead of going
     # out-of-core; a temp directory turns those into disk-backed runs
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    con.execute("SET max_temp_directory_size='120GiB'")
+    # below the host's free-disk headroom: a runaway oracle spill must
+    # error (caught per-query) rather than fill /tmp under Spark's
+    # shuffle dirs
+    con.execute("SET max_temp_directory_size='55GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
