@@ -640,7 +640,7 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
     sf1_dir, sf10_dir = (d.strip() for d in dirs.split(","))
     if not (os.path.isdir(sf1_dir) and os.path.isdir(sf10_dir)):
         return {}
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF10_BUDGET", "600"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF10_BUDGET", "300"))
     # cheap -> expensive, so a tight budget still yields several rows
     names = ["kmer_count", "lsh_candidate_pairs", "lm_perplexity", "em_quantify"]
     out: dict = {"sf1_dir": sf1_dir, "sf10_dir": sf10_dir, "rows": {}, "skipped": []}
@@ -680,7 +680,9 @@ def _await_quiet_host() -> dict:
     import time as _time
 
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "600"))
+    # modest default: the driver runs bench unattended, and a long stall
+    # risks its timeout more than residual load risks the numbers
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "240"))
     waited = 0.0
     start_load = os.getloadavg()[0]
     while os.getloadavg()[0] > threshold and waited < budget:
