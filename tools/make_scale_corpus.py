@@ -96,8 +96,34 @@ def main() -> None:
         f"COPY ({lcopies} ORDER BY l_orderkey, l_linenumber) "
         f"TO '{out}/lineitem.parquet' (FORMAT PARQUET)"
     )
+    # embeddings scale by DISJOINT-ID copies whose vectors are the base
+    # vectors CIRCULARLY ROTATED by the copy index (copy 0 verbatim):
+    # norms are preserved, cross-copy cosines vary (no degenerate
+    # all-duplicates geometry), and the construction is deterministic
+    # and exactly re-derivable in SQL on both engines. This lets the
+    # three similarity gate rows (embedding_topk / embedding_bucket_pairs
+    # / ivf_topk) verify at 10x/100x instead of riding a symlink.
+    vmax, dim = con.execute(
+        f"SELECT max(vec_id) + 1, max(len(embedding)) "
+        f"FROM read_parquet('{base}/embeddings.parquet')"
+    ).fetchone()
+    vcopies = " UNION ALL ".join(
+        f"""SELECT vec_id + {i * vmax} AS vec_id,
+               {'embedding' if i % dim == 0 else
+                f'(embedding[{i % dim + 1}:] || embedding[:{i % dim}])::FLOAT[]'}
+                 AS embedding,
+               label
+            FROM read_parquet('{base}/embeddings.parquet')"""
+        for i in range(factor)
+    )
+    emb_dst = os.path.join(out, "embeddings.parquet")
+    if os.path.islink(emb_dst):
+        os.remove(emb_dst)  # upgrade corpora built by the symlink era
+    con.execute(
+        f"COPY ({vcopies} ORDER BY vec_id) TO '{emb_dst}' (FORMAT PARQUET)"
+    )
     for t in TABLES:
-        if t in ("documents", "events", "orders", "lineitem"):
+        if t in ("documents", "events", "orders", "lineitem", "embeddings"):
             continue
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
