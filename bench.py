@@ -42,7 +42,7 @@ def _bench_queries() -> dict:
         quality_scores,
         simhash_16,
     )
-    from rnadam_spark.queries.windows_q import fraction_of_group
+    from rnadam_spark.queries.windows_q import fraction_of_group, hourly_event_rollup
 
     return {
         **QUERIES,
@@ -54,6 +54,9 @@ def _bench_queries() -> dict:
         # deregistered round 7 (lm_perplexity rotation); headline keeps
         # timing the signature projection round-over-round
         "minhash_signatures": minhash_signatures,
+        # deregistered round 10 (pack_sequences/vocabulary_shift
+        # rotation); headline keeps timing the tumbling-window kernel
+        "hourly_event_rollup": hourly_event_rollup,
     }
 
 # Headline set: the reference's hot path (k-mer count → classes), the

@@ -452,3 +452,28 @@ def test_trainers_clear_error_on_empty_table(spark):
         S.kmeans_centroids(empty, k=2, max_iterations=1)
     with pytest.raises(ValueError, match="empty"):
         S.train_pq(empty, m=2, nbits=2, max_iterations=1)
+
+
+def test_ann_scale_oracle_twin_matches_registered_oracle():
+    """The dynamic DuckDB twin in tools/ann_scale_oracle.py at the
+    registered plane count (8) must reproduce the registered
+    embedding_bucket_pairs oracle row-for-row — pinning the tool that
+    carries the pair kernel's sf1/sf10 assurance to the gate oracle."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.ann_scale_oracle import pair_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    registered = entrymod.oracle_sql()["embedding_bucket_pairs"]
+    a = con.execute(
+        f"SELECT * FROM ({registered}) ORDER BY vec_a, vec_b"
+    ).fetchall()
+    b = con.execute(
+        f"SELECT * FROM ({pair_oracle_sql(8, 100)}) ORDER BY vec_a, vec_b"
+    ).fetchall()
+    assert len(a) > 0 and a == b

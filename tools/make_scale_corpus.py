@@ -132,7 +132,10 @@ def main() -> None:
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')"
     ).fetchone()[0]
-    print(f"{out}: documents x{factor} = {n} rows; other tables symlinked")
+    print(
+        f"{out}: documents/events/orders/lineitem/embeddings x{factor} "
+        f"(documents = {n} rows); dimension tables symlinked"
+    )
 
 
 if __name__ == "__main__":
