@@ -47,9 +47,11 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(_c(col), r"\s+"), lambda t: F.length(t) > 0)
 
 
-def token_ngrams(col: Column | str, n: int, sep: str = " ") -> Column:
-    """Word n-grams of a string column (tokenize, then slide over tokens)."""
-    toks = tokens(col)
+def ngrams_of(toks: Column, n: int, sep: str = " ") -> Column:
+    """Word n-grams from an ALREADY-TOKENIZED array column — the
+    materialized-prelude form of :func:`token_ngrams`, for staged
+    operators that tokenize once and build several gram widths from
+    the same array."""
     cnt = F.size(toks) - F.lit(n - 1)
     return F.when(
         cnt >= 1,
@@ -58,3 +60,8 @@ def token_ngrams(col: Column | str, n: int, sep: str = " ") -> Column:
             lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), sep),
         ),
     ).otherwise(_empty_str_array())
+
+
+def token_ngrams(col: Column | str, n: int, sep: str = " ") -> Column:
+    """Word n-grams of a string column (tokenize, then slide over tokens)."""
+    return ngrams_of(tokens(col), n, sep)

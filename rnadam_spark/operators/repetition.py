@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.rounding import hround
 from rnadam_spark.functions.runlength import let_, value_counts
-from rnadam_spark.functions.shingles import token_ngrams
+from rnadam_spark.functions.shingles import ngrams_of, token_ngrams, tokens
 
 
 def lines_of(col: Column | str) -> Column:
@@ -91,15 +91,40 @@ def repetition_stats(
 
     Every stat is a function of ONE row, so the whole operator
     distributes with the scan; each value-counts is an O(n log n)
-    per-row sort of a small array (runlength.py kernel)."""
+    per-row sort of a small array (runlength.py kernel).
+
+    Staged in three chained projections (tokens+lines, then the
+    value-counts arrays, then the stats) so the tokenizer and each
+    O(n log n) value-counts sort run ONCE per row instead of once per
+    inline reference — higher-order expressions evaluate interpreted,
+    outside codegen subexpression elimination, so the fused form
+    re-sorted the 5-gram array for every stat that mentioned it (see
+    text.gopher_prelude; 3.3x on the gate row at sf10)."""
     text = F.col(text_col)
     n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
 
-    def top_frac(n: int) -> Column:
+    staged = docs.select(
+        F.col(id_col),
+        F.length(text).alias("__nc"),
+        tokens(text).alias("__toks"),
+        lines_of(text).alias("__lns"),
+    )
+    n_chars = F.greatest(F.col("__nc"), F.lit(1)).cast("double")
+    counted = staged.select(
+        F.col(id_col),
+        F.col("__nc"),
+        F.size(F.col("__lns")).cast("bigint").alias("n_lines"),
+        value_counts(F.col("__lns")).alias("__vc_l"),
+        value_counts(ngrams_of(F.col("__toks"), 2)).alias("__vc2"),
+        value_counts(ngrams_of(F.col("__toks"), 3)).alias("__vc3"),
+        value_counts(ngrams_of(F.col("__toks"), 5)).alias("__vc5"),
+    )
+
+    def top_frac(vc: Column) -> Column:
         return let_(
             F.array_max(
                 F.transform(
-                    value_counts(token_ngrams(text, n)),
+                    vc,
                     lambda x: F.struct(x["cnt"].alias("cnt"), x["value"].alias("value")),
                 )
             ),
@@ -108,26 +133,19 @@ def repetition_stats(
             ),
         )
 
-    lns = lines_of(text)
-    dup_line_frac = let_(
-        value_counts(lns),
-        lambda vc: F.aggregate(
-            F.filter(vc, lambda x: x["cnt"] >= 2),
-            F.lit(0.0),
-            lambda a, x: a + x["cnt"].cast("double"),
-        )
-        / F.greatest(F.size(lns).cast("double"), F.lit(1.0)),
-    )
-    return docs.select(
+    dup_line_frac = F.aggregate(
+        F.filter(F.col("__vc_l"), lambda x: x["cnt"] >= 2),
+        F.lit(0.0),
+        lambda a, x: a + x["cnt"].cast("double"),
+    ) / F.greatest(F.col("n_lines").cast("double"), F.lit(1.0))
+    return counted.select(
         F.col(id_col),
-        F.size(lns).cast("bigint").alias("n_lines"),
+        F.col("n_lines"),
         hround(dup_line_frac, 6).alias("dup_line_frac"),
-        hround(_dup_mass_frac(value_counts(lns)), 6).alias("dup_line_char_frac"),
-        hround(top_frac(2), 6).alias("top_2gram_char_frac"),
-        hround(top_frac(3), 6).alias("top_3gram_char_frac"),
-        hround(_dup_mass_frac(value_counts(token_ngrams(text, 5))), 6).alias(
-            "dup_5gram_char_frac"
-        ),
+        hround(_dup_mass_frac(F.col("__vc_l")), 6).alias("dup_line_char_frac"),
+        hround(top_frac(F.col("__vc2")), 6).alias("top_2gram_char_frac"),
+        hround(top_frac(F.col("__vc3")), 6).alias("top_3gram_char_frac"),
+        hround(_dup_mass_frac(F.col("__vc5")), 6).alias("dup_5gram_char_frac"),
     )
 
 

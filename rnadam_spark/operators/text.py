@@ -67,13 +67,17 @@ def _ratio(matched: Column, total: Column) -> Column:
     return matched.cast("double") / F.greatest(total, F.lit(1)).cast("double")
 
 
-def quality_columns(text_col: str | Column = "text") -> dict[str, Column]:
+def quality_columns(
+    text_col: str | Column = "text", toks: Column | None = None
+) -> dict[str, Column]:
     """The quality-heuristic expressions as named Columns — the
     building blocks of :func:`quality_scores`, exposed so fused
     single-projection pipelines (the join-free streaming curate chain)
-    can inline them next to other stages' columns."""
+    can inline them next to other stages' columns. ``toks``: a
+    materialized token-array column to read instead of re-tokenizing
+    per reference (same staging trade as :func:`gopher_prelude`)."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
     n_chars = F.length(text)
@@ -99,41 +103,72 @@ def quality_columns(text_col: str | Column = "text") -> dict[str, Column]:
 def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, stopword_ratio, punct_ratio, digit_ratio, quality):
     length/punct/stopword heuristics — the standard pre-training
-    quality filters, as one projection."""
-    cols = quality_columns(text_col)
-    return docs.select(
+    quality filters. Staged so the token array materializes once
+    (n_tok, n_stop, and quality's stopword term each reference it; see
+    :func:`gopher_prelude` on why inline copies re-tokenize)."""
+    staged = docs.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("__qt"))
+    cols = quality_columns(text_col, toks=F.col("__qt"))
+    return staged.select(
         F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def lang_columns(text_col: str | Column = "text") -> tuple[Column, Column]:
-    """(predicted_lang, best_score) as Columns: argmax over per-language
-    marker-token hit ratios, ties broken by language code order —
-    exposed so both document- and paragraph-granularity lang-ID share
-    one kernel."""
-    toks = tokens(text_col)
+def lang_marker_scores(toks: Column) -> dict[str, Column]:
+    """Per-language marker-token hit ratio over a token array — one
+    named Column per language, for materializing before the argmax."""
     n_tok = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers))).cast("double")
+        / n_tok
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
 
-    def marker_score(markers: tuple[str, ...]) -> Column:
-        return (
-            F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers))).cast("double") / n_tok
-        )
 
-    scores = [(lang, marker_score(markers)) for lang, markers in sorted(LANG_MARKERS.items())]
-    # argmax with deterministic tiebreak: fold over (score, lang) pairs
-    best_lang, best_score = F.lit(scores[0][0]), scores[0][1]
-    for lang, s in scores[1:]:
+def lang_argmax(scores: dict[str, Column]) -> tuple[Column, Column]:
+    """(predicted_lang, best_score): argmax with deterministic tiebreak
+    (language code order). The when-fold nests each accumulated score
+    inside the next comparison — every fold level DUPLICATES the prior
+    subtree — so the score expressions passed in must be cheap
+    (materialized column references), never the marker filters inline:
+    with the filters inlined the 4-language fold held ~20 copies of the
+    tokenizer per row, all interpreted outside codegen's subexpression
+    elimination (see :func:`gopher_prelude` for the same effect)."""
+    items = sorted(scores.items())
+    best_lang, best_score = F.lit(items[0][0]), items[0][1]
+    for lang, s in items[1:]:
         improved = s > best_score
         best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(improved, s).otherwise(best_score)
     return best_lang, best_score
 
 
+def lang_columns(text_col: str | Column = "text") -> tuple[Column, Column]:
+    """(predicted_lang, best_score) as INLINE Columns — the one-kernel
+    form for single-projection callers that cannot stage. Prefer the
+    staged shape (:func:`lang_marker_scores` materialized, then
+    :func:`lang_argmax` over column references) wherever the caller
+    owns the DataFrame — :func:`lang_scores` /
+    :func:`paragraph_lang_scores` do."""
+    toks = tokens(text_col)
+    return lang_argmax(lang_marker_scores(toks))
+
+
 def lang_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, predicted_lang, best_score): argmax over per-language
-    marker-token hit ratios, ties broken by language code order."""
-    best_lang, best_score = lang_columns(text_col)
-    return docs.select(
+    marker-token hit ratios, ties broken by language code order.
+
+    Staged: tokenize once, materialize the per-language ratios, then
+    argmax over the materialized columns (see :func:`lang_argmax` on
+    why the inline fold re-tokenizes ~20x per row)."""
+    staged = docs.select(F.col(id_col), tokens(text_col).alias("__lt"))
+    score_exprs = lang_marker_scores(F.col("__lt"))
+    scored = staged.select(
+        F.col(id_col), *[c.alias(f"__s_{lang}") for lang, c in score_exprs.items()]
+    )
+    best_lang, best_score = lang_argmax(
+        {lang: F.col(f"__s_{lang}") for lang in score_exprs}
+    )
+    return scored.select(
         F.col(id_col),
         best_lang.alias("predicted_lang"),
         hround(best_score, 6).alias("best_score"),
@@ -159,11 +194,23 @@ def paragraph_lang_scores(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), split_pattern)).alias("para_idx", "_para"),
     ).filter(F.length(F.trim(F.col("_para"))) > 0)
-    best_lang, best_score = lang_columns(F.col("_para"))
-    return paras.select(
+    # staged like lang_scores: tokenize each segment once, materialize
+    # the per-language ratios, argmax over column references
+    staged = paras.select(id_col, "para_idx", tokens(F.col("_para")).alias("__lt"))
+    score_exprs = lang_marker_scores(F.col("__lt"))
+    scored = staged.select(
         id_col,
         "para_idx",
-        F.size(tokens(F.col("_para"))).cast("bigint").alias("n_tokens"),
+        F.size(F.col("__lt")).cast("bigint").alias("n_tokens"),
+        *[c.alias(f"__s_{lang}") for lang, c in score_exprs.items()],
+    )
+    best_lang, best_score = lang_argmax(
+        {lang: F.col(f"__s_{lang}") for lang in score_exprs}
+    )
+    return scored.select(
+        id_col,
+        "para_idx",
+        "n_tokens",
         best_lang.alias("predicted_lang"),
         hround(best_score, 6).alias("best_score"),
     )
@@ -365,6 +412,31 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _BULLET_PREFIXES = ("•", "-", "*")
 
 
+def gopher_prelude(text_col: str | Column = "text") -> dict[str, Column]:
+    """The token/line arrays :func:`gopher_columns` reads — exposed so
+    callers can MATERIALIZE them in their own projection and pass the
+    resulting ``F.col`` references back via ``prelude``. The rule
+    arithmetic references the token array ~5 times (and the lowercased
+    copy once per stopword inside a higher-order filter); higher-order
+    expressions evaluate interpreted, outside whole-stage codegen's
+    subexpression elimination, so inlined they re-tokenize the document
+    on every reference. Splitting the tokenization into its own
+    projection makes Catalyst keep it (CollapseProject refuses to
+    inline non-cheap aliases referenced more than once) and the arrays
+    compute once per row: 3.0x on the gate row at 500k docs (23.9s →
+    7.8s at sf1, min-of-3, identical output)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(text)
+    return {
+        "__g_toks": toks,
+        "__g_low": F.transform(toks, lambda t: F.lower(t)),
+        "__g_lns": F.filter(
+            F.transform(F.split(text, "\n"), lambda t: F.trim(t)),
+            lambda t: F.length(t) > 0,
+        ),
+    }
+
+
 def gopher_columns(
     text_col: str | Column = "text",
     min_words: int = 50,
@@ -376,13 +448,20 @@ def gopher_columns(
     max_ellipsis_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopwords: int = 2,
+    prelude: dict[str, Column] | None = None,
 ) -> dict[str, Column]:
     """The :func:`gopher_quality` expressions as named Columns — the
     single source of the rule arithmetic, exposed so fused
     single-projection pipelines (the batch/streaming curate chains)
-    can apply the Gopher page filter without a join."""
+    can apply the Gopher page filter without a join.
+
+    ``prelude``: pass ``F.col`` references to the already-materialized
+    :func:`gopher_prelude` arrays to tokenize once per row instead of
+    once per rule (see that docstring); omitted, the arrays inline and
+    the semantics are identical."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(text)
+    pre = prelude if prelude is not None else gopher_prelude(text)
+    toks = pre["__g_toks"]
     n_words = F.size(toks)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_len = (
@@ -394,9 +473,7 @@ def gopher_columns(
     # more documents than the cited rule (ADVICE r6)
     hash_ratio = F.regexp_count(text, F.lit("#")).cast("double") / nw
     ellipsis_sym_ratio = F.regexp_count(text, F.lit(r"\.\.\.|…")).cast("double") / nw
-    lns = F.filter(
-        F.transform(F.split(text, "\n"), lambda t: F.trim(t)), lambda t: F.length(t) > 0
-    )
+    lns = pre["__g_lns"]
     nl = F.greatest(F.size(lns), F.lit(1)).cast("double")
     is_bullet = lambda ln: F.substring(ln, 1, 1).isin(*_BULLET_PREFIXES)  # noqa: E731
     bullet_frac = F.size(F.filter(lns, is_bullet)).cast("double") / nl
@@ -406,7 +483,7 @@ def gopher_columns(
     alpha_frac = (
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nw
     )
-    low_toks = F.transform(toks, lambda t: F.lower(t))
+    low_toks = pre["__g_low"]
     n_stop = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
@@ -481,6 +558,12 @@ def gopher_quality(
     ``.filter("keep_doc")``) so audits can aggregate drop_reason.
     Every column is a function of one input row — scan speed at 100 TB,
     and stream-composable like the other stateless curation ops."""
+    pre_exprs = gopher_prelude(text_col)
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[c.alias(name) for name, c in pre_exprs.items()],
+    )
     cols = gopher_columns(
         text_col,
         min_words=min_words,
@@ -492,8 +575,9 @@ def gopher_quality(
         max_ellipsis_frac=max_ellipsis_frac,
         min_alpha_word_frac=min_alpha_word_frac,
         min_stopwords=min_stopwords,
+        prelude={name: F.col(name) for name in pre_exprs},
     )
-    return docs.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
+    return staged.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
 
 
 def filter_bad_phrases(
