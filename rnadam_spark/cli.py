@@ -600,29 +600,38 @@ def _run_curate(spark, args) -> None:
         # no-break/ideographic spaces that the chain then canonicalizes
         docs = _tx.nfkc_normalize(docs).drop("n_changed")
     # the stateless prefix (normalize → C4 → Gopher → PII scrub →
-    # quality) fuses into ONE projection via the operators' expression
-    # builders — the same fusion the streaming chain uses. The staged
-    # alternative (each stage re-attaching passthrough columns with a
-    # doc_id self-join) costs a corpus-wide shuffle PER STAGE and
-    # doubles the plan tree each time; fused, the whole prefix rides
-    # the scan. Stage semantics and order are identical (each builder
-    # is the same expression its standalone operator selects, pinned by
-    # the stream-vs-batch agreement tests).
+    # quality) runs as CHAINED PROJECTIONS — no shuffle, no join;
+    # narrow projections ride the scan in one stage. Each rewrite
+    # materializes its text once before the next stage reads it:
+    # fully fused into one projection, the Gopher/quality builders'
+    # interpreted higher-order lambdas re-evaluate the whole
+    # normalize+C4 rewrite per token-array reference (CollapseProject
+    # keeps the staged form because the aliases are non-cheap and
+    # multiply referenced — see text.gopher_prelude). Stage semantics
+    # and order are identical (each builder is the same expression its
+    # standalone operator selects, pinned by the stream-vs-batch
+    # agreement tests).
     passthrough = [c for c in docs.columns if c != "text"]
-    text_expr = F.col("text")
+    staged = docs
     if not args.skip_normalize:
-        text_expr = text.normalized_column(text_expr)
+        staged = staged.withColumn("text", text.normalized_column("text"))
     keep = F.lit(True)
     if args.c4:
         # page-level drops (the only pre-dedup stage that removes
         # documents outright); surviving pages keep only qualifying lines
-        c4 = text.c4_columns(text_expr)
-        keep = keep & c4["keep_doc"]
-        text_expr = c4["text"]
+        c4 = text.c4_columns("text")
+        staged = staged.withColumn("_keep_c4", c4["keep_doc"]).withColumn(
+            "text", c4["text"]
+        )
+        keep = keep & F.col("_keep_c4")
     if args.gopher:
-        keep = keep & text.gopher_columns(text_expr)["keep_doc"]
-    cleaned, n_red = text.redaction_columns(text_expr)
-    scrubbed = docs.select(
+        pre = text.gopher_prelude("text")
+        staged = staged.select("*", *[c.alias(name) for name, c in pre.items()])
+        keep = keep & text.gopher_columns(
+            "text", prelude={name: F.col(name) for name in pre}
+        )["keep_doc"]
+    cleaned, n_red = text.redaction_columns("text")
+    scrubbed = staged.select(
         *passthrough,
         cleaned.alias("text"),
         n_red.alias("n_redactions"),
@@ -638,8 +647,12 @@ def _run_curate(spark, args) -> None:
     # quality scores the text the thresholds will see — i.e. AFTER the
     # corpus-global line dedup when that stage is on; still a pure
     # projection either way
-    scrubbed = scrubbed.withColumn(
-        "quality", text.quality_columns("text")["quality"]
+    from rnadam_spark.functions.shingles import tokens as _tokens
+
+    scrubbed = (
+        scrubbed.withColumn("__qt", _tokens("text"))
+        .withColumn("quality", text.quality_columns("text", toks=F.col("__qt"))["quality"])
+        .drop("__qt")
     )
     if (
         args.max_perplexity is not None
@@ -658,9 +671,9 @@ def _run_curate(spark, args) -> None:
     kept = scrubbed.filter(F.col("quality") >= args.quality_min)
     if args.max_dup_5gram is not None:
         # in-row stat: threshold as a fused projection filter, no join
-        kept = kept.withColumn(
-            "dup_5gram_char_frac", repetition.dup_5gram_char_frac_column("text")
-        ).filter(F.col("dup_5gram_char_frac") <= args.max_dup_5gram)
+        kept = repetition.with_dup_5gram_char_frac(kept).filter(
+            F.col("dup_5gram_char_frac") <= args.max_dup_5gram
+        )
     if args.max_perplexity is not None:
         from rnadam_spark.operators import lm
         from rnadam_spark.operators.sampling import hash_sample

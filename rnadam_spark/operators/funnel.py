@@ -16,12 +16,14 @@ the real run drops it (pinned by the ``-audit``-vs-actual-run agreement
 test). The exact-dup stage likewise hashes the redacted text the
 pipeline dedups, over the survivors of every earlier stage.
 
-Cost shape: the whole stage chain is ONE zero-join projection (the
-same fusion the batch and streaming curate paths use); the only
-exchanges are the exact-dup canonical groupBy over stage-survivors
-(which the real pipeline pays anyway) and the final stages-sized
-aggregation. Contrast with the naive audit — re-running the pipeline k
-times with k prefixes — which scans the corpus k times.
+Cost shape: the whole stage chain is a zero-join run of CHAINED
+projections that ride the scan in one stage (staged at each text
+rewrite so the interpreted higher-order lambdas read materialized
+columns — see text.gopher_prelude); the only exchanges are the
+exact-dup canonical groupBy over stage-survivors (which the real
+pipeline pays anyway) and the final stages-sized aggregation. Contrast
+with the naive audit — re-running the pipeline k times with k prefixes
+— which scans the corpus k times.
 """
 
 from __future__ import annotations
@@ -75,10 +77,11 @@ def curation_funnel(
     ``classifier_weights`` is a (bucket, weight) table with drops below
     ``classifier_min`` probability. Both score the scrubbed text,
     exactly as ``curate`` does."""
-    from rnadam_spark.operators.repetition import dup_5gram_char_frac_column
+    from rnadam_spark.functions.shingles import tokens
     from rnadam_spark.operators.text import (
         c4_columns,
         gopher_columns,
+        gopher_prelude,
         normalized_column,
         quality_columns,
         redaction_columns,
@@ -118,31 +121,49 @@ def curation_funnel(
         p_bl = F.col("_bl_hit").isNull()
     else:
         p_bl = F.lit(True)
-    text_expr = F.col(text_col)
-    if not skip_normalize:
-        text_expr = normalized_column(text_expr)
+    # staged like the CLI chain: each text rewrite materializes once
+    # before the next stage's higher-order lambdas read it (see
+    # text.gopher_prelude on why the one-projection form re-evaluates
+    # the whole normalize+C4 rewrite per token-array reference)
+    staged = docs.withColumn(
+        "__t", F.col(text_col) if skip_normalize else normalized_column(text_col)
+    )
     if use_c4:
-        c4 = c4_columns(text_expr)
-        p_c4 = c4["keep_doc"]
+        c4 = c4_columns(F.col("__t"))
         # downstream stages see the C4-REWRITTEN text (kept lines only),
         # exactly as the pipeline hands it forward
-        text_expr = c4["text"]
+        staged = staged.withColumn("__p_c4", c4["keep_doc"]).withColumn(
+            "__t", c4["text"]
+        )
+        p_c4 = F.col("__p_c4")
     else:
         p_c4 = F.lit(True)
-    p_g = gopher_columns(text_expr)["keep_doc"] if use_gopher else F.lit(True)
+    if use_gopher:
+        pre = gopher_prelude(F.col("__t"))
+        staged = staged.select("*", *[c.alias(name) for name, c in pre.items()])
+        p_g = gopher_columns(
+            F.col("__t"), prelude={name: F.col(name) for name in pre}
+        )["keep_doc"]
+    else:
+        p_g = F.lit(True)
     # PII redaction rewrites the text unconditionally in the pipeline;
     # quality, repetition, and the exact-dup hash all judge the
     # REDACTED text (the CLI's `scrubbed`), not the raw page
-    scrubbed, _n_red = redaction_columns(text_expr)
-    p_q = quality_columns(scrubbed)["quality"] >= quality_min
-    p_rep = (
-        dup_5gram_char_frac_column(scrubbed) <= max_dup_5gram
-        if max_dup_5gram is not None
-        else F.lit(True)
+    scrub_expr, _n_red = redaction_columns(F.col("__t"))
+    staged = staged.withColumn("__scr", scrub_expr).withColumn(
+        "__qt", tokens(F.col("__scr"))
     )
-    flagged = docs.select(
+    p_q = quality_columns(F.col("__scr"), toks=F.col("__qt"))["quality"] >= quality_min
+    if max_dup_5gram is not None:
+        from rnadam_spark.operators.repetition import with_dup_5gram_char_frac
+
+        staged = with_dup_5gram_char_frac(staged, "__scr", "__d5")
+        p_rep = F.col("__d5") <= max_dup_5gram
+    else:
+        p_rep = F.lit(True)
+    flagged = staged.select(
         F.col(id_col),
-        F.md5(scrubbed).alias("_h"),
+        F.md5(F.col("__scr")).alias("_h"),
         p_bl.alias("_p_bl"),
         p_c4.alias("_p_c4"),
         p_g.alias("_p_g"),
@@ -151,7 +172,7 @@ def curation_funnel(
     )
     # optional model stages: doc_id-keyed score joins over the SCRUBBED
     # text — the same shape (and cost) the CLI's model stages pay
-    scrubbed_docs = docs.select(F.col(id_col), scrubbed.alias(text_col))
+    scrubbed_docs = staged.select(F.col(id_col), F.col("__scr").alias(text_col))
     if lm_model is not None and max_perplexity is not None:
         from rnadam_spark.operators.lm import lm_perplexity
 

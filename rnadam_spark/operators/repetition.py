@@ -67,9 +67,24 @@ def _dup_mass_frac(vc: Column) -> Column:
 def dup_5gram_char_frac_column(text_col: str | Column = "text") -> Column:
     """``dup_5gram_char_frac`` of :func:`repetition_stats` as one
     Column (6dp-rounded, identical values) — exposed so fused
-    single-projection pipelines can threshold on it without a join."""
+    single-projection pipelines can threshold on it without a join.
+    Prefer :func:`with_dup_5gram_char_frac` when the caller owns the
+    DataFrame: this inline form sorts the 5-gram array twice (the
+    duplicated-mass numerator and the total-mass denominator each
+    reference the value-counts)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return hround(_dup_mass_frac(value_counts(token_ngrams(c, 5))), 6)
+
+
+def with_dup_5gram_char_frac(
+    df: DataFrame, text_col: str = "text", out_col: str = "dup_5gram_char_frac"
+) -> DataFrame:
+    """``df`` plus the :func:`dup_5gram_char_frac_column` stat, staged
+    so the 5-gram tokenize + value-counts sort run once per row."""
+    staged = df.withColumn("__vc5", value_counts(token_ngrams(text_col, 5)))
+    return staged.withColumn(out_col, hround(_dup_mass_frac(F.col("__vc5")), 6)).drop(
+        "__vc5"
+    )
 
 
 def repetition_stats(

@@ -108,8 +108,18 @@ def curate_stream_chain(
         )
     cleaned, n_red = tx.redaction_columns(text_col)
     cur = cur.withColumn(text_col, cleaned).withColumn("n_redactions", n_red)
-    cur = cur.withColumn("quality", tx.quality_columns(text_col)["quality"]).filter(
-        F.col("quality") >= quality_min
+    # staged: tokenize once per row before quality's lambdas read it
+    # (see text.gopher_prelude); withColumn chains stay stateless in
+    # the stream
+    from rnadam_spark.functions.shingles import tokens as _tokens
+
+    cur = (
+        cur.withColumn("__qt", _tokens(text_col))
+        .withColumn(
+            "quality", tx.quality_columns(text_col, toks=F.col("__qt"))["quality"]
+        )
+        .drop("__qt")
+        .filter(F.col("quality") >= quality_min)
     )
     if chunk_chars:
         # row explosion is stateless: posexplode fans each doc into its
