@@ -106,6 +106,54 @@ def lsh_buckets(
     return embeddings.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
+def lsh_buckets_scaled(
+    embeddings: DataFrame,
+    target_bucket: int = 64,
+    seed: int = 99,
+    dim: int = DIM,
+    n_planes_max: int = 16,
+) -> DataFrame:
+    """(vec_id, bucket): sign-random-projection buckets whose plane
+    count adapts to the corpus IN-PLAN — the :func:`planes_for` rule
+    ``p = max(1, ceil(log2(n / target_bucket)))`` evaluated from a
+    broadcast scalar count, with ``bucket = Σ bitⱼ·2ʲ for j < p``
+    (all ``n_planes_max`` bits compute; the mask keeps the first p).
+    A fixed plane count degenerates off its design scale — at 100x the
+    buckets blow past any cap and a capped consumer drops everything —
+    while this form keeps expected occupancy ≈ ``target_bucket`` at
+    every corpus size with no driver action (the count is one extra
+    aggregate + broadcast in the same plan). ``hyperplanes`` draws
+    planes sequentially from one seeded RNG, so the first p planes are
+    identical for every p — results at a given scale match a fixed
+    ``lsh_buckets(n_planes=p)`` run exactly.
+
+    p is computed as ``#{j in 1..max : target·2^(j-1) < n}`` — EXACT
+    integer comparisons, equal to ``ceil(log2(n/target))`` for integer
+    n but immune to the cross-engine 1-ulp hazard of a float log2 at
+    power-of-two boundaries (an oracle must reproduce p bit-for-bit;
+    one ulp above an integer flips ceil and every bucket with it)."""
+    planes = hyperplanes(n=n_planes_max, dim=dim, seed=seed)
+    n = embeddings.agg(F.count("*").alias("__n"))
+    tgt = max(target_bucket, 1)
+    p = F.greatest(
+        F.lit(1).cast("bigint"),
+        sum(
+            F.when(F.lit(tgt * 2 ** (j - 1)) < F.col("__n"), 1).otherwise(0)
+            for j in range(1, n_planes_max + 1)
+        ).cast("bigint"),
+    )
+    emb = _as_double("embedding")
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bit = (dot(emb, lit_plane) >= 0).cast("bigint")
+        bucket = bucket + F.when(F.lit(j) < p, bit * (2**j)).otherwise(F.lit(0))
+    return (
+        embeddings.crossJoin(F.broadcast(n))
+        .select("vec_id", bucket.cast("bigint").alias("bucket"))
+    )
+
+
 def _lit_vectors(vectors: list[list[float]]) -> Column:
     """ARRAY<ARRAY<DOUBLE>> literal — centroid/codebook tables enter the
     plan as ONE folded literal instead of per-centroid unrolled
@@ -800,6 +848,31 @@ def bucket_near_pairs(
     # scan those rows, and the vec_id join runs over already-filtered
     # ids — the float embeddings never evaluate for the guard at all
     buckets = lsh_buckets(embeddings, seed, dim, n_planes)
+    return _pairs_from_buckets(embeddings, buckets, min_cos, max_bucket)
+
+
+def bucket_near_pairs_scaled(
+    embeddings: DataFrame,
+    min_cos: float = 0.0,
+    target_bucket: int = 64,
+    seed: int = 99,
+    dim: int = DIM,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`bucket_near_pairs` over :func:`lsh_buckets_scaled`
+    buckets — the form whose candidate volume holds at every corpus
+    size (a fixed plane count either caps out or over-partitions off
+    its design scale)."""
+    buckets = lsh_buckets_scaled(embeddings, target_bucket, seed, dim)
+    return _pairs_from_buckets(embeddings, buckets, min_cos, max_bucket)
+
+
+def _pairs_from_buckets(
+    embeddings: DataFrame,
+    buckets: DataFrame,
+    min_cos: float,
+    max_bucket: int | None,
+) -> DataFrame:
     if max_bucket is not None:
         from rnadam_spark.lineage import truncate_lineage
         from rnadam_spark.operators.guards import drop_oversize_buckets

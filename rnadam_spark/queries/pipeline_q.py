@@ -374,12 +374,30 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_MAX_BUCKET = 100  # scale guard, same rationale as LSH_MAX_BUCKET
+EMB_TARGET_BUCKET = 64  # planes_for design occupancy
+_PLANES16 = similarity.hyperplanes(n=16)
+
+# p = #{j in 1..16 : 64*2^(j-1) < n} — exact-integer form of
+# ceil(log2(n/64)); a float log2 can land one ulp above an integer on
+# one engine and flip ceil (and every bucket with it)
+_EMB_P_SQL = "greatest(1, " + " + ".join(
+    f"(CASE WHEN {EMB_TARGET_BUCKET * 2 ** (j - 1)} < nn.n THEN 1 ELSE 0 END)"
+    for j in range(1, 17)
+) + ")"
+
+_SCALED_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {j} < {_EMB_P_SQL} AND list_dot_product({_EMB}, {_plane_lit(p)}) >= 0"
+    f" THEN {2**j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES16)
+)
 
 
 @query(
     "embedding_bucket_pairs",
     oracle=f"""
-    WITH b0 AS (SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket, embedding FROM embeddings),
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    b0 AS (SELECT vec_id, CAST({_SCALED_BUCKET_SQL} AS BIGINT) AS bucket, embedding
+           FROM embeddings, nn),
     b AS (SELECT * FROM b0
           QUALIFY count(*) OVER (PARTITION BY bucket) <= {EMB_MAX_BUCKET})
     SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
@@ -397,11 +415,18 @@ EMB_MAX_BUCKET = 100  # scale guard, same rationale as LSH_MAX_BUCKET
 )
 def embedding_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate verification: cosine over same-bucket pairs only,
-    with the bucket-size cap ON (mirrored in the oracle). The plane
-    count stays at 8 for the sf-scale corpus; at real scale it is sized
-    by ``similarity.planes_for`` — see that docstring."""
-    return similarity.bucket_near_pairs(
-        load_table(spark, sf_dir, "embeddings"), 0.0, max_bucket=EMB_MAX_BUCKET
+    with the bucket-size cap ON (mirrored in the oracle). Buckets come
+    from ``similarity.lsh_buckets_scaled`` — the plane count follows
+    the corpus size in-plan (p = 3 at gate scale, 9 at sf1, 12 at
+    sf10), so the row exercises the pair kernel at EVERY scale instead
+    of degenerating to guard-drops-everything once a fixed plane count
+    falls behind the corpus (the fixed-8 form returned 0 pairs at sf10:
+    256 buckets, all past the cap)."""
+    return similarity.bucket_near_pairs_scaled(
+        load_table(spark, sf_dir, "embeddings"),
+        0.0,
+        target_bucket=EMB_TARGET_BUCKET,
+        max_bucket=EMB_MAX_BUCKET,
     )
 
 

@@ -455,13 +455,17 @@ def test_trainers_clear_error_on_empty_table(spark):
 
 
 def test_ann_scale_oracle_twin_matches_registered_oracle():
-    """The dynamic DuckDB twin in tools/ann_scale_oracle.py at the
-    registered plane count (8) must reproduce the registered
-    embedding_bucket_pairs oracle row-for-row — pinning the tool that
-    carries the pair kernel's sf1/sf10 assurance to the gate oracle."""
+    """The registered embedding_bucket_pairs oracle is SCALE-ADAPTIVE
+    (p planes masked from a 16-plane family by the in-SQL integer
+    planes_for rule); the fixed-p twin in tools/ann_scale_oracle.py at
+    the p that rule picks for this corpus (n=500 → p=3) must reproduce
+    it row-for-row — pinning the adaptive masking to the sequentially-
+    drawn plane family AND the tool that carried the pre-adaptive
+    sf1/sf10 assurance."""
     import duckdb
 
     import __spark_entry__ as entrymod
+    from rnadam_spark.operators.similarity import planes_for
     from tools.ann_scale_oracle import pair_oracle_sql
 
     con = duckdb.connect()
@@ -469,11 +473,56 @@ def test_ann_scale_oracle_twin_matches_registered_oracle():
         "CREATE VIEW embeddings AS "
         "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
     )
+    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    p = planes_for(n, 64)
+    assert p == 3  # the corpus this pin was computed for
     registered = entrymod.oracle_sql()["embedding_bucket_pairs"]
     a = con.execute(
         f"SELECT * FROM ({registered}) ORDER BY vec_a, vec_b"
     ).fetchall()
     b = con.execute(
-        f"SELECT * FROM ({pair_oracle_sql(8, 100)}) ORDER BY vec_a, vec_b"
+        f"SELECT * FROM ({pair_oracle_sql(p, 100)}) ORDER BY vec_a, vec_b"
     ).fetchall()
     assert len(a) > 0 and a == b
+
+
+def test_lsh_buckets_scaled_matches_fixed_at_computed_p(spark):
+    """The in-plan adaptive plane count must reproduce the fixed-p
+    bucketing exactly at the p the planes_for rule picks (the plane
+    family is drawn sequentially, so the first p planes coincide)."""
+    from rnadam_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = S.planes_for(emb.count(), 64)
+    scaled = {r.vec_id: r.bucket for r in S.lsh_buckets_scaled(emb, 64).collect()}
+    fixed = {r.vec_id: r.bucket for r in S.lsh_buckets(emb, n_planes=p).collect()}
+    assert scaled == fixed and len(scaled) == emb.count()
+
+
+def test_lsh_buckets_scaled_integer_p_boundaries(spark):
+    """p at exact power-of-two corpus sizes: n == target stays at the
+    1-plane floor, n == target+1 crosses to 1, n == 2*target+1 to 2 —
+    the integer thresholds a float log2 could straddle by one ulp."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import similarity as S
+
+    def p_of(n):
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(1.0)] * 4).alias("embedding"),
+        )
+        # identical vectors -> all rows share one bucket; the bucket id
+        # itself reveals how many planes were kept (all-ones plane dots
+        # are positive or negative depending on the plane, but p only
+        # bounds WHICH bits can be set)
+        buckets = S.lsh_buckets_scaled(emb, target_bucket=8, dim=4).collect()
+        assert len({r.bucket for r in buckets}) == 1
+        return buckets[0].bucket
+
+    # n=8 (== target): p floors at 1 -> bucket < 2
+    assert p_of(8) < 2
+    # n=9: p=1 -> bucket < 2; n=17: p=2 -> bucket < 4; n=33: p=3 -> bucket < 8
+    assert p_of(9) < 2
+    assert p_of(17) < 4
+    assert p_of(33) < 8
