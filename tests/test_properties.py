@@ -292,3 +292,36 @@ def test_nfkc_normalize_idempotent(spark, texts):
     assert all(r.n_changed == 0 for r in rows), [
         (r.doc_id, r.text) for r in rows if r.n_changed
     ]
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_staged_gopher_equals_inline_columns(spark, texts):
+    """The staged gopher_quality (materialized prelude) must equal the
+    inline gopher_columns projection on arbitrary text — the refactor
+    that made the prelude a separate projection must be invisible."""
+    df = _df(spark, texts)
+    staged = tx.gopher_quality(df).collect()
+    cols = tx.gopher_columns("text")
+    inline = df.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    ).collect()
+    assert sorted(map(tuple, staged)) == sorted(map(tuple, inline))
+
+
+@given(texts=CORPUS)
+@PROP_SETTINGS
+def test_staged_lang_equals_inline_columns(spark, texts):
+    """lang_scores' staged argmax (materialized per-language ratios)
+    must equal the inline lang_columns fold on arbitrary text."""
+    from rnadam_spark.functions.rounding import hround
+
+    df = _df(spark, texts)
+    staged = tx.lang_scores(df).collect()
+    best_lang, best_score = tx.lang_columns("text")
+    inline = df.select(
+        "doc_id",
+        best_lang.alias("predicted_lang"),
+        hround(best_score, 6).alias("best_score"),
+    ).collect()
+    assert sorted(map(tuple, staged)) == sorted(map(tuple, inline))
