@@ -643,16 +643,38 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
     sf1_dir, sf10_dir = (d.strip() for d in dirs.split(","))
     if not (os.path.isdir(sf1_dir) and os.path.isdir(sf10_dir)):
         return {}
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF10_BUDGET", "300"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF10_BUDGET", "150"))
     # cheap -> expensive, so a tight budget still yields several rows
     names = ["kmer_count", "lsh_candidate_pairs", "lm_perplexity", "em_quantify"]
     out: dict = {"sf1_dir": sf1_dir, "sf10_dir": sf10_dir, "rows": {}, "skipped": []}
+    # the block gates STARTS, so without an estimate one 3-minute query
+    # admitted at budget-1s busts the driver's unattended wall clock;
+    # the previous artifact's row is the estimate, and when a query no
+    # longer fits it is CARRIED FORWARD (annotated, never silently
+    # dropped or silently stale) so the artifact stays complete
+    prev_rows: dict = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        ) as fh:
+            prev_rows = json.load(fh).get("sf10_scaling", {}).get("rows", {})
+    except Exception:
+        pass
     t0 = _time.time()
     for name in names:
         if name not in queries:
             continue
-        if _time.time() - t0 > budget:
-            out["skipped"].append(name)
+        prev = prev_rows.get(name)
+        est = (
+            prev["sf1_sec"] + prev["sf10_sec"]
+            if prev and "sf1_sec" in prev and "sf10_sec" in prev
+            else 60.0
+        )
+        if _time.time() - t0 + est > budget:
+            if prev:
+                out["rows"][name] = {**prev, "carried_from_previous": True}
+            else:
+                out["skipped"].append(name)
             continue
         fn = queries[name]
         try:

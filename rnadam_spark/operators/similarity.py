@@ -275,7 +275,16 @@ def ivf_topk(
     of it; recall grows with n_probe). Complements the LSH-bucket path:
     IVF gives tunable recall at query time, LSH gives join-free
     all-pairs candidate generation. ``centroids`` (e.g. from
-    :func:`kmeans_centroids`) replaces the default ±1 patterns."""
+    :func:`kmeans_centroids`) replaces the default ±1 patterns.
+
+    Cost honesty: this form re-derives every vector's cell at query
+    time (``n_centroids`` dot products per row — measured 25.3s vs
+    brute force's 6.5s at 200k vectors), so for a single dot-product
+    query it does NOT beat the exact scan. It is the semantics
+    reference; the production shape stores the assignment once and
+    reuses it across queries — :func:`ivf_cells` persisted, or the PQ
+    codes path (:func:`ivfpq_topk_on_codes`), where only the probed
+    ~n_probe/n_centroids fraction is touched per query."""
     cents = centroids if centroids is not None else hyperplanes(n=n_centroids, dim=dim, seed=seed)
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         _as_double("embedding").alias("q_emb")
@@ -347,7 +356,12 @@ def cell_near_pairs(
         from rnadam_spark.operators.guards import drop_oversize_buckets
 
         assignment = drop_oversize_buckets(assignment, ["cell"], max_cell)
-    with_cell = assignment.join(embeddings, "vec_id")
+    # per-vector norms materialize before the self-join (same
+    # bit-identical-floats argument as _pairs_from_buckets: the norm is
+    # the exact subtree cosine's denominator factors would build)
+    with_cell = assignment.join(embeddings, "vec_id").withColumn(
+        "__norm", F.sqrt(dot(_as_double("embedding"), _as_double("embedding")))
+    )
     a = with_cell.alias("a")
     b = with_cell.alias("b")
     return (
@@ -358,7 +372,8 @@ def cell_near_pairs(
             F.col("b.vec_id").alias("vec_b"),
             (
                 F.floor(
-                    cosine(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+                    dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+                    / (F.col("a.__norm") * F.col("b.__norm"))
                     * 1e6
                     + F.lit(0.5)
                 )
@@ -878,7 +893,15 @@ def _pairs_from_buckets(
         from rnadam_spark.operators.guards import drop_oversize_buckets
 
         buckets = drop_oversize_buckets(truncate_lineage(buckets), ["bucket"], max_bucket)
-    with_bucket = buckets.join(embeddings, "vec_id")
+    # materialize each vector's norm ONCE before the self-join: a
+    # vector in a bucket of n appears in ~n pairs, and the inline
+    # cosine re-aggregated its self-dot per PAIR (interpreted lambdas,
+    # no codegen CSE — see text.gopher_prelude). sqrt(dot(v,v)) here is
+    # the same float ops in the same order as cosine's denominator
+    # factors, so the pair values are bit-identical
+    with_bucket = buckets.join(embeddings, "vec_id").withColumn(
+        "__norm", F.sqrt(dot(_as_double("embedding"), _as_double("embedding")))
+    )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     return (
@@ -889,7 +912,8 @@ def _pairs_from_buckets(
             F.col("b.vec_id").alias("vec_b"),
             (
                 F.floor(
-                    cosine(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+                    dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+                    / (F.col("a.__norm") * F.col("b.__norm"))
                     * 1e6
                     + F.lit(0.5)
                 )
