@@ -25,10 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rnadam_spark.sources.tables import TABLES
 
 
+SCALED_TABLES = ("documents", "events", "orders", "lineitem", "embeddings")
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scale"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional 4th arg: comma list of tables to scale (the rest
+    # symlink from base). A documents,embeddings-only corpus makes a
+    # 1000x text/similarity decade feasible where lineitem/events at
+    # the same factor would not fit local disk.
+    scale_set = set(
+        sys.argv[4].split(",") if len(sys.argv) > 4 else SCALED_TABLES
+    )
+    unknown = scale_set - set(SCALED_TABLES)
+    if unknown:
+        raise SystemExit(f"unknown scaled tables: {sorted(unknown)}")
 
     import duckdb
 
@@ -46,9 +59,10 @@ def main() -> None:
             FROM read_parquet('{base}/documents.parquet')"""
         for i in range(factor)
     )
-    con.execute(
-        f"COPY ({copies} ORDER BY doc_id) TO '{out}/documents.parquet' (FORMAT PARQUET)"
-    )
+    if "documents" in scale_set:
+        con.execute(
+            f"COPY ({copies} ORDER BY doc_id) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+        )
     # events scale by DISJOINT-USER copies: each copy shifts user_id and
     # event_id beyond the base ranges and leaves ts unchanged, so
     # per-user semantics (sessionization, running stats) see N× distinct
@@ -65,9 +79,10 @@ def main() -> None:
             FROM read_parquet('{base}/events.parquet')"""
         for i in range(factor)
     )
-    con.execute(
-        f"COPY ({ecopies} ORDER BY event_id) TO '{out}/events.parquet' (FORMAT PARQUET)"
-    )
+    if "events" in scale_set:
+        con.execute(
+            f"COPY ({ecopies} ORDER BY event_id) TO '{out}/events.parquet' (FORMAT PARQUET)"
+        )
     # orders/lineitem scale by CONSISTENTLY-shifted orderkeys (same
     # offset in both tables so the fact-fact join stays intact);
     # customer/part/supplier references stay unchanged — dims are
@@ -82,9 +97,10 @@ def main() -> None:
             FROM read_parquet('{base}/orders.parquet')"""
         for i in range(factor)
     )
-    con.execute(
-        f"COPY ({ocopies} ORDER BY o_orderkey) TO '{out}/orders.parquet' (FORMAT PARQUET)"
-    )
+    if "orders" in scale_set:
+        con.execute(
+            f"COPY ({ocopies} ORDER BY o_orderkey) TO '{out}/orders.parquet' (FORMAT PARQUET)"
+        )
     lcopies = " UNION ALL ".join(
         f"""SELECT l_orderkey + {i * omax} AS l_orderkey, l_partkey, l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
@@ -92,10 +108,11 @@ def main() -> None:
             FROM read_parquet('{base}/lineitem.parquet')"""
         for i in range(factor)
     )
-    con.execute(
-        f"COPY ({lcopies} ORDER BY l_orderkey, l_linenumber) "
-        f"TO '{out}/lineitem.parquet' (FORMAT PARQUET)"
-    )
+    if "lineitem" in scale_set:
+        con.execute(
+            f"COPY ({lcopies} ORDER BY l_orderkey, l_linenumber) "
+            f"TO '{out}/lineitem.parquet' (FORMAT PARQUET)"
+        )
     # embeddings scale by DISJOINT-ID copies whose vectors are the base
     # vectors CIRCULARLY ROTATED by the copy index (copy 0 verbatim):
     # norms are preserved, cross-copy cosines vary (no degenerate
@@ -116,14 +133,15 @@ def main() -> None:
             FROM read_parquet('{base}/embeddings.parquet')"""
         for i in range(factor)
     )
-    emb_dst = os.path.join(out, "embeddings.parquet")
-    if os.path.islink(emb_dst):
-        os.remove(emb_dst)  # upgrade corpora built by the symlink era
-    con.execute(
-        f"COPY ({vcopies} ORDER BY vec_id) TO '{emb_dst}' (FORMAT PARQUET)"
-    )
+    if "embeddings" in scale_set:
+        emb_dst = os.path.join(out, "embeddings.parquet")
+        if os.path.islink(emb_dst):
+            os.remove(emb_dst)  # upgrade corpora built by the symlink era
+        con.execute(
+            f"COPY ({vcopies} ORDER BY vec_id) TO '{emb_dst}' (FORMAT PARQUET)"
+        )
     for t in TABLES:
-        if t in ("documents", "events", "orders", "lineitem", "embeddings"):
+        if t in scale_set:
             continue
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
@@ -133,8 +151,8 @@ def main() -> None:
         f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')"
     ).fetchone()[0]
     print(
-        f"{out}: documents/events/orders/lineitem/embeddings x{factor} "
-        f"(documents = {n} rows); dimension tables symlinked"
+        f"{out}: {'/'.join(sorted(scale_set))} x{factor} "
+        f"(documents = {n} rows); other tables symlinked"
     )
 
 
