@@ -321,3 +321,22 @@ def test_boilerplate_ngrams_matches_retired_oracle(spark):
     )
     want = {tuple(r) for r in con.execute(_BOILER_SQL).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_pyref_repetition_matches_duckdb():
+    """The python Counter reference that carries repetition_stats'
+    sf100 assurance must equal the registered DuckDB oracle at gate
+    scale — the same pin discipline as the k-mer and text references."""
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _REPETITION_SQL
+    from tools.pyref_repetition_oracle import expected
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(_REPETITION_SQL).fetchall()}
+    got = expected(sf_dir)
+    assert got == want and len(got) > 0
