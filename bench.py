@@ -660,6 +660,8 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
             prev_rows = json.load(fh).get("sf10_scaling", {}).get("rows", {})
     except Exception:
         pass
+    max_carries = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_CARRIES", "2"))
+    forced_this_run = False
     t0 = _time.time()
     for name in names:
         if name not in queries:
@@ -670,12 +672,18 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
             if prev and "sf1_sec" in prev and "sf10_sec" in prev
             else 60.0
         )
-        if _time.time() - t0 + est > budget:
-            if prev:
-                out["rows"][name] = {**prev, "carried_from_previous": True}
-            else:
-                out["skipped"].append(name)
+        decision, carried_row = _carry_decision(
+            prev, _time.time() - t0 + est > budget, forced_this_run, max_carries
+        )
+        if decision == "carry":
+            out["rows"][name] = carried_row
             continue
+        if decision == "skip":
+            out["skipped"].append(name)
+            continue
+        forced = decision == "force"
+        if forced:
+            forced_this_run = True
         fn = queries[name]
         try:
             t1 = _time.time()
@@ -687,12 +695,49 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
         except Exception as e:  # a scale-corpus hiccup must not kill the bench
             out["rows"][name] = {"error": str(e)[:200]}
             continue
-        out["rows"][name] = {
+        row = {
             "sf1_sec": sec1,
             "sf10_sec": sec10,
             "slope_per_decade": round(sec10 / max(sec1, 1e-9), 2),
         }
+        if forced:
+            row["forced_remeasure_after_carries"] = int((prev or {}).get("carries", 0))
+        out["rows"][name] = row
     return out
+
+
+_CARRY_FLAG_KEYS = (
+    "carried_from_previous",
+    "carries",
+    "forced_remeasure_after_carries",
+)
+
+
+def _carry_decision(
+    prev: dict | None, over_budget: bool, forced_this_run: bool, max_carries: int
+) -> tuple[str, dict | None]:
+    """Whether a cross-decade row is measured, carried, skipped, or
+    force-remeasured. A row whose estimate permanently exceeds the
+    budget must not be carried forever — its artifact timing would
+    never reflect current code after perf changes — so after
+    ``max_carries`` consecutive carries the row is re-measured even
+    though it busts the budget gate. At most ONE forced row per run
+    (``forced_this_run``) bounds the wall-clock overshoot to a single
+    row's cost; the others keep carrying with their counters ticking
+    and get their forced run in a later invocation."""
+    if not over_budget:
+        return "measure", None
+    if prev is None:
+        return "skip", None
+    carries = int(prev.get("carries", 0))
+    if carries < max_carries or forced_this_run:
+        base = {k: v for k, v in prev.items() if k not in _CARRY_FLAG_KEYS}
+        return "carry", {
+            **base,
+            "carried_from_previous": True,
+            "carries": carries + 1,
+        }
+    return "force", None
 
 
 def _await_quiet_host() -> dict:

@@ -33,10 +33,20 @@ N_PLANES = 8
 DIM = 64
 
 
-def planes_for(n_vectors: int, target_bucket: int = 64) -> int:
+def planes_for(
+    n_vectors: int, target_bucket: int = 64, n_planes_max: int | None = 16
+) -> int:
     """Plane count so expected bucket occupancy ≈ ``target_bucket``:
-    p = ceil(log₂(n / target)). 10⁹ vectors / target 64 → 24 planes."""
-    return max(1, math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket, 1))))
+    p = ceil(log₂(n / target)), clamped to ``n_planes_max`` so the rule
+    matches :func:`lsh_buckets_scaled`, which computes exactly
+    ``n_planes_max`` bits and can never use more. Above
+    n = target·2^max (~4.2M vectors at the defaults) the clamp binds
+    and occupancy grows as n/2^max — raise ``n_planes_max`` on BOTH
+    sides for larger corpora (each extra bit costs one more dot product
+    per row). ``n_planes_max=None`` gives the uncapped rule: 10⁹
+    vectors / target 64 → 24 planes."""
+    p = max(1, math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket, 1))))
+    return p if n_planes_max is None else min(p, n_planes_max)
 
 
 def hyperplanes(n: int = N_PLANES, dim: int = DIM, seed: int = 99) -> list[list[int]]:
@@ -121,8 +131,15 @@ def lsh_buckets_scaled(
     A fixed plane count degenerates off its design scale — at 100x the
     buckets blow past any cap and a capped consumer drops everything —
     while this form keeps expected occupancy ≈ ``target_bucket`` at
-    every corpus size with no driver action (the count is one extra
-    aggregate + broadcast in the same plan). ``hyperplanes`` draws
+    every corpus size UP TO n = target·2^n_planes_max (~4.2M vectors at
+    the defaults: p hard-caps at ``n_planes_max`` because only that many
+    bits compute, so past the ceiling occupancy grows as n/2^max and a
+    ``max_bucket=100`` consumer re-degenerates around ~6.5M — raise
+    ``n_planes_max`` for larger corpora; cost is one extra dot product
+    per row per bit). No driver action below the ceiling (the count is
+    one extra aggregate + broadcast in the same plan), and
+    :func:`planes_for` clamps to the same max so the off-plan sizing
+    rule and this operator agree at every n. ``hyperplanes`` draws
     planes sequentially from one seeded RNG, so the first p planes are
     identical for every p — results at a given scale match a fixed
     ``lsh_buckets(n_planes=p)`` run exactly.

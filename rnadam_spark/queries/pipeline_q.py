@@ -332,17 +332,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- similarity
 
 _EMB = "embedding::DOUBLE[]"
-_PLANES = similarity.hyperplanes()
 
 
 def _plane_lit(plane: list[int]) -> str:
     return "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
-
-
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN list_dot_product({_EMB}, {_plane_lit(p)}) >= 0 THEN {2**j} ELSE 0 END)"
-    for j, p in enumerate(_PLANES)
-)
 
 
 @query(
@@ -365,11 +358,17 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection bucketing (the ANN scale path).
+    """Sign-random-projection bucketing, FIXED plane count (the form a
+    caller uses when it has sized p off-plan via ``planes_for``).
 
-    Not registered: ``embedding_bucket_pairs`` derives its candidate
-    buckets from the identical ``_BUCKET_SQL`` expression, keeping the
-    bucketing hash-verified without its own gate slot."""
+    Not registered: the gate row ``embedding_bucket_pairs`` verifies the
+    scale-adaptive ``lsh_buckets_scaled`` cross-engine, and the adaptive
+    form is pinned to this fixed form by two tests —
+    ``test_lsh_buckets_scaled_matches_fixed_at_computed_p`` (Spark vs
+    Spark, exact bucket equality at the computed p) and
+    ``test_lsh_buckets_fixed_matches_duckdb`` (this operator vs an
+    independent DuckDB expression at p=8) — so the fixed path keeps
+    cross-engine coverage without its own gate slot."""
     return similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 

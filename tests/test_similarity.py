@@ -79,8 +79,13 @@ def test_planes_for_sizing_rule():
     # p ≥ log2(N / target occupancy): the plane count must grow with
     # the corpus — fixed 8 planes only fits ~16k vectors at target 64
     assert similarity.planes_for(16_384, 64) == 8
-    assert similarity.planes_for(1_000_000_000, 64) == 24
+    assert similarity.planes_for(1_000_000_000, 64, n_planes_max=None) == 24
     assert similarity.planes_for(100, 64) == 1  # never zero planes
+    # default clamp matches lsh_buckets_scaled, which computes exactly
+    # n_planes_max bits — the sizing rule must never exceed the operator
+    assert similarity.planes_for(1_000_000_000, 64) == 16
+    assert similarity.planes_for(64 * 2**16, 64) == 16  # at the ceiling
+    assert similarity.planes_for(1_000_000_000, 64, n_planes_max=24) == 24
 
 
 def test_lsh_buckets_param_plane_count(spark):
@@ -484,6 +489,41 @@ def test_ann_scale_oracle_twin_matches_registered_oracle():
         f"SELECT * FROM ({pair_oracle_sql(p, 100)}) ORDER BY vec_a, vec_b"
     ).fetchall()
     assert len(a) > 0 and a == b
+
+
+def test_lsh_buckets_fixed_matches_duckdb(spark):
+    """Cross-engine pin for the FIXED-plane bucketing: lsh_buckets at
+    the default 8 planes vs an independently-written DuckDB expression
+    over the same plane family. The gate verifies only the adaptive
+    form (embedding_bucket_pairs uses lsh_buckets_scaled); this keeps
+    the fixed-p path — the one a caller with an off-plan planes_for
+    sizing uses — hash-equivalent across engines too."""
+    import duckdb
+
+    from rnadam_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r.vec_id: r.bucket for r in S.lsh_buckets(emb).collect()}
+
+    planes = S.hyperplanes()  # default 8 x 64, seed 99
+
+    def plane_lit(plane):
+        return "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
+
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane_lit(p)}) >= 0"
+        f" THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = dict(
+        con.execute(f"SELECT vec_id, {bucket_sql} FROM embeddings").fetchall()
+    )
+    assert got == want and len(got) > 0
 
 
 def test_lsh_buckets_scaled_matches_fixed_at_computed_p(spark):
