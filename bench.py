@@ -38,6 +38,7 @@ def _bench_queries() -> dict:
     semantics remain pinned: fraction_of_group via em_two_steps' alpha1
     CTE, simhash_16 inside simhash_hamming_pairs' oracle)."""
     from rnadam_spark.queries.pipeline_q import (
+        embedding_topk,
         minhash_signatures,
         quality_scores,
         simhash_16,
@@ -57,6 +58,9 @@ def _bench_queries() -> dict:
         # deregistered round 10 (pack_sequences/vocabulary_shift
         # rotation); headline keeps timing the tumbling-window kernel
         "hourly_event_rollup": hourly_event_rollup,
+        # deregistered round 11 (ann_recall/excise_paragraphs rotation);
+        # headline keeps timing the brute-force ANN baseline
+        "embedding_topk": embedding_topk,
     }
 
 # Headline set: the reference's hot path (k-mer count → classes), the

@@ -338,9 +338,7 @@ def _plane_lit(plane: list[int]) -> str:
     return "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
 
 
-@query(
-    "embedding_topk",
-    oracle="""
+_EMB_TOPK_SQL = """
     WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT vec_id,
@@ -350,10 +348,17 @@ def _plane_lit(plane: list[int]) -> str:
       FROM embeddings, q WHERE vec_id != 0)
     SELECT vec_id, floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos
     FROM scored ORDER BY cos DESC, vec_id LIMIT 20
-    """,
-)
+    """  # kept for the rows-equal pytest cross-check (tests/test_similarity.py)
+
+
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k against vec_id=0 (ANN baseline)."""
+    """Brute-force cosine top-k against vec_id=0 (ANN baseline).
+
+    Not registered (gate rotation r11): the exact-scoring kernel is
+    re-derived inside BOTH the ``ivf_topk`` oracle (its scored CTE) and
+    the new ``ann_recall`` oracle (its exact CTE is this very SQL), and
+    ``_EMB_TOPK_SQL`` stays the full DuckDB cross-check in
+    tests/test_similarity.py — slot rotated to ``ann_recall``."""
     return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
 
 
@@ -457,9 +462,7 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_cells(load_table(spark, sf_dir, "embeddings"))
 
 
-@query(
-    "ivf_topk",
-    oracle=f"""
+_IVF_TOPK_SQL = f"""
     WITH cents(cid, cvec) AS (VALUES {_CENTS_VALUES}),
     emb AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
     q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
@@ -483,12 +486,50 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE cells.cid IN (SELECT cid FROM probes) AND emb.vec_id != 0)
     SELECT vec_id, floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos
     FROM scored ORDER BY cos DESC, vec_id LIMIT 20
-    """,
-)
+    """
+
+
+@query("ivf_topk", oracle=_IVF_TOPK_SQL)
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-k against vec_id=0 (4 of 16 cells
     scored — the tunable-recall scale path beside LSH bucketing)."""
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
+
+
+@query(
+    "ann_recall",
+    oracle=f"""
+    WITH exact AS ({_EMB_TOPK_SQL}),
+    approx AS ({_IVF_TOPK_SQL}),
+    hits AS (SELECT CAST(count(*) AS BIGINT) AS n FROM approx
+             WHERE vec_id IN (SELECT vec_id FROM exact))
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS k,
+           n AS n_hits,
+           floor(CAST(n AS DOUBLE)
+                 / greatest((SELECT count(*) FROM exact), 1)
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall
+    FROM hits
+    """,
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of the IVF-probed index against the exact top-k — the
+    QUALITY number beside the ANN speed rows (gate rotation r11: the
+    gate verified ANN speed paths for five rounds while recall quality
+    lived only in the bench block; this registers it). One row
+    (k, n_hits, recall): both inputs are bounded top-k tables, so the
+    overlap is a broadcast semi-join + one aggregate
+    (operators/similarity.ann_recall); the oracle re-derives BOTH the
+    brute-force ranking (the retired embedding_topk SQL, verbatim) and
+    the IVF probe ranking (the ivf_topk oracle, verbatim) and counts
+    the intersection — so a probe-selection regression on either
+    engine moves n_hits, not just a float."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = similarity.ivf_topk(emb, 0, 20)
+    exact = similarity.brute_force_topk(emb, 0, 20)
+    out = similarity.ann_recall(approx, exact)
+    return out.select(
+        F.col("k").cast("bigint").alias("k"), "n_hits", "recall"
+    )
 
 
 # ----------------------------------------------------------------- text
@@ -1269,9 +1310,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_diff",
-    oracle="""
+_CORPUS_DIFF_SQL = """
     WITH o AS (SELECT doc_id, coalesce(md5(text), '<null-text>') AS h_old
                FROM documents WHERE doc_id % 97 != 3),
     n AS (SELECT doc_id,
@@ -1284,15 +1323,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN h_old = h_new THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-    """,
-)
+    """  # kept for the rows-equal pytest cross-check (tests/test_diffing.py)
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/diffing.py): two deterministic
     snapshot views of the documents table — "old" drops ids ≡ 3 (mod
     97) (they appear 'added'), "new" drops ids ≡ 5 (mod 89) ('removed')
     and rewrites text for ids ≡ 0 (mod 7) ('changed') — compared by
     (id, md5) full-outer join. Text never crosses the join
-    (plan-asserted in tests/test_diffing.py)."""
+    (plan-asserted in tests/test_diffing.py).
+
+    Not registered (gate rotation r11): the snapshot views are shared
+    verbatim with the still-registered ``vocabulary_shift`` (same mods,
+    same release), the per-doc md5 compare stays cross-checked by
+    ``_CORPUS_DIFF_SQL`` in tests/test_diffing.py, and the kernel was
+    gate-verified value-exact through sf100 in rounds 8–10 — slot
+    rotated to ``excise_paragraphs``."""
     from rnadam_spark.operators.diffing import corpus_diff
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1413,6 +1460,82 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
     model = lm.train_char_lm(docs, n=_LM_N)
     return lm.lm_perplexity(docs, model, n=_LM_N, vocab_size=_LM_V)
+
+
+# rounded-perplexity threshold for the excision composite: ~p90 of the
+# paragraph distribution at gate scale (median 2.35, p90 2.49), so the
+# row actually excises (~10% of paragraphs) instead of passing through.
+# The compare is on the 6dp-ROUNDED value on both engines, so the
+# threshold inherits the same cross-engine determinism as every other
+# rounded gate column.
+_EXCISE_PPL_T = 2.5
+
+_EXCISE_SQL = f"""
+    WITH sp AS (SELECT doc_id, string_split_regex(coalesce(text, ''), '{_PARA_SPLIT}') AS parts
+                FROM documents),
+    idx AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM sp),
+    paras AS (SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[CAST(i AS INT)] AS para
+              FROM idx WHERE length(trim(parts[CAST(i AS INT)])) > 0),
+    doc_grams AS (
+      SELECT substring(text, CAST(i AS INT), {_LM_N}) AS gram
+      FROM (SELECT text, unnest(range(1, greatest(length(text) - {_LM_N - 1}, 0) + 1)) AS i
+            FROM documents)),
+    model AS (SELECT gram, CAST(count(*) AS BIGINT) AS gram_cnt
+              FROM doc_grams GROUP BY gram),
+    prefixes AS (SELECT substring(gram, 1, {_LM_N - 1}) AS prefix,
+                        CAST(sum(gram_cnt) AS BIGINT) AS prefix_cnt
+                 FROM model GROUP BY substring(gram, 1, {_LM_N - 1})),
+    pg AS (SELECT doc_id, para_idx, substring(para, CAST(i AS INT), {_LM_N}) AS gram
+           FROM (SELECT doc_id, para_idx, para,
+                        unnest(range(1, greatest(length(para) - {_LM_N - 1}, 0) + 1)) AS i
+                 FROM paras)),
+    scored AS (
+      SELECT pg.doc_id, pg.para_idx,
+             ln(coalesce(p.prefix_cnt, 0) + {_LM_V}) - ln(coalesce(m.gram_cnt, 0) + 1) AS nlp
+      FROM pg LEFT JOIN model m ON pg.gram = m.gram
+      LEFT JOIN prefixes p ON substring(pg.gram, 1, {_LM_N - 1}) = p.prefix),
+    pppl AS (
+      SELECT a.doc_id, a.para_idx,
+             {hround_sql("exp(coalesce(avg(s.nlp), 0.0))", 6)} AS ppl
+      FROM paras a LEFT JOIN scored s
+        ON a.doc_id = s.doc_id AND a.para_idx = s.para_idx
+      GROUP BY a.doc_id, a.para_idx),
+    kept AS (
+      SELECT p.doc_id, p.para_idx, p.para
+      FROM paras p JOIN pppl s ON p.doc_id = s.doc_id AND p.para_idx = s.para_idx
+      WHERE s.ppl < {_EXCISE_PPL_T})
+    SELECT d.doc_id,
+           coalesce(string_agg(k.para, '{_PARA_SPLIT}' ORDER BY k.para_idx), '') AS text
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@query("excise_paragraphs", oracle=_EXCISE_SQL)
+def excise_ppl_tail_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual tail-excision unit, end to end (gate rotation
+    r11): train the char-3-gram LM on the corpus, score PARAGRAPHS
+    (``lm.paragraph_perplexity`` — this corpus's paragraph convention
+    splits on ``' table '``, the ``paragraph_near_dups`` precedent),
+    condemn those whose 6dp-rounded perplexity is ≥ {2.5}, and rebuild
+    every document with ``text.excise_paragraphs`` (one scan, one
+    exchange, no window — condemned and blank paragraphs null out of a
+    collect_list so all-condemned documents survive with empty text).
+    The oracle re-derives the whole chain — split, model, per-paragraph
+    ln-arithmetic, threshold, ordered re-join — so the output text
+    hash-compares byte-for-byte; rejoining with the same separator
+    makes untouched documents reproduce their input text exactly."""
+    from rnadam_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
+    model = lm.train_char_lm(docs, n=_LM_N)
+    ppl = lm.paragraph_perplexity(
+        docs, model, n=_LM_N, vocab_size=_LM_V, split_pattern=_PARA_SPLIT
+    )
+    bad = ppl.filter(F.col("perplexity") >= _EXCISE_PPL_T).select("doc_id", "para_idx")
+    return text.excise_paragraphs(
+        docs, bad, split_pattern=_PARA_SPLIT, sep=_PARA_SPLIT
+    )
 
 
 DSIR_BUCKETS = 4096

@@ -75,3 +75,26 @@ def test_corpus_diff_null_text_is_changed(spark):
     new = spark.createDataFrame([(5, None), (6, None)], "doc_id bigint, text string")
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {5: "changed", 6: "unchanged"}
+
+
+def test_corpus_diff_matches_retired_oracle(spark, sf_dir):
+    # gate rotation r11 retired the corpus_diff CORRECTNESS row (slot →
+    # excise_paragraphs; the snapshot views live on in the registered
+    # vocabulary_shift); its DuckDB oracle stays here so the md5
+    # full-outer-join diff keeps a cross-engine check
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _CORPUS_DIFF_SQL, corpus_diff_docs
+
+    got = sorted(
+        (r.doc_id, r.status) for r in corpus_diff_docs(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_CORPUS_DIFF_SQL).fetchall()))
+    assert got == want and got
+    # every status class is actually exercised by the synthetic release
+    assert {s for _, s in got} == {"added", "removed", "changed", "unchanged"}

@@ -566,3 +566,22 @@ def test_lsh_buckets_scaled_integer_p_boundaries(spark):
     assert p_of(9) < 2
     assert p_of(17) < 4
     assert p_of(33) < 8
+
+
+def test_embedding_topk_matches_retired_oracle(spark, sf_dir):
+    # gate rotation r11 retired the embedding_topk CORRECTNESS row
+    # (slot → ann_recall, whose oracle embeds this very SQL as its
+    # exact CTE); the brute-force ranking keeps its own direct
+    # cross-engine check here
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _EMB_TOPK_SQL, embedding_topk
+
+    got = [(r.vec_id, r.cos) for r in embedding_topk(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "embeddings.parquet")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}')")
+    want = list(map(tuple, con.execute(_EMB_TOPK_SQL).fetchall()))
+    assert got == want and len(got) == 20
