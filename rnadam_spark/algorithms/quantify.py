@@ -280,6 +280,56 @@ def quantify(
         .cache()
     )
 
+    return em_loop(
+        class_counts,
+        edges,
+        transcripts,
+        k,
+        max_iterations,
+        calibrate_length_bias=calibrate_length_bias,
+        t_len=t_len,
+        checkpoint_every=checkpoint_every,
+        timers=timers,
+        skew_safe=skew_safe,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def em_loop(
+    class_counts: DataFrame,
+    edges: DataFrame,
+    transcripts: DataFrame,
+    k: int,
+    max_iterations: int,
+    calibrate_length_bias: bool = True,
+    t_len: DataFrame | None = None,
+    checkpoint_every: int = 1,
+    timers=None,
+    skew_safe: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The EM driver core over PRE-BUILT state — the loop every entry
+    point shares. ``quantify`` builds the state from reads + index
+    tables and delegates here; callers whose class keys admit a cheaper
+    state construction (``em_quantify``'s per-(doc, cnt) classes fuse
+    class_counts and the enriched edge table into projections of ONE
+    aggregate — r10 stage attribution put 87% of the flagship's sf100
+    wall time in the generic state build, not this loop) hand their
+    state straight to the same iterations, so the gate's one-iteration
+    twin (``em_two_steps``, via quantify) still certifies the exact
+    code path the flagship runs for 5.
+
+    ``class_counts`` is (class_id, cnt); ``edges`` is the ENRICHED
+    membership table (class_id, t_id, rel_p, t_len, ...), pre-partitioned
+    on class_id and cached by the caller (each iteration's E-step window
+    then reuses that partitioning with no exchange). ``t_len`` is only
+    needed when ``calibrate_length_bias`` is on."""
+    from rnadam_spark import instrument as ins
+    from rnadam_spark.algorithms import tare
+
+    if calibrate_length_bias and t_len is None:
+        raise ValueError("calibrate_length_bias=True requires t_len")
+
     alpha = initialize_em(class_counts, edges, skew_safe=skew_safe)
     mu = m_step(alpha, None, k, None, normalize=False)
     mu = ins.timed(timers, ins.INIT_EM, mu)

@@ -223,23 +223,85 @@ def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> Da
     the window E-step does real redistribution — stay hash-verified by
     ``em_two_steps``, whose class construction spans documents.
     """
-    from rnadam_spark.algorithms.quantify import quantify
+    from rnadam_spark.algorithms.quantify import em_loop
 
     # widened: the k-mer count explodes ~200 shingles per row, and a
     # single-row-group parquet file otherwise scans as ONE task
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    reads = docs.select(F.col("doc_id").alias("read_id"), F.col("text").alias("sequence"))
-    kc = kmer_doc_counts(spark, sf_dir)
-    # cached: both the kmer→class map and the membership edges derive
-    # from this one table — without the cache the per-document
-    # run-length subtree (the expensive part) executes twice
-    with_class = kc.select(
-        "kmer",
-        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("cnt"))).alias("class_id"),
-        F.col("doc_id").cast("string").alias("t_id"),
-    ).cache()
-    kmer_to_class_df = with_class.select("kmer", "class_id")
-    class_transcripts = with_class.select("class_id", "t_id").distinct()
+
+    # State construction, fused (r10 VERDICT #1): stage attribution at
+    # sf100 put 87% of the flagship's 682s in the GENERIC state build —
+    # caching the exploded 1.09B-row (kmer, md5, t_id) table (377s),
+    # a second full corpus pass + 1B-row sort-merge join on kmer for
+    # class_counts (246s), and a 1.09B-row distinct + two 23M-row
+    # broadcasts for the edge table (120s) — while the 5 EM iterations
+    # cost 49s. With classes keyed by (doc_id, cnt), every one of those
+    # tables is a projection of ONE bounded aggregate, built from two
+    # cheap corpus scans and NO corpus-sized intermediate state:
+    #   * scan 1: global per-kmer counts via plain explode + codegen'd
+    #     partial hash aggregate — bounded by vocabulary (distinct
+    #     k-mers ≤ alphabet^k), so the result BROADCASTS;
+    #   * scan 2: the zero-shuffle run-length kernel emits per-doc
+    #     (kmer, kcnt) pairs that join the broadcast map-side and
+    #     partial-aggregate straight to the (doc_id, cnt) class grain —
+    #     two longs on the exchange, nothing corpus-sized exchanged.
+    #   * the md5 class key mints once per CLASS (n_classes rows), not
+    #     once per (kmer, doc) pair (1B md5s);
+    #   * t_len is n_chars (functionally dependent on doc_id), carried
+    #     through the grouping — the edge table needs NO joins at all.
+    # Both scans stream: nothing corpus-sized is ever cached, persisted,
+    # or shuffled (the class aggregate's exchange carries (doc_id,
+    # n_chars, cnt) longs after map-side partials). This fused explode
+    # is only viable because the engine session EXCLUDES Spark's
+    # InferFiltersFromGenerate rule (rnadam_spark/session.py): that rule
+    # infers `size(kc) > 0` from the explode and pushes it below the
+    # widen exchange, duplicating the whole interpreted run-length
+    # kernel twice more per row — measured 31.2s vs 1.6s at sf1 for
+    # kernel→explode alone. (Staging the kernel output through a
+    # DISK_ONLY persist — the best pre-exclusion workaround — paid a
+    # corpus-sized disk round-trip: 194s write + its share of a 271s
+    # read-join-agg at sf100, and a MEMORY cache of the same state OOMs
+    # a 16g heap under 32 concurrent columnar unrolls. The groupBy
+    # alternative with no kernel lost too: 40.7s vs 28.8s at sf10.)
+    # Exactness: every count is a long (sums exact in any order), rel_p
+    # and t_len are the identical values, so only the M-step's double
+    # summation order can shift — absorbed by the 8dp rounding exactly
+    # as the DuckDB oracle's own ordering already is.
+    global_counts = (
+        docs.select(F.explode(char_shingles("text", K)).alias("kmer"))
+        .groupBy("kmer")
+        .agg(F.count("*").alias("g_cnt"))
+    )
+    kexp = (
+        with_value_counts(
+            docs.select("doc_id", "n_chars", "text"), char_shingles("text", K), "kc"
+        )
+        .drop("text")
+        .select("doc_id", "n_chars", F.explode("kc").alias("x"))
+        .select(
+            "doc_id", "n_chars", F.col("x.value").alias("kmer"), F.col("x.cnt").alias("kcnt")
+        )
+    )
+    cc = (
+        kexp.join(F.broadcast(global_counts), "kmer")
+        .groupBy("doc_id", "n_chars", "kcnt")
+        .agg(F.sum("g_cnt").alias("class_cnt"))
+        .cache()
+    )
+    class_key = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("kcnt")))
+    class_counts = cc.select(class_key.alias("class_id"), F.col("class_cnt").alias("cnt"))
+    total = cc.agg(F.sum("class_cnt").alias("_total"))
+    edges = (
+        cc.crossJoin(F.broadcast(total))
+        .select(
+            class_key.alias("class_id"),
+            F.col("doc_id").cast("string").alias("t_id"),
+            (F.col("class_cnt") / F.col("_total")).alias("rel_p"),
+            F.col("n_chars").cast("long").alias("t_len"),
+        )
+        .repartition("class_id")
+        .cache()
+    )
     transcripts = docs.select(
         F.col("doc_id").cast("string").alias("t_id"),
         F.lit("g").alias("gene_id"),
@@ -253,14 +315,12 @@ def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> Da
             )
         ).alias("exons"),
     )
-    result = quantify(
-        reads,
-        kmer_to_class_df,
-        class_transcripts,
+    result = em_loop(
+        class_counts,
+        edges,
         transcripts,
         k=K,
         max_iterations=5,
-        calibrate_kmer_bias=False,
         calibrate_length_bias=False,
         skew_safe=skew_safe,
     )
@@ -315,7 +375,9 @@ def em_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     reads = docs.select(F.col("doc_id").alias("read_id"), F.col("text").alias("sequence"))
-    # cached for the same two-consumer reason as em_quantify's with_class
+    # cached: both the kmer→class map and the membership edges derive
+    # from this one table — without the cache the per-document
+    # run-length subtree (the expensive part) executes twice
     kc = kmer_doc_counts(spark, sf_dir).cache()
     class_of = F.md5(F.col("cnt").cast("string"))
     kmer_to_class_df = kc.select("kmer", class_of.alias("class_id")).distinct()

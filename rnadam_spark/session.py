@@ -48,6 +48,25 @@ def get_spark(
         # this factory get the same conf set defensively in _load_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate infers `size(e) > 0 AND isnotnull(e)`
+        # from every explode(e) and pushes it below exchanges — with e
+        # an ATTRIBUTE that is free, but this engine's explodes are
+        # mostly over COMPUTED arrays (char_shingles, value_counts,
+        # token n-grams: interpreted higher-order functions), and the
+        # inferred filter duplicates the full expression twice more,
+        # often below the widen repartition where parallelism is still
+        # scan-bound. Measured at sf1: the EM flagship's run-length
+        # kernel -> explode dropped 31.2s -> 1.6s and kmer_count 2.1s
+        # -> 1.4s with the rule excluded. Semantically inert: explode
+        # (non-outer) already drops null/empty arrays, so the filter
+        # can never change results, only plan shape.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_GRAFT_EXCLUDED_RULES",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"))
     )
