@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import MOD, poly_hash_col
 from rnadam_spark.functions.rounding import hround
-from rnadam_spark.functions.shingles import token_ngrams
+from rnadam_spark.functions.shingles import ngrams_of, tokens
 from rnadam_spark.operators.sampling import _sample_code
 
 HASH_CHARS = 8  # chars of each n-gram fed to the polynomial hash
@@ -66,11 +66,24 @@ def _bucket_of(gram: Column, n_buckets: int) -> Column:
 
 
 def doc_feature_buckets(
-    text_col: str | Column = "text", n_buckets: int = 10_000, ns: tuple[int, ...] = (1, 2)
+    text_col: str | Column = "text",
+    n_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    toks: Column | None = None,
 ) -> Column:
     """Array column of hashed n-gram feature buckets for one document
-    (with multiplicity — DSIR weights count every occurrence)."""
-    grams = F.concat(*[token_ngrams(text_col, n) for n in ns])
+    (with multiplicity — DSIR weights count every occurrence).
+
+    ``toks``: an already-tokenized array column — the staged-prelude
+    form (``gopher_prelude`` discipline). Inline, each gram width
+    re-tokenizes the document (interpreted higher-order expressions get
+    no codegen subexpression elimination), and the n=1 width used to
+    build its "grams" as single-element slice+array_join — an expensive
+    identity. With a staged token array, unigrams ARE the tokens
+    (byte-identical strings, so bucket ids are unchanged) and wider
+    grams build from the same array once."""
+    t = tokens(text_col) if toks is None else toks
+    grams = F.concat(*[t if n == 1 else ngrams_of(t, n) for n in ns])
     return F.transform(grams, lambda g: _bucket_of(g, n_buckets))
 
 
@@ -84,9 +97,12 @@ def bucket_counts(
     distribution table for one side of the importance ratio. Output is
     ≤ ``n_buckets`` rows however large the corpus, so it broadcasts at
     any scale; the groupBy partial-aggregates map-side."""
+    staged = corpus.select(tokens(text_col).alias("__toks"))
     return (
-        corpus.select(
-            F.explode(doc_feature_buckets(text_col, n_buckets, ns)).alias("bucket")
+        staged.select(
+            F.explode(
+                doc_feature_buckets(text_col, n_buckets, ns, toks=F.col("__toks"))
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
@@ -143,9 +159,12 @@ def dsir_log_weights(
     log-ratio table → map-side-partial doc_id re-aggregation. One
     exchange total."""
     ratios = F.broadcast(_log_ratio_table(target_counts, raw_counts, n_buckets, alpha))
-    feats = raw_docs.select(
+    staged = raw_docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    feats = staged.select(
         F.col(id_col),
-        F.explode_outer(doc_feature_buckets(text_col, n_buckets, ns)).alias("bucket"),
+        F.explode_outer(
+            doc_feature_buckets(text_col, n_buckets, ns, toks=F.col("__toks"))
+        ).alias("bucket"),
     )
     scored = feats.join(ratios, "bucket", "left")
     return scored.groupBy(id_col).agg(
