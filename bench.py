@@ -291,6 +291,25 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "aggregate_join": timed(lambda: repetition.dedup_lines(docs)),
             "window_rownum": timed(lambda: dedup_lines_window(docs)),
         },
+        # VERDICT r10 #6: the engine's heaviest interpreted-HOF kernel
+        # vs its Arrow-batched pandas twin (value-equal, pinned by
+        # tests). Measured r11: pandas wins 5.3x at sf10 (18.5s vs
+        # 3.5s) — interpreted per-row HOF evaluation costs more than
+        # the Arrow transfer + Counter work — so the REGISTERED row
+        # defaults to the pandas form; this A/B keeps the trade
+        # re-measured every round.
+        "repetition_stats": {
+            "interpreted_hof": timed(lambda: repetition.repetition_stats(docs)),
+            "pandas_arrow": timed(
+                lambda: repetition.repetition_stats_pandas(docs)
+            ),
+        },
+        # same trade for the Gopher page rules (pandas won 2.2x at sf10
+        # in r11; registered default follows the measurement)
+        "gopher_quality": {
+            "staged_hof": timed(lambda: text.gopher_quality(docs)),
+            "pandas_arrow": timed(lambda: text.gopher_quality_pandas(docs)),
+        },
         "lsh_candidate_pairs": {
             "inrow_capped": timed(
                 lambda: dedup.lsh_candidate_pairs(docs, max_bucket=LSH_MAX_BUCKET)

@@ -164,6 +164,93 @@ def repetition_stats(
     )
 
 
+def repetition_stats_pandas(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The vectorized-Python twin of :func:`repetition_stats` — an
+    Arrow-batched ``mapInPandas`` computing the IDENTICAL seven columns
+    (pinned value-equal by tests/test_repetition.py on real corpus rows
+    plus null/empty/whitespace edges), kept as the measured A/B
+    alternative for the engine's heaviest interpreted-HOF kernel
+    (bench.py ``ab`` block). The JVM side pays interpreted higher-order
+    evaluation per row; this side pays one Arrow batch transfer plus
+    Python ``Counter`` work per document — which one wins is a
+    measurement, not a principle, and the default follows the bench.
+
+    Semantics mirrored exactly: tokens split on Java's ``\\s`` class
+    (``[ \\t\\n\\x0B\\f\\r]`` — NOT Python's unicode-aware ``\\s``),
+    lines trim ASCII spaces only (``F.trim`` semantics), n-gram ties
+    break toward the lexicographically largest gram (ASCII == UTF8
+    binary order for this corpus), fractions round half-up at 6dp, and
+    a NULL text yields Spark's exact shape (NULL n_lines, 0.0
+    fractions — pinned empirically by the twin-equality test)."""
+    import math
+    import re
+    from collections import Counter
+
+    out_schema = (
+        f"{id_col} bigint, n_lines bigint, dup_line_frac double,"
+        " dup_line_char_frac double, top_2gram_char_frac double,"
+        " top_3gram_char_frac double, dup_5gram_char_frac double"
+    )
+    java_ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def hr(x: float):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def dup_mass(counts: Counter):
+        total = sum(c * len(v) for v, c in counts.items())
+        dup = sum(c * len(v) for v, c in counts.items() if c >= 2)
+        return dup / max(total, 1.0)
+
+    def top_mass(counts: Counter, n_chars: float):
+        if not counts:
+            return 0.0
+        cnt, val = max((c, v) for v, c in counts.items())
+        return cnt * len(val) / n_chars
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+                "top_2gram_char_frac", "top_3gram_char_frac", "dup_5gram_char_frac",
+            )}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                rows[id_col].append(doc_id)
+                if text is None:
+                    # Spark shape for NULL text: size(NULL) is NULL, and
+                    # every fraction's aggregate-over-NULL coalesces to 0.0
+                    rows["n_lines"].append(None)
+                    for k in list(rows)[2:]:
+                        rows[k].append(0.0)
+                    continue
+                n_chars = max(len(text), 1)
+                toks = [t for t in java_ws.split(text) if t]
+                lines = [ln for ln in (s.strip(" ") for s in text.split("\n")) if ln]
+                vc_l = Counter(lines)
+                grams = {
+                    n: Counter(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                    for n in (2, 3, 5)
+                }
+                n_lines = len(lines)
+                dup_line = sum(c for c in vc_l.values() if c >= 2) / max(
+                    float(n_lines), 1.0
+                )
+                rows["n_lines"].append(n_lines)
+                rows["dup_line_frac"].append(hr(dup_line))
+                rows["dup_line_char_frac"].append(hr(dup_mass(vc_l)))
+                rows["top_2gram_char_frac"].append(hr(top_mass(grams[2], n_chars)))
+                rows["top_3gram_char_frac"].append(hr(top_mass(grams[3], n_chars)))
+                rows["dup_5gram_char_frac"].append(hr(dup_mass(grams[5])))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 def dedup_lines(
     docs: DataFrame,
     min_line_chars: int = 8,

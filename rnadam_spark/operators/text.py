@@ -580,6 +580,109 @@ def gopher_quality(
     return staged.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
 
 
+def gopher_quality_pandas(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Arrow-batched pandas twin of :func:`gopher_quality` — same
+    eleven columns, pinned value-equal by tests/test_gopher.py, kept as
+    the measured A/B alternative for the staged-HOF form (bench.py
+    ``ab.gopher_quality``; same discipline as
+    ``repetition.repetition_stats_pandas``). Semantics mirrored
+    exactly: Java ``\\s`` token split, ASCII-space-only trim for lines,
+    non-overlapping regex counts, 6dp half-up rounding, first-failing
+    drop_reason in the paper's order."""
+    import math
+    import re
+
+    out_schema = (
+        f"{id_col} bigint, n_words bigint, mean_word_len double,"
+        " hash_word_ratio double, ellipsis_word_ratio double,"
+        " bullet_line_frac double, ellipsis_line_frac double,"
+        " alpha_word_frac double, n_stopwords_present bigint,"
+        " keep_doc boolean, drop_reason string"
+    )
+    java_ws = re.compile("[ \t\n\x0b\f\r]+")
+    ellipsis_re = re.compile(r"\.\.\.|…")
+    ellipsis_end_re = re.compile(r"(\.\.\.|…)$")
+    alpha_re = re.compile("[A-Za-z]")
+
+    def hr(x: float):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def batches(it):
+        import pandas as pd
+
+        cols = (
+            id_col, "n_words", "mean_word_len", "hash_word_ratio",
+            "ellipsis_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+            "alpha_word_frac", "n_stopwords_present", "keep_doc", "drop_reason",
+        )
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    # Spark shape for NULL text: every null comparison in
+                    # the when-cascade is falsy, so it falls through to
+                    # the stopwords rule (n_stop = 0 < min) — numeric
+                    # columns stay NULL, n_stopwords_present is 0
+                    for k, v in zip(cols, (
+                        doc_id, None, None, None, None, None, None, None,
+                        0, False, "stopwords",
+                    )):
+                        rows[k].append(v)
+                    continue
+                t = text
+                toks = [w for w in java_ws.split(t) if w]
+                n_words = len(toks)
+                nw = float(max(n_words, 1))
+                mean_len = sum(len(w) for w in toks) / nw
+                hash_ratio = t.count("#") / nw
+                ell_sym_ratio = len(ellipsis_re.findall(t)) / nw
+                lines = [ln for ln in (s.strip(" ") for s in t.split("\n")) if ln]
+                nl = float(max(len(lines), 1))
+                bullet = sum(ln[0] in _BULLET_PREFIXES for ln in lines) / nl
+                ell_line = sum(bool(ellipsis_end_re.search(ln)) for ln in lines) / nl
+                alpha = sum(bool(alpha_re.search(w)) for w in toks) / nw
+                low = {w.lower() for w in toks}
+                n_stop = sum(s in low for s in GOPHER_STOPWORDS)
+                if n_words < min_words or n_words > max_words:
+                    reason = "word_count"
+                elif mean_len < min_mean_word_len or mean_len > max_mean_word_len:
+                    reason = "mean_word_len"
+                elif hash_ratio > max_symbol_ratio or ell_sym_ratio > max_symbol_ratio:
+                    reason = "symbol_ratio"
+                elif bullet > max_bullet_frac:
+                    reason = "bullet_lines"
+                elif ell_line > max_ellipsis_frac:
+                    reason = "ellipsis_lines"
+                elif alpha < min_alpha_word_frac:
+                    reason = "alpha_words"
+                elif n_stop < min_stopwords:
+                    reason = "stopwords"
+                else:
+                    reason = None
+                for k, v in zip(cols, (
+                    doc_id, n_words, hr(mean_len), hr(hash_ratio),
+                    hr(ell_sym_ratio), hr(bullet), hr(ell_line), hr(alpha),
+                    n_stop, reason is None, reason,
+                )):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 def filter_bad_phrases(
     docs: DataFrame,
     phrases: DataFrame,

@@ -656,10 +656,17 @@ _GOPHER_SQL = rf"""
 @query("gopher_quality", oracle=_GOPHER_SQL)
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-level quality rules (Rae et al. 2021 table A1) as
-    one zero-shuffle projection; the oracle reruns the exact regex/list
+    one zero-shuffle pass; the oracle reruns the exact regex/list
     arithmetic in DuckDB so thresholds, first-failing drop_reason, and
-    the 6dp-rounded stats hash-compare across engines."""
-    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+    the 6dp-rounded stats hash-compare across engines.
+
+    Default implementation is the Arrow-batched pandas twin — the r11
+    A/B (bench ``ab.gopher_quality``, re-run per round) has it 2.2x
+    faster than the staged-HOF form at sf10 (2.5s vs 5.5s); the two are
+    pinned value-equal by tests/test_gopher.py, so the gate hash is
+    implementation-independent. The HOF column expressions remain the
+    composable form the fused curate chains inline."""
+    return text.gopher_quality_pandas(load_table(spark, sf_dir, "documents"))
 
 
 _LANGS = sorted(text.LANG_MARKERS)
@@ -1125,14 +1132,25 @@ _REPETITION_SQL = f"""
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter inputs (duplicate-line fraction
     and char mass, most-common-2/3-gram char fraction, duplicated-
-    5-gram char mass) — one shuffle-free projection over the in-row
-    value-counts kernel. Registered with the multiset-mass definitions
-    pinned in operators/repetition.py so the oracle reproduces every
-    division bit-for-bit; both engines break top-gram ties toward the
-    lexicographically-largest gram."""
+    5-gram char mass) — one shuffle-free pass, zero exchanges.
+    Registered with the multiset-mass definitions pinned in
+    operators/repetition.py so the oracle reproduces every division
+    bit-for-bit; both engines break top-gram ties toward the
+    lexicographically-largest gram.
+
+    Default implementation is the Arrow-batched pandas twin: the
+    measured r11 A/B (bench ``ab.repetition_stats``, re-run per round)
+    has it 5.3x faster than the interpreted-HOF form at sf10 (3.5s vs
+    18.5s) — this kernel does enough per-row array work that
+    interpreted higher-order evaluation costs more than the Arrow
+    transfer + Python Counter pass. The two forms are pinned
+    value-equal (tests/test_repetition.py twin test), so the gate hash
+    is implementation-independent."""
     from rnadam_spark.operators import repetition as rep
 
-    return rep.repetition_stats(load_table(spark, sf_dir, "documents", widen=True))
+    return rep.repetition_stats_pandas(
+        load_table(spark, sf_dir, "documents", widen=True)
+    )
 
 
 CHUNK_MAX_CHARS = 64

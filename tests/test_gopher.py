@@ -134,3 +134,30 @@ def test_paragraph_lang_scores(spark):
         spark.createDataFrame([(0, en), (1, de)], "doc_id bigint, text string")
     ).collect()
     assert {r["doc_id"]: r["predicted_lang"] for r in solo} == {0: "en", 1: "de"}
+
+
+def test_gopher_pandas_twin_value_equal(spark, sf_dir):
+    """The Arrow-batched pandas twin must reproduce gopher_quality
+    EXACTLY — all eleven columns — on real corpus rows plus null/empty/
+    bullet/ellipsis/short-doc edges."""
+    from rnadam_spark.operators.text import gopher_quality, gopher_quality_pandas
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (200001, None),
+            (200002, ""),
+            (200003, "- one\n- two\n- three"),
+            (200004, "trailing dots...\nand more…\nplain line"),
+            (200005, "the " * 60 + "### and ..."),
+            (200006, "short doc"),
+            (200007, ("the quick brown fox jumps over a lazy dog and that " * 6)),
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.union(edge)
+    a = {r.doc_id: tuple(r)[1:] for r in gopher_quality(both).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in gopher_quality_pandas(both).collect()}
+    assert set(a) == set(b) and len(a) > 500
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])

@@ -340,3 +340,33 @@ def test_pyref_repetition_matches_duckdb():
     want = {tuple(r) for r in con.execute(_REPETITION_SQL).fetchall()}
     got = expected(sf_dir)
     assert got == want and len(got) > 0
+
+
+def test_repetition_stats_pandas_twin_value_equal(spark, sf_dir):
+    """The Arrow-batched pandas twin must reproduce the HOF operator
+    EXACTLY — same 6dp values, same null shape — on real corpus rows
+    plus the edge shapes (null text, empty text, whitespace-only,
+    repeated lines, a dominant n-gram)."""
+    from rnadam_spark.operators.repetition import (
+        repetition_stats,
+        repetition_stats_pandas,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "   "),
+            (100004, "same line\nsame line\nother\n\n  same line  "),
+            (100005, "a b a b a b a b a b a b"),
+            (100006, "one\ttwo\tthree four five one two three four five"),
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.union(edge)
+    a = {r.doc_id: tuple(r)[1:] for r in repetition_stats(both).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in repetition_stats_pandas(both).collect()}
+    assert set(a) == set(b) and len(a) > 500
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
