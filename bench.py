@@ -341,6 +341,13 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                     broadcast_benchmark=False,
                 )
             ),
+            # the r11 twin series' biggest win: 21.8x at sf10 (4.8s vs
+            # 105s) — the registered row defaults to the pandas form
+            "pandas_arrow": timed(
+                lambda: text.contamination_scores_pandas(
+                    docs, docs.filter(F.col("doc_id") % _BENCH_MOD == 0), n=DECONTAM_N
+                )
+            ),
         },
     }
 

@@ -866,6 +866,64 @@ def contamination_scores(
     )
 
 
+def contamination_scores_pandas(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """The Arrow-batched pandas twin of :func:`contamination_scores` —
+    same three columns, pinned value-equal by tests/test_text_curation
+    (r11's measured-twin discipline: repetition 5.3x, gopher 2.2x at
+    sf10). The benchmark's distinct grams are BOUNDED (eval suites are
+    tiny next to the corpus — the same argument that broadcasts them in
+    the JVM form), so they collect once to a driver set and ship in the
+    task closure; per document the n-gram set builds in Python and
+    intersects that set — no join, no interpreted slice+array_join per
+    gram position. Java ``\\s`` tokenization and 6dp half-up rounding
+    mirrored exactly; docs shorter than ``n`` tokens (and NULL text)
+    keep their (0, 0, 0.0) audit row."""
+    import math
+    import re
+
+    bench_set = {
+        r.gram
+        for r in benchmark.select(
+            F.explode(token_ngrams(bench_text_col, n)).alias("gram")
+        )
+        .distinct()
+        .collect()
+    }
+    java_ws = re.compile("[ \t\n\x0b\f\r]+")
+    out_schema = (
+        f"{id_col} bigint, n_grams bigint, n_contaminated bigint,"
+        " contamination double"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in (id_col, "n_grams", "n_contaminated", "contamination")}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [] if text is None else [w for w in java_ws.split(text) if w]
+                grams = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                hits = len(grams & bench_set)
+                rows[id_col].append(doc_id)
+                rows["n_grams"].append(len(grams))
+                rows["n_contaminated"].append(hits)
+                rows["contamination"].append(
+                    math.floor(hits / max(len(grams), 1) * 1e6 + 0.5) / 1e6
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 def fingerprints(
     docs: DataFrame, k: int = 4, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

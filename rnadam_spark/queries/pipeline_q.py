@@ -1223,12 +1223,20 @@ def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram decontamination audit: fraction of each document's
     distinct word 13-grams that appear in the benchmark set (every
     20th doc stands in for the eval suite — at 100 TB the benchmark is
-    tiny next to the corpus, so its distinct grams broadcast and the
-    corpus side never shuffles for the join). Docs shorter than 13
-    tokens score 0, never dropped."""
+    tiny next to the corpus, so its distinct grams fit one broadcast /
+    one task closure and the corpus side never shuffles). Docs shorter
+    than 13 tokens score 0, never dropped.
+
+    Default implementation is the Arrow-batched pandas twin — the
+    biggest win of the r11 twin series (bench ``ab.contamination``,
+    re-run per round): 21.8x at sf10 (4.8s vs 105s). Building a
+    13-token gram string per position through interpreted
+    slice+array_join, then array_distinct + explode + join, is exactly
+    the shape Python set arithmetic does in microseconds per document;
+    the two forms are pinned value-equal by tests/test_text_curation."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
-    return text.contamination_scores(docs, bench, n=DECONTAM_N)
+    return text.contamination_scores_pandas(docs, bench, n=DECONTAM_N)
 
 
 def _c4_bad_sql() -> str:

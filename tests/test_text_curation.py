@@ -451,3 +451,38 @@ def test_vocabulary_matches_retired_oracle(spark):
     )
     want = {tuple(r) for r in con.execute(_VOCAB_SQL).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_contamination_pandas_twin_value_equal(spark, sf_dir):
+    """The Arrow-batched contamination twin must reproduce the JVM
+    broadcast-join form EXACTLY on real corpus rows plus null/short/
+    exact-13-token/contaminated edges."""
+    from rnadam_spark.operators.text import (
+        contamination_scores,
+        contamination_scores_pandas,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    thirteen = "a b c d e f g h i j k l m"
+    edge = spark.createDataFrame(
+        [
+            (300001, None),
+            (300002, ""),
+            (300003, "too short for thirteen grams"),
+            (300004, thirteen),                      # exactly one gram
+            (300005, thirteen + " " + thirteen),     # repeated grams collapse
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.union(edge)
+    bench = both.filter("doc_id % 20 = 0 or doc_id = 300004")
+    a = {r.doc_id: tuple(r)[1:] for r in contamination_scores(both, bench).collect()}
+    b = {
+        r.doc_id: tuple(r)[1:]
+        for r in contamination_scores_pandas(both, bench).collect()
+    }
+    assert set(a) == set(b) and len(a) > 500
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+    # the planted benchmark doc is fully contaminated on both sides
+    assert a[300004][2] == 1.0
