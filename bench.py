@@ -764,7 +764,12 @@ def _carry_decision(
         return "measure", None
     if prev is None:
         return "skip", None
-    carries = int(prev.get("carries", 0))
+    # legacy artifact rows carried by the pre-counter code have
+    # carried_from_previous but no carries key — they are the STALEST
+    # rows, so they start at 1, not 0 (r11 review)
+    carries = int(
+        prev.get("carries", 1 if prev.get("carried_from_previous") else 0)
+    )
     if carries < max_carries or forced_this_run:
         base = {k: v for k, v in prev.items() if k not in _CARRY_FLAG_KEYS}
         return "carry", {

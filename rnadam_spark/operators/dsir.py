@@ -84,6 +84,11 @@ def doc_feature_buckets(
     grams build from the same array once."""
     t = tokens(text_col) if toks is None else toks
     grams = F.concat(*[t if n == 1 else ngrams_of(t, n) for n in ns])
+    # NULL text: tokens(NULL) is NULL and concat propagates it — the
+    # coalesce restores the pre-staging contract (empty array, as the
+    # per-n token_ngrams guards used to yield), so F.size() on the
+    # result stays 0 rather than NULL for null documents
+    grams = F.coalesce(grams, F.array().cast("array<string>"))
     return F.transform(grams, lambda g: _bucket_of(g, n_buckets))
 
 

@@ -951,12 +951,19 @@ def ann_recall(
     publish next to its speed number (an IVF that probes too few cells
     is fast and useless; this makes the trade measurable, the same
     discipline as the bench A/B rows). Both inputs are tiny top-k
-    tables, so the overlap is a broadcast semi-join + one aggregate;
-    recall = |approx ∩ exact| / |exact| rounded half-up to 6dp."""
-    hits = approx_topk.select(id_col).join(
-        F.broadcast(exact_topk.select(id_col)), id_col, "leftsemi"
+    tables, so the overlap is one collect + a filtered aggregate;
+    recall = |approx ∩ exact| / |exact| rounded half-up to 6dp.
+
+    The exact side is collected ONCE (it is a bounded top-k list by
+    contract) and both k and the membership test derive from that list
+    — the earlier form ran the exact subtree twice (a ``count()`` just
+    to learn k, then again as a broadcast semi-join side), doubling the
+    brute-force scan the gate row pays at every scale (r11 review)."""
+    exact_ids = [r[id_col] for r in exact_topk.select(id_col).collect()]
+    n_exact = len(exact_ids)
+    hits = approx_topk.select(id_col).filter(
+        F.col(id_col).isin(exact_ids) if exact_ids else F.lit(False)
     )
-    n_exact = exact_topk.count()
     return hits.agg(
         F.lit(int(n_exact)).alias("k"),
         F.count("*").cast("bigint").alias("n_hits"),

@@ -614,7 +614,15 @@ def gopher_quality_pandas(
     )
     java_ws = re.compile("[ \t\n\x0b\f\r]+")
     ellipsis_re = re.compile(r"\.\.\.|…")
-    ellipsis_end_re = re.compile(r"(\.\.\.|…)$")
+    # Java's default-mode `$` matches before ONE final line terminator
+    # (\r, \u0085, \u2028, \u2029 -- lines here are \n-split so none
+    # contain \n); Python's `$` only honors a trailing \n. The lookahead
+    # mirrors Java exactly (a CRLF corpus leaves \r on the trimmed line
+    # and the JVM form still counts it as ellipsis-ended; pinned by the
+    # twin test's CRLF edge row).
+    ellipsis_end_re = re.compile(
+        "(\\.\\.\\.|\u2026)(?=[\r\u0085\u2028\u2029]?$)"
+    )
     alpha_re = re.compile("[A-Za-z]")
 
     def hr(x: float):
@@ -873,29 +881,41 @@ def contamination_scores_pandas(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    max_bench_grams: int = 20_000_000,
 ) -> DataFrame:
     """The Arrow-batched pandas twin of :func:`contamination_scores` —
     same three columns, pinned value-equal by tests/test_text_curation
     (r11's measured-twin discipline: repetition 5.3x, gopher 2.2x at
-    sf10). The benchmark's distinct grams are BOUNDED (eval suites are
-    tiny next to the corpus — the same argument that broadcasts them in
-    the JVM form), so they collect once to a driver set and ship in the
-    task closure; per document the n-gram set builds in Python and
-    intersects that set — no join, no interpreted slice+array_join per
-    gram position. Java ``\\s`` tokenization and 6dp half-up rounding
-    mirrored exactly; docs shorter than ``n`` tokens (and NULL text)
-    keep their (0, 0, 0.0) audit row."""
+    sf10; this one 21.8x). The benchmark's distinct grams collect once
+    to a driver set and ship in the task closure; per document the
+    n-gram set builds in Python and intersects that set — no join, no
+    interpreted slice+array_join per gram position. Java ``\\s``
+    tokenization and 6dp half-up rounding mirrored exactly; docs
+    shorter than ``n`` tokens (and NULL text) keep their (0, 0, 0.0)
+    audit row.
+
+    The driver-set design assumes the benchmark is eval-suite-sized —
+    the same boundedness argument that broadcasts it in the JVM form,
+    but a python set ships UNCOMPRESSED to every worker where the
+    broadcast relation stays columnar. ``max_bench_grams`` guards the
+    assumption: the distinct-gram count is checked first (one cheap
+    aggregate over the side that gets scanned anyway) and a benchmark
+    past the cap falls back to :func:`contamination_scores`' broadcast
+    join, which degrades gracefully instead of OOMing the driver
+    (r11 review — a corpus-fraction "benchmark" grows without bound)."""
     import math
     import re
 
-    bench_set = {
-        r.gram
-        for r in benchmark.select(
-            F.explode(token_ngrams(bench_text_col, n)).alias("gram")
-        )
+    bench_grams_df = (
+        benchmark.select(F.explode(token_ngrams(bench_text_col, n)).alias("gram"))
         .distinct()
-        .collect()
-    }
+    )
+    if bench_grams_df.count() > max_bench_grams:
+        return contamination_scores(
+            docs, benchmark, n=n, text_col=text_col, id_col=id_col,
+            bench_text_col=bench_text_col,
+        )
+    bench_set = {r.gram for r in bench_grams_df.collect()}
     java_ws = re.compile("[ \t\n\x0b\f\r]+")
     out_schema = (
         f"{id_col} bigint, n_grams bigint, n_contaminated bigint,"

@@ -202,71 +202,51 @@ SELECT t_id, floor(mu * 100000000.0 + 0.5) / 100000000.0 AS abundance FROM muf
 """
 
 
-@query("em_quantify", oracle=_EM5_ORACLE)
-def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> DataFrame:
-    """Flagship: the full Sailfish EM pipeline (Quantify.scala:42-127)
-    driven over the documents table — each document doubles as a
-    "transcript" (its text is the reference sequence) and as its own
-    "read", the class structure is derived with the Index semantics
-    (equal-count signatures, content-hash IDs), and 5 EM iterations
-    redistribute class counts into per-document abundances.
+def em_state(docs: DataFrame) -> dict[str, DataFrame]:
+    """The em_quantify flagship's FUSED state construction, shared
+    verbatim with ``tools/em_stage_attribution.py`` (extracted r11 so
+    the attribution tool cannot silently desynchronize from the plan
+    the flagship actually runs — the same drift that forced the tool's
+    rewrite when this construction replaced the generic one).
 
-    Oracle (new round 6 — previously rows-only): with this dataset
-    mapping every class is keyed by md5(doc_id:cnt), so each class has
-    exactly ONE member transcript; the E-step fraction-of-group is
-    therefore identically 1 from iteration 1 on, and iterations 2..5
-    all sit at the closed-form fixed point
-    µ_t ∝ (Σ_{{classes of t}} rel_p) / (len_t − k + 1), which IS
-    DuckDB-expressible. The oracle verifies the exact 5-iteration
-    driver output (bit-equal at 8dp at sf0.001 and sf0.01, checked
-    before registering); the genuinely multi-member EM dynamics — where
-    the window E-step does real redistribution — stay hash-verified by
-    ``em_two_steps``, whose class construction spans documents.
-    """
-    from rnadam_spark.algorithms.quantify import em_loop
+    Built from two cheap corpus scans and NO corpus-sized intermediate
+    state (r10 VERDICT #1: stage attribution at sf100 put 87% of the
+    flagship's 682s in the GENERIC state build — a cached 1.09B-row
+    exploded class map 377s, a second corpus pass + 1B-row sort-merge
+    join 246s, a 1.09B-row distinct + two 23M-row broadcasts 120s —
+    while the 5 EM iterations cost 49s):
+      * scan 1 (``global_counts``): plain explode + codegen'd partial
+        hash aggregate — bounded by vocabulary (distinct k-mers ≤
+        alphabet^k), so the result BROADCASTS;
+      * scan 2 (``cc``): the zero-shuffle run-length kernel emits
+        per-doc (kmer, kcnt) pairs that join the broadcast map-side and
+        partial-aggregate straight to the (doc_id, cnt) class grain —
+        two longs on the exchange, nothing corpus-sized exchanged;
+      * the md5 class key mints once per CLASS (n_classes rows), not
+        once per (kmer, doc) pair (1B md5s);
+      * t_len is n_chars (functionally dependent on doc_id), carried
+        through the grouping — the edge table needs NO joins at all.
+    The fused kernel→explode is only viable because the engine session
+    EXCLUDES Spark's InferFiltersFromGenerate rule (session.py): it
+    infers ``size(kc) > 0`` from the explode and pushes it below the
+    widen exchange, duplicating the whole interpreted run-length kernel
+    twice more per row — measured 31.2s vs 1.6s at sf1 for
+    kernel→explode alone. (A DISK_ONLY staging of the kernel output —
+    the best pre-exclusion workaround — paid a corpus-sized disk
+    round-trip: 194s write + its share of a 271s read-join-agg at
+    sf100; a MEMORY cache of the same state OOMs a 16g heap under 32
+    concurrent columnar unrolls. The no-kernel groupBy form lost too:
+    40.7s vs 28.8s at sf10.)
 
-    # widened: the k-mer count explodes ~200 shingles per row, and a
-    # single-row-group parquet file otherwise scans as ONE task
-    docs = load_table(spark, sf_dir, "documents", widen=True)
+    Exactness: every count is a long (sums exact in any order), rel_p
+    and t_len are the identical values, so only the M-step's double
+    summation order can shift — absorbed by the 8dp rounding exactly
+    as the DuckDB oracle's own ordering already is.
 
-    # State construction, fused (r10 VERDICT #1): stage attribution at
-    # sf100 put 87% of the flagship's 682s in the GENERIC state build —
-    # caching the exploded 1.09B-row (kmer, md5, t_id) table (377s),
-    # a second full corpus pass + 1B-row sort-merge join on kmer for
-    # class_counts (246s), and a 1.09B-row distinct + two 23M-row
-    # broadcasts for the edge table (120s) — while the 5 EM iterations
-    # cost 49s. With classes keyed by (doc_id, cnt), every one of those
-    # tables is a projection of ONE bounded aggregate, built from two
-    # cheap corpus scans and NO corpus-sized intermediate state:
-    #   * scan 1: global per-kmer counts via plain explode + codegen'd
-    #     partial hash aggregate — bounded by vocabulary (distinct
-    #     k-mers ≤ alphabet^k), so the result BROADCASTS;
-    #   * scan 2: the zero-shuffle run-length kernel emits per-doc
-    #     (kmer, kcnt) pairs that join the broadcast map-side and
-    #     partial-aggregate straight to the (doc_id, cnt) class grain —
-    #     two longs on the exchange, nothing corpus-sized exchanged.
-    #   * the md5 class key mints once per CLASS (n_classes rows), not
-    #     once per (kmer, doc) pair (1B md5s);
-    #   * t_len is n_chars (functionally dependent on doc_id), carried
-    #     through the grouping — the edge table needs NO joins at all.
-    # Both scans stream: nothing corpus-sized is ever cached, persisted,
-    # or shuffled (the class aggregate's exchange carries (doc_id,
-    # n_chars, cnt) longs after map-side partials). This fused explode
-    # is only viable because the engine session EXCLUDES Spark's
-    # InferFiltersFromGenerate rule (rnadam_spark/session.py): that rule
-    # infers `size(kc) > 0` from the explode and pushes it below the
-    # widen exchange, duplicating the whole interpreted run-length
-    # kernel twice more per row — measured 31.2s vs 1.6s at sf1 for
-    # kernel→explode alone. (Staging the kernel output through a
-    # DISK_ONLY persist — the best pre-exclusion workaround — paid a
-    # corpus-sized disk round-trip: 194s write + its share of a 271s
-    # read-join-agg at sf100, and a MEMORY cache of the same state OOMs
-    # a 16g heap under 32 concurrent columnar unrolls. The groupBy
-    # alternative with no kernel lost too: 40.7s vs 28.8s at sf10.)
-    # Exactness: every count is a long (sums exact in any order), rel_p
-    # and t_len are the identical values, so only the M-step's double
-    # summation order can shift — absorbed by the 8dp rounding exactly
-    # as the DuckDB oracle's own ordering already is.
+    Returns every piece so the attribution tool can force each at its
+    production materialization boundary: ``global_counts``, ``cc``
+    (cached), ``class_counts``, ``edges`` (class_id-partitioned,
+    cached), ``transcripts``."""
     global_counts = (
         docs.select(F.explode(char_shingles("text", K)).alias("kmer"))
         .groupBy("kmer")
@@ -315,10 +295,50 @@ def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> Da
             )
         ).alias("exons"),
     )
+    return {
+        "global_counts": global_counts,
+        "cc": cc,
+        "class_counts": class_counts,
+        "edges": edges,
+        "transcripts": transcripts,
+    }
+
+
+@query("em_quantify", oracle=_EM5_ORACLE)
+def em_quantify(spark: SparkSession, sf_dir: str, skew_safe: bool = False) -> DataFrame:
+    """Flagship: the full Sailfish EM pipeline (Quantify.scala:42-127)
+    driven over the documents table — each document doubles as a
+    "transcript" (its text is the reference sequence) and as its own
+    "read", the class structure is derived with the Index semantics
+    (equal-count signatures, content-hash IDs), and 5 EM iterations
+    redistribute class counts into per-document abundances. State is
+    built by :func:`em_state` (fused two-scan construction — see its
+    docstring for the r11 attribution and design rationale) and the
+    iterations run in :func:`algorithms.quantify.em_loop`, the exact
+    loop the one-iteration gate twin (``em_two_steps``) certifies.
+
+    Oracle (new round 6 — previously rows-only): with this dataset
+    mapping every class is keyed by md5(doc_id:cnt), so each class has
+    exactly ONE member transcript; the E-step fraction-of-group is
+    therefore identically 1 from iteration 1 on, and iterations 2..5
+    all sit at the closed-form fixed point
+    µ_t ∝ (Σ_{{classes of t}} rel_p) / (len_t − k + 1), which IS
+    DuckDB-expressible. The oracle verifies the exact 5-iteration
+    driver output (bit-equal at 8dp at sf0.001 and sf0.01, checked
+    before registering); the genuinely multi-member EM dynamics — where
+    the window E-step does real redistribution — stay hash-verified by
+    ``em_two_steps``, whose class construction spans documents.
+    """
+    from rnadam_spark.algorithms.quantify import em_loop
+
+    # widened: the k-mer count explodes ~200 shingles per row, and a
+    # single-row-group parquet file otherwise scans as ONE task
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    state = em_state(docs)
     result = em_loop(
-        class_counts,
-        edges,
-        transcripts,
+        state["class_counts"],
+        state["edges"],
+        state["transcripts"],
         k=K,
         max_iterations=5,
         calibrate_length_bias=False,

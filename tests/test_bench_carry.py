@@ -47,3 +47,12 @@ def test_fresh_measure_resets_the_counter():
     fresh = {"sf1_sec": 3.0, "sf10_sec": 9.0, "slope_per_decade": 3.0}
     decision, row = _carry_decision(fresh, True, False, 2)
     assert decision == "carry" and row["carries"] == 1
+
+
+def test_legacy_carried_rows_start_at_one():
+    # rows carried by the pre-counter code have the flag but no counter
+    # — they are the stalest rows and must not restart the clock at 0
+    legacy = {"sf1_sec": 47.0, "sf10_sec": 118.0, "carried_from_previous": True}
+    decision, row = _carry_decision(legacy, True, False, 2)
+    assert decision == "carry" and row["carries"] == 2
+    assert _carry_decision(row, True, False, 2) == ("force", None)

@@ -149,6 +149,10 @@ def test_gopher_pandas_twin_value_equal(spark, sf_dir):
             (200002, ""),
             (200003, "- one\n- two\n- three"),
             (200004, "trailing dots...\nand more…\nplain line"),
+            # CRLF: Java's default `$` matches before a final \r, so the
+            # JVM form counts "dots...\r" as ellipsis-ended — the twin
+            # must mirror that (it diverged before the lookahead fix)
+            (200008, "crlf dots...\r\nplain\r\nalso…\r\n"),
             (200005, "the " * 60 + "### and ..."),
             (200006, "short doc"),
             (200007, ("the quick brown fox jumps over a lazy dog and that " * 6)),

@@ -72,71 +72,24 @@ def main() -> None:
         print(json.dumps({"phase": name, "sec": out[name]}), flush=True)
         return r
 
-    # ---- construction prefix, verbatim from genomics_q.em_quantify ----
-    # (the FUSED r11 form: per-doc count arrays cached, global counts
-    # derived from the cache and broadcast, one (doc_id, cnt)-grain
-    # aggregate whose projections are class_counts AND the edge table.
-    # The r10 attribution of the retired generic-state form — the run
-    # that located 87% of the flagship's sf100 cost — is recorded in
-    # SURVEY.md §6.)
-    from rnadam_spark.functions.runlength import with_value_counts
-    from rnadam_spark.functions.shingles import char_shingles
+    # ---- state construction: SHARED with the flagship ----
+    # genomics_q.em_state is the single source of the fused two-scan
+    # build (extracted r11 after this tool twice had to be rewritten in
+    # lockstep with the query); each piece is forced at its production
+    # materialization boundary so the numbers attribute the plan the
+    # flagship actually runs.
+    from rnadam_spark.queries.genomics_q import em_state
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    global_counts = (
-        docs.select(F.explode(char_shingles("text", K)).alias("kmer"))
-        .groupBy("kmer")
-        .agg(F.count("*").alias("g_cnt"))
-    )
+    state = em_state(docs)
+    global_counts = state["global_counts"]
+    cc = state["cc"]
+    class_counts = state["class_counts"]
+    edges = state["edges"]
+    transcripts = state["transcripts"]
     phase("global_counts_pass", lambda: force(global_counts))
-
-    kexp = (
-        with_value_counts(
-            docs.select("doc_id", "n_chars", "text"), char_shingles("text", K), "kc"
-        )
-        .drop("text")
-        .select("doc_id", "n_chars", F.explode("kc").alias("x"))
-        .select(
-            "doc_id", "n_chars", F.col("x.value").alias("kmer"), F.col("x.cnt").alias("kcnt")
-        )
-    )
-    cc = (
-        kexp.join(F.broadcast(global_counts), "kmer")
-        .groupBy("doc_id", "n_chars", "kcnt")
-        .agg(F.sum("g_cnt").alias("class_cnt"))
-        .cache()
-    )
     phase("cc_cache", lambda: force(cc))
-
-    class_key = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("kcnt")))
-    class_counts = cc.select(class_key.alias("class_id"), F.col("class_cnt").alias("cnt"))
-    total = cc.agg(F.sum("class_cnt").alias("_total"))
-    edges = (
-        cc.crossJoin(F.broadcast(total))
-        .select(
-            class_key.alias("class_id"),
-            F.col("doc_id").cast("string").alias("t_id"),
-            (F.col("class_cnt") / F.col("_total")).alias("rel_p"),
-            F.col("n_chars").cast("long").alias("t_len"),
-        )
-        .repartition("class_id")
-        .cache()
-    )
     phase("edges_cache", lambda: force(edges))
-
-    transcripts = docs.select(
-        F.col("doc_id").cast("string").alias("t_id"),
-        F.lit("g").alias("gene_id"),
-        F.lit(True).alias("strand"),
-        F.array(
-            F.struct(
-                F.concat(F.col("doc_id").cast("string"), F.lit("e")).alias("exon_id"),
-                F.lit("c0").alias("contig"),
-                F.lit(0).cast("long").alias("start"),
-                (F.col("n_chars") + 1).cast("long").alias("end"),
-            )
-        ).alias("exons"),
-    )
 
     alpha = initialize_em(class_counts, edges)
     mu = m_step(alpha, None, K, None, normalize=False)
