@@ -764,6 +764,13 @@ def _carry_decision(
         return "measure", None
     if prev is None:
         return "skip", None
+    if "sf1_sec" not in prev or "sf10_sec" not in prev:
+        # an {"error": ...} (or otherwise timing-less) previous row is
+        # NOT history — carrying it would re-present a stale error as a
+        # timing artifact for max_carries rounds (r11 ADVICE). No
+        # timings also means no budget estimate, so treat as no-history
+        # and skip rather than measure into a blown budget.
+        return "skip", None
     # legacy artifact rows carried by the pre-counter code have
     # carried_from_previous but no carries key — they are the STALEST
     # rows, so they start at 1, not 0 (r11 review)

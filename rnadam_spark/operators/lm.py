@@ -46,7 +46,9 @@ from rnadam_spark.operators.sampling import _sample_code
 # ---------------------------------------------------------------------------
 
 
-def train_char_lm(corpus: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def train_char_lm(
+    corpus: DataFrame, n: int = 3, text_col: str = "text", cache: bool = True
+) -> DataFrame:
     """(gram, gram_cnt): character ``n``-gram counts of a reference
     corpus — the model table for :func:`lm_perplexity`. One explode +
     one groupBy; the result is bounded by ``alphabet**n`` distinct rows
@@ -63,13 +65,21 @@ def train_char_lm(corpus: DataFrame, n: int = 3, text_col: str = "text") -> Data
     an uncached model re-runs the full training explode per broadcast —
     measured as ~9s of the 30s sf10 lm_perplexity wall (r11 profiling:
     train-once 9.3s, score-given-cached-model 15.8s, full query 29.8s).
-    Caching a table bounded by alphabet^n is free at any corpus size."""
-    return (
+    Caching a table bounded by alphabet^n is free at any corpus size.
+
+    The cache's LIFETIME IS CALLER-OWNED (r11 ADVICE: the API hid the
+    persistence): the returned DataFrame stays in the session's cache
+    until the caller ``unpersist()``s it, so sessions that train many
+    models (bench loops, repeated gate rows) accumulate bounded-size
+    tables until they release them. Pass ``cache=False`` for a
+    fire-once model where the caller would rather pay the one extra
+    training pass than own a handle."""
+    model = (
         corpus.select(F.explode(char_shingles(text_col, n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").cast("bigint").alias("gram_cnt"))
-        .cache()
     )
+    return model.cache() if cache else model
 
 
 def lm_perplexity(

@@ -881,7 +881,7 @@ def contamination_scores_pandas(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
-    max_bench_grams: int = 20_000_000,
+    max_bench_grams: int = 2_000_000,
 ) -> DataFrame:
     """The Arrow-batched pandas twin of :func:`contamination_scores` —
     same three columns, pinned value-equal by tests/test_text_curation
@@ -902,20 +902,35 @@ def contamination_scores_pandas(
     aggregate over the side that gets scanned anyway) and a benchmark
     past the cap falls back to :func:`contamination_scores`' broadcast
     join, which degrades gracefully instead of OOMing the driver
-    (r11 review — a corpus-fraction "benchmark" grows without bound)."""
+    (r11 review — a corpus-fraction "benchmark" grows without bound).
+    The default cap is 2M grams (~0.5 GB as a Python set of ~100-char
+    strings): r11 ADVICE measured 20M as multi-GB on a 16g driver —
+    past its own guard's point. The gram set ships as a SparkContext
+    BROADCAST, not closure state: executors fetch one torrent copy
+    and share one deserialized set across tasks, instead of unpickling
+    a multi-hundred-MB closure per stage. The guard count and the
+    collect share one persisted materialization (r11 ADVICE: the
+    explode+distinct otherwise ran twice per call)."""
     import math
     import re
+
+    from pyspark import StorageLevel
 
     bench_grams_df = (
         benchmark.select(F.explode(token_ngrams(bench_text_col, n)).alias("gram"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if bench_grams_df.count() > max_bench_grams:
-        return contamination_scores(
-            docs, benchmark, n=n, text_col=text_col, id_col=id_col,
-            bench_text_col=bench_text_col,
-        )
-    bench_set = {r.gram for r in bench_grams_df.collect()}
+    try:
+        if bench_grams_df.count() > max_bench_grams:
+            return contamination_scores(
+                docs, benchmark, n=n, text_col=text_col, id_col=id_col,
+                bench_text_col=bench_text_col,
+            )
+        bench_set = {r.gram for r in bench_grams_df.collect()}
+    finally:
+        bench_grams_df.unpersist()
+    bc_bench = docs.sparkSession.sparkContext.broadcast(bench_set)
     java_ws = re.compile("[ \t\n\x0b\f\r]+")
     out_schema = (
         f"{id_col} bigint, n_grams bigint, n_contaminated bigint,"
@@ -925,6 +940,7 @@ def contamination_scores_pandas(
     def batches(it):
         import pandas as pd
 
+        bench = bc_bench.value
         for pdf in it:
             rows = {k: [] for k in (id_col, "n_grams", "n_contaminated", "contamination")}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -932,7 +948,7 @@ def contamination_scores_pandas(
                 grams = {
                     " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
                 }
-                hits = len(grams & bench_set)
+                hits = len(grams & bench)
                 rows[id_col].append(doc_id)
                 rows["n_grams"].append(len(grams))
                 rows["n_contaminated"].append(hits)

@@ -1,0 +1,246 @@
+"""Gate rows for the NATIVE ingestion surface (gate rotation r12).
+
+The format loaders in ``sources/bio_formats.py`` serve the reference's
+primary entry point (rice-cli/.../cli/Quantify.scala:73 loads
+SAM/BAM/FASTQ via ADAM; cli/Index.scala:60-69 loads GTF + 2bit) and
+were pytest-pinned only — never driver-verified. These rows close that:
+each derives a file DETERMINISTICALLY from the ``documents`` parquet
+(plain f-string-grade formatting, independent of the loader under
+test), writes it with Spark's distributed text sink, reads it back
+through the NATIVE loader, and returns the parsed records — while the
+DuckDB oracle recomputes the expected loader output straight from the
+parquet, never seeing the file. A framing, sentinel-mapping, or
+coordinate-convention bug in the loader therefore hash-mismatches.
+
+Determinism: every derived field is pure integer/string arithmetic on
+``doc_id``/``text`` (no RNG, no timestamps), so both engines agree
+bit-for-bit at any scale factor. Row order never matters (the gate
+compare is order-insensitive).
+
+Scale shape: one distributed text write + one distributed native read
+per row — two corpus passes, no shuffle anywhere (the GTF row's rollup
+groupBy is the one exchange, grouped on the line-local transcript_id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rnadam_spark.registry import query
+from rnadam_spark.sources import bio_formats
+from rnadam_spark.sources.tables import load_table
+
+
+def _staging_dir(fmt: str, sf_dir: str) -> str:
+    """Deterministic per-(format, corpus, process) scratch dir. The pid
+    keeps concurrent harnesses (driver gate vs a local bench) from
+    overwriting each other's files mid-read; reruns in one process
+    overwrite in place."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"/tmp/rnadam_ingest_{os.getpid()}/{fmt}_{tag}"
+
+
+def _seq_col() -> Column:
+    """The document's ACGT 'sequence': keep only a/c/g/t letters,
+    uppercased — mirrored verbatim in the oracles' regexp_replace."""
+    return F.upper(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[^acgt]", ""))
+
+
+_SEQ_SQL = "upper(regexp_replace(coalesce(text, ''), '[^acgt]', '', 'g'))"
+
+
+# --------------------------------------------------------------- FASTQ
+
+_FASTQ_SQL = f"""
+WITH s AS (SELECT doc_id, {_SEQ_SQL} AS seq FROM documents)
+SELECT 'r' || CAST(doc_id AS VARCHAR) AS read_name,
+       seq AS sequence,
+       repeat(chr(CAST(60 + doc_id % 10 AS INT)), length(seq)) AS quality
+FROM s WHERE length(seq) > 0
+"""
+
+
+@query("fastq_ingest", oracle=_FASTQ_SQL)
+def fastq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ingestion, FASTQ: write 4-line records derived from documents
+    (read r<doc_id>, ACGT-filtered sequence, per-doc quality char from
+    chr(60 + doc_id % 10) — the range deliberately spans '@' (64), the
+    record sigil, so quality lines that START with '@' exercise exactly
+    the framing case that forbids a delimiter split), then parse them
+    back through the native ``read_fastq`` (wholetext + in-row 4-line
+    chunking; cli/Quantify.scala:73's FASTQ arm). The oracle recomputes
+    the expected records from parquet — it never sees the file."""
+    docs = load_table(spark, sf_dir, "documents")
+    seq = _seq_col()
+    qual = F.repeat(F.char(F.lit(60) + F.pmod("doc_id", F.lit(10))), F.length(seq))
+    lines = docs.select(
+        F.concat(
+            F.lit("@r"), F.col("doc_id").cast("string"), F.lit("\n"),
+            seq, F.lit("\n+\n"), qual,
+        ).alias("value"),
+        seq.alias("_seq"),
+    ).filter(F.length("_seq") > 0).select("value")
+    out = _staging_dir("fastq", sf_dir)
+    lines.write.mode("overwrite").text(out)
+    return bio_formats.read_fastq(spark, out).select("read_name", "sequence", "quality")
+
+
+# ----------------------------------------------------------------- SAM
+
+# '' sequences are FORCED for doc_id % 17 == 0 so the '*' SEQ sentinel
+# is exercised even on corpora where every document yields ACGT chars
+_SAM_SQL = f"""
+WITH s AS (SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN '' ELSE {_SEQ_SQL} END AS seq
+           FROM documents)
+SELECT 'r' || CAST(doc_id AS VARCHAR) AS read_name,
+       CAST(doc_id % 4096 AS INT) AS flag,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE 'c' || CAST(doc_id % 7 AS VARCHAR) END AS contig,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE CAST(doc_id % 100000 + 1 AS BIGINT) END AS pos,
+       CAST(doc_id % 61 AS INT) AS mapq,
+       CASE WHEN length(seq) = 0 THEN '*'
+            ELSE CAST(length(seq) AS VARCHAR) || 'M' END AS cigar,
+       seq AS sequence,
+       CASE WHEN doc_id % 5 = 0 OR length(seq) = 0 THEN NULL
+            ELSE repeat(chr(CAST(33 + doc_id % 9 AS INT)), length(seq)) END AS quality
+FROM s
+"""
+
+
+@query("sam_ingest", oracle=_SAM_SQL)
+def sam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ingestion, SAM: write 11-field alignment lines derived from
+    documents — including every missing-value sentinel the loader must
+    map (RNAME '*' → null contig on doc_id%11, POS 0 → null on
+    doc_id%13, QUAL '*' → null on doc_id%5, SEQ '*' → '' on doc_id%17)
+    and two header lines that must drop — then parse them back through
+    the native ``read_sam`` (splittable text scan, one in-row
+    projection; the text twin of read_bam, cli/Quantify.scala:73's
+    SAM arm). Quality chars stay in chr(33..41), below '*' (42), so a
+    length-1 quality string can never collide with the missing-QUAL
+    sentinel. The oracle recomputes the expected records from parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    seq = F.when(F.pmod("doc_id", F.lit(17)) == 0, F.lit("")).otherwise(_seq_col())
+    empty = F.length(seq) == 0
+    did = F.col("doc_id").cast("string")
+    qual = F.when(
+        (F.pmod("doc_id", F.lit(5)) == 0) | empty, F.lit("*")
+    ).otherwise(F.repeat(F.char(F.lit(33) + F.pmod("doc_id", F.lit(9))), F.length(seq)))
+    body = docs.select(
+        F.concat_ws(
+            "\t",
+            F.concat(F.lit("r"), did),  # QNAME
+            F.pmod("doc_id", F.lit(4096)).cast("string"),  # FLAG
+            F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit("*")).otherwise(
+                F.concat(F.lit("c"), F.pmod("doc_id", F.lit(7)).cast("string"))
+            ),  # RNAME
+            F.when(F.pmod("doc_id", F.lit(13)) == 0, F.lit("0")).otherwise(
+                (F.pmod("doc_id", F.lit(100000)) + 1).cast("string")
+            ),  # POS
+            F.pmod("doc_id", F.lit(61)).cast("string"),  # MAPQ
+            F.when(empty, F.lit("*")).otherwise(
+                F.concat(F.length(seq).cast("string"), F.lit("M"))
+            ),  # CIGAR
+            F.lit("*"), F.lit("0"), F.lit("0"),  # RNEXT PNEXT TLEN
+            F.when(empty, F.lit("*")).otherwise(seq),  # SEQ
+            qual,  # QUAL
+        ).alias("value")
+    )
+    header = spark.createDataFrame(
+        [("@HD\tVN:1.6",), ("@SQ\tSN:c0\tLN:100000",)], "value string"
+    )
+    out = _staging_dir("sam", sf_dir)
+    header.unionAll(body).write.mode("overwrite").text(out)
+    return bio_formats.read_sam(spark, out).drop("source_file")
+
+
+# ----------------------------------------------------------------- GTF
+
+_GTF_SQL = """
+WITH e AS (
+  SELECT doc_id, CAST(unnest(range(1, doc_id % 3 + 2)) AS BIGINT) AS e
+  FROM documents
+)
+SELECT 't' || CAST(doc_id AS VARCHAR) AS t_id,
+       'g' || CAST(doc_id % 50 AS VARCHAR) AS gene_id,
+       doc_id % 2 = 0 AS strand,
+       CAST(e AS INT) AS exon_rank,
+       CASE WHEN doc_id % 4 = 0
+            THEN 't' || CAST(doc_id AS VARCHAR) || '.e' || CAST(e AS VARCHAR)
+            ELSE 'x' || CAST(doc_id AS VARCHAR) || '.' || CAST(e AS VARCHAR) END AS exon_id,
+       'chr' || CAST(doc_id % 5 AS VARCHAR) AS contig,
+       CAST(1000 * e + doc_id % 97 AS BIGINT) AS start,
+       CAST(1000 * e + doc_id % 97 + 10 * e + doc_id % 13 + 3 AS BIGINT) AS "end"
+FROM e
+"""
+
+
+@query("gtf_ingest", oracle=_GTF_SQL)
+def gtf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ingestion, GTF: write exon feature lines derived from
+    documents (1–3 exons per doc, transcript t<doc_id>), plus per-doc
+    'transcript' feature lines and a '#' comment line that must both
+    drop, then parse back through the native ``read_gtf`` →
+    ``transcripts_from_gtf`` rollup (cli/Index.scala:65-69's gene
+    ingest) and flatten the nested exons for the hash compare. The row
+    verifies the attribute regex, the 1-based-inclusive → engine
+    coordinate conversion (start−1, end+1 — the width−1 quirk's other
+    half, SURVEY P9), the per-transcript start-sort, AND the positional
+    exon_id fill: docs with doc_id%4==0 write NO exon_id attribute, so
+    the loader must mint 't<doc_id>.e<rank>' — the oracle predicts
+    exactly that (ranks equal e because start grows with e)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    strand = F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("+")).otherwise(F.lit("-"))
+    exons = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.pmod("doc_id", F.lit(3)) + 1)).alias("e")
+    )
+    e = F.col("e").cast("long")
+    gstart = 1000 * e + F.pmod("doc_id", F.lit(97)) + 1  # written 1-based inclusive
+    gend = gstart + 10 * e + F.pmod("doc_id", F.lit(13)) + 1
+    attrs = F.concat(
+        F.lit('gene_id "g'), F.pmod("doc_id", F.lit(50)).cast("string"),
+        F.lit('"; transcript_id "t'), did, F.lit('";'),
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("")).otherwise(
+            F.concat(F.lit(' exon_id "x'), did, F.lit("."), e.cast("string"), F.lit('";'))
+        ),
+    )
+    contig = F.concat(F.lit("chr"), F.pmod("doc_id", F.lit(5)).cast("string"))
+    exon_lines = exons.select(
+        F.concat_ws(
+            "\t", contig, F.lit("synth"), F.lit("exon"),
+            gstart.cast("string"), gend.cast("string"),
+            F.lit("."), strand, F.lit("."), attrs,
+        ).alias("value")
+    )
+    # non-exon feature rows + a comment line: both must be ignored
+    tx_lines = docs.select(
+        F.concat_ws(
+            "\t", contig, F.lit("synth"), F.lit("transcript"),
+            F.lit("1"), F.lit("99999"), F.lit("."), strand, F.lit("."),
+            F.concat(F.lit('gene_id "g'), F.pmod("doc_id", F.lit(50)).cast("string"),
+                     F.lit('"; transcript_id "t'), did, F.lit('";')),
+        ).alias("value")
+    )
+    comment = spark.createDataFrame([("# synthetic GTF (ingest gate row)",)], "value string")
+    out = _staging_dir("gtf", sf_dir)
+    comment.unionAll(exon_lines).unionAll(tx_lines).write.mode("overwrite").text(out)
+    rolled = bio_formats.transcripts_from_gtf(bio_formats.read_gtf(spark, out))
+    return rolled.select(
+        "t_id", "gene_id", "strand", F.posexplode("exons").alias("pos0", "x")
+    ).select(
+        "t_id",
+        "gene_id",
+        "strand",
+        (F.col("pos0") + 1).cast("int").alias("exon_rank"),
+        F.col("x.exon_id").alias("exon_id"),
+        F.col("x.contig").alias("contig"),
+        F.col("x.start").alias("start"),
+        F.col("x.end").alias("end"),
+    )

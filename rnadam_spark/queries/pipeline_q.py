@@ -489,10 +489,16 @@ _IVF_TOPK_SQL = f"""
     """
 
 
-@query("ivf_topk", oracle=_IVF_TOPK_SQL)
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-k against vec_id=0 (4 of 16 cells
-    scored — the tunable-recall scale path beside LSH bucketing)."""
+    scored — the tunable-recall scale path beside LSH bucketing).
+
+    Not registered (gate rotation r12, slot → the native ingestion
+    rows in ingest_q.py): ``ann_recall``'s oracle embeds
+    ``_IVF_TOPK_SQL`` verbatim as its approx CTE, so the probe kernel
+    stays hash-verified by a live gate row; the direct cross-engine
+    check survives as a pytest DuckDB twin
+    (tests/test_similarity.py::test_ivf_topk_matches_retired_oracle)."""
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
 
 
@@ -546,9 +552,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SQL_PATTERN = text.BPE_PATTERN.replace("'", "''")
 
 
-@query(
-    "bpe_token_stats",
-    oracle=f"""
+_BPE_STATS_SQL = f"""
     WITH t AS (SELECT doc_id, length(text) AS n_chars,
                       regexp_extract_all(text, '{_BPE_SQL_PATTERN}') AS toks
                FROM documents),
@@ -558,11 +562,20 @@ _BPE_SQL_PATTERN = text.BPE_PATTERN.replace("'", "''")
     SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
            floor((CAST(n_chars AS DOUBLE) / greatest(n_bpe, 1)) * 1000000.0 + 0.5) / 1000000.0 AS bytes_per_token
     FROM c
-    """,
-)
+    """
+
+
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish-regex token counting (GPT-2 pre-tokenizer pattern) — the
-    training-data budgeting stat beside whitespace token_stats."""
+    training-data budgeting stat beside whitespace token_stats.
+
+    Not registered (gate rotation r12, slot → the native ingestion
+    rows in ingest_q.py): the tokenizer regex + whitespace filter stay
+    gate-verified through ``token_budget_rollup`` (same kernel, same
+    SQL CTE, rolled up per source/lang) and keep their direct per-doc
+    cross-engine check as a pytest DuckDB twin
+    (tests/test_bpe.py::test_bpe_token_stats_matches_retired_oracle);
+    its sf100 assurance came from a Python reference, not this SQL."""
     return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
 
 

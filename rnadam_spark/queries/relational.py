@@ -327,18 +327,24 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "supplier_distinct_parts",
-    oracle="""
+_SUPPLIER_PARTS_SQL = """
     SELECT l_suppkey,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY l_suppkey
-    """,
-)
+    """
+
+
 def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregation (expand + two-phase agg under AQE)."""
+    """Distinct aggregation (expand + two-phase agg under AQE).
+
+    Not registered (gate rotation r12, slot → the native ingestion
+    rows in ingest_q.py): the count-distinct-per-group kernel stays
+    gate-verified through ``distinct_users_by_type`` (same expand +
+    two-phase agg shape over events) and keeps its direct cross-engine
+    check as a pytest DuckDB twin
+    (tests/test_approx.py::test_supplier_distinct_parts_matches_retired_oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
         F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n_items")

@@ -86,33 +86,46 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     docstring for why 4-line framing forbids a delimiter split), then
     in-row 4-line chunking. Raises at execution time if any file's
     line count is not a multiple of 4 (truncated shard)."""
+    from rnadam_spark.functions.runlength import let_
+
     # NB: the kwarg form sets the option Spark actually honors; a
     # .option("wholetext", ...) string key silently no-ops
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("source_file"), "value"
     )
-    # trailing newline(s) produce empty tail lines — strip before framing
-    lines = F.filter(
-        F.split(F.regexp_replace(F.col("value"), "\r", ""), "\n"),
-        lambda ln: F.length(ln) > 0,
-    )
-    n = F.size(lines)
-    framed = F.when(
-        n % 4 == 0, F.transform(
-            F.sequence(F.lit(0), (n / 4).cast("int") - 1),
-            lambda i: F.struct(
-                F.regexp_replace(F.element_at(lines, i * 4 + 1), "^@", "").alias("read_name"),
-                F.element_at(lines, i * 4 + 2).alias("sequence"),
-                F.element_at(lines, i * 4 + 3).alias("plus"),
-                F.element_at(lines, i * 4 + 4).alias("quality"),
-            ),
-        )
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("malformed FASTQ (line count % 4 != 0): "), F.col("source_file")
+
+    # the line array MUST bind once as a lambda variable (let_): spliced
+    # inline, the filter+split subtree re-evaluates over the WHOLE FILE
+    # at every element_at reference — O(records × file bytes) per shard,
+    # measured 191s for a 5k-record file where this form takes ~2s
+    # (functions/runlength.py's staging rule; lambdas skip codegen CSE)
+    def _frame(lines: Column) -> Column:
+        n = F.size(lines)
+        return F.when(
+            n % 4 == 0, F.transform(
+                F.sequence(F.lit(0), (n / 4).cast("int") - 1),
+                lambda i: F.struct(
+                    F.regexp_replace(F.element_at(lines, i * 4 + 1), "^@", "").alias("read_name"),
+                    F.element_at(lines, i * 4 + 2).alias("sequence"),
+                    F.element_at(lines, i * 4 + 3).alias("plus"),
+                    F.element_at(lines, i * 4 + 4).alias("quality"),
+                ),
+            )
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed FASTQ (line count % 4 != 0): "), F.col("source_file")
+                )
             )
         )
+
+    # trailing newline(s) produce empty tail lines — strip before framing
+    framed = let_(
+        F.filter(
+            F.split(F.regexp_replace(F.col("value"), "\r", ""), "\n"),
+            lambda ln: F.length(ln) > 0,
+        ),
+        _frame,
     )
     return (
         raw.filter(F.length(F.trim(F.col("value"))) > 0)

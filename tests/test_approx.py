@@ -149,3 +149,26 @@ def test_money_sum_exact_past_double_grain(spark):
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
     want = con.execute(f"SELECT {money_sum_rounded_sql('x')} FROM t").fetchone()[0]
     assert repr(got) == repr(want)
+
+
+def test_supplier_distinct_parts_matches_retired_oracle(spark, sf_dir):
+    # gate rotation r12 retired the supplier_distinct_parts CORRECTNESS
+    # row (slot → the native ingestion rows in ingest_q.py); the
+    # count-distinct-per-group kernel stays gate-verified through
+    # distinct_users_by_type, and this row keeps its direct
+    # cross-engine check here
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.relational import (
+        _SUPPLIER_PARTS_SQL,
+        supplier_distinct_parts,
+    )
+
+    got = sorted(tuple(r) for r in supplier_distinct_parts(spark, sf_dir).collect())
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "lineitem.parquet")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_SUPPLIER_PARTS_SQL).fetchall()))
+    assert got == want and len(got) > 0

@@ -107,3 +107,23 @@ def test_bpe_encode_plan_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_token_stats_matches_retired_oracle(spark, sf_dir):
+    # gate rotation r12 retired the bpe_token_stats CORRECTNESS row
+    # (slot → the native ingestion rows in ingest_q.py); the
+    # pre-tokenizer kernel stays gate-verified through
+    # token_budget_rollup's identical CTE, and the per-doc stats keep
+    # their direct cross-engine check here
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _BPE_STATS_SQL, bpe_token_stats
+
+    got = sorted(tuple(r) for r in bpe_token_stats(spark, sf_dir).collect())
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_BPE_STATS_SQL).fetchall()))
+    assert got == want and len(got) > 0

@@ -585,3 +585,22 @@ def test_embedding_topk_matches_retired_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}')")
     want = list(map(tuple, con.execute(_EMB_TOPK_SQL).fetchall()))
     assert got == want and len(got) == 20
+
+
+def test_ivf_topk_matches_retired_oracle(spark, sf_dir):
+    # gate rotation r12 retired the ivf_topk CORRECTNESS row (slot →
+    # the native ingestion rows in ingest_q.py); ann_recall's oracle
+    # embeds _IVF_TOPK_SQL verbatim as its approx CTE, and the probe
+    # ranking keeps its direct cross-engine check here
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _IVF_TOPK_SQL, ivf_topk
+
+    got = [(r.vec_id, r.cos) for r in ivf_topk(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "embeddings.parquet")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}')")
+    want = list(map(tuple, con.execute(_IVF_TOPK_SQL).fetchall()))
+    assert got == want and len(got) == 20
