@@ -348,8 +348,105 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                     docs, docs.filter(F.col("doc_id") % _BENCH_MOD == 0), n=DECONTAM_N
                 )
             ),
+            # break-even decade (r11 VERDICT "what's wrong" #1: the
+            # pandas default LOSES at sf0.1 — 1.03 vs 0.69s — and wins
+            # 21.8x at sf10, so the crossover must be a published
+            # number, not an interpolation): the same two forms timed
+            # one decade up when the deterministic sf1 corpus exists
+            **_contamination_sf1_ab(spark, text, F, _BENCH_MOD, DECONTAM_N),
+        },
+        # r12 twin series: LM scorers and the vocabulary kernel — each
+        # registered default follows the sf10 measurement, these rows
+        # re-check the trade at sf0.1 every round
+        **_lm_vocab_ab(spark, timed, docs),
+        # r12 fused-pandas EM state build vs the r11 kernel+join form —
+        # the flagship's default follows the sf10/sf100 measurement
+        # (5.9 vs 20.7s / 73 vs 356s); this row re-checks at sf0.1
+        "em_state": {
+            "fused_pandas": _timed_em_state(spark, docs, True),
+            "hof_join": _timed_em_state(spark, docs, False),
         },
     }
+
+
+def _timed_em_state(spark, docs, pandas_kernel: bool) -> float:
+    """Time one full EM state build (gc collect + cc force), releasing
+    the cc cache between repeats so each run pays the real cost."""
+    from rnadam_spark.queries.genomics_q import em_state
+
+    def run():
+        state = em_state(docs, pandas_kernel=pandas_kernel)
+        try:
+            state["cc"].write.format("noop").mode("overwrite").save()
+        finally:
+            state["cc"].unpersist()
+            state["edges"].unpersist()  # lazy cache marker, never forced here
+
+    return _min_of_repeats(spark, run)
+
+
+def _lm_vocab_ab(spark, timed, docs) -> dict[str, dict[str, float]]:
+    """A/B blocks for the r12 pandas twins: doc-level LM scoring,
+    paragraph-level LM scoring (the excise row's unit, split on the
+    corpus's ' table ' paragraph convention), and the vocabulary
+    kernel. The model trains once on a 10% deterministic sample and is
+    released after — both scorer variants time SCORING, not training."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import lm as lmod
+    from rnadam_spark.operators import text as tmod
+    from rnadam_spark.queries.pipeline_q import _PARA_SPLIT
+
+    model = lmod.train_char_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    model.count()  # materialize the cache outside the timed region
+    try:
+        out = {
+            "lm_scoring": {
+                "hof_join": timed(lambda: lmod.lm_perplexity(docs, model)),
+                "pandas_arrow": timed(lambda: lmod.lm_perplexity_pandas(docs, model)),
+            },
+            "paragraph_ppl": {
+                "hof_join": timed(
+                    lambda: lmod.paragraph_perplexity(docs, model, split_pattern=_PARA_SPLIT)
+                ),
+                "pandas_arrow": timed(
+                    lambda: lmod.paragraph_perplexity_pandas(
+                        docs, model, split_pattern=_PARA_SPLIT
+                    )
+                ),
+            },
+            "vocabulary": {
+                "runlength_hof": timed(lambda: tmod.vocabulary(docs)),
+                "pandas_arrow": timed(lambda: tmod.vocabulary_pandas(docs)),
+            },
+        }
+    finally:
+        model.unpersist()
+    return out
+
+
+def _contamination_sf1_ab(spark, text, F, bench_mod: int, n: int) -> dict[str, float]:
+    """sf1 points for the contamination pandas-vs-JVM trade (keys
+    suffixed _sf1 inside ab.contamination_scores). Single timed run per
+    form — the JVM side is ~10s at sf1; min-of-k would triple it."""
+    import time as _time
+
+    from rnadam_spark.sources.tables import load_table
+
+    sf1_dir = os.environ.get("SPARK_GRAFT_BENCH_SF10_DIRS", "/tmp/sf1,/tmp/sf10").split(",")[0].strip()
+    if not os.path.isdir(sf1_dir):
+        return {}
+    docs1 = load_table(spark, sf1_dir, "documents", widen=True)
+    bench1 = docs1.filter(F.col("doc_id") % bench_mod == 0)
+    out: dict[str, float] = {}
+    for key, make in (
+        ("pandas_arrow_sf1", lambda: text.contamination_scores_pandas(docs1, bench1, n=n)),
+        ("jvm_broadcast_sf1", lambda: text.contamination_scores(docs1, bench1, n=n)),
+    ):
+        t0 = _time.time()
+        make().write.format("noop").mode("overwrite").save()
+        out[key] = round(_time.time() - t0, 3)
+    return out
 
 
 def _extras_block(spark, sf_dir: str) -> dict[str, float]:

@@ -69,10 +69,13 @@ def vocabulary_shift(
     aggregates map-side; output bounded by the language's vocabulary,
     not corpus size), then a token-keyed full-outer join of the two
     bounded tables with broadcast scalar totals."""
-    from rnadam_spark.operators.text import vocabulary
+    from rnadam_spark.operators.text import vocabulary_pandas
 
     def probs(df: DataFrame, name: str) -> DataFrame:
-        v = vocabulary(df, text_col=text_col).select("token", "tf")
+        # r12 twin default: the Arrow-batched vocabulary kernel (bench
+        # ab.vocabulary re-measures per round; pinned tf/df-exact-equal
+        # to the run-length HOF form by tests/test_text_curation)
+        v = vocabulary_pandas(df, text_col=text_col).select("token", "tf")
         tot = v.agg(F.sum("tf").alias("_tot"))
         return v.crossJoin(F.broadcast(tot)).select(
             "token", (F.col("tf").cast("double") / F.col("_tot")).alias(name)

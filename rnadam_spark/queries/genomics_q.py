@@ -202,72 +202,144 @@ SELECT t_id, floor(mu * 100000000.0 + 0.5) / 100000000.0 AS abundance FROM muf
 """
 
 
-def em_state(docs: DataFrame) -> dict[str, DataFrame]:
-    """The em_quantify flagship's FUSED state construction, shared
-    verbatim with ``tools/em_stage_attribution.py`` (extracted r11 so
-    the attribution tool cannot silently desynchronize from the plan
-    the flagship actually runs — the same drift that forced the tool's
-    rewrite when this construction replaced the generic one).
+def em_global_counts(docs: DataFrame, pandas_kernel: bool = True) -> DataFrame:
+    """(kmer, g_cnt): corpus-wide k-mer counts — em_state's scan 1,
+    bounded by vocabulary (distinct k-mers ≤ alphabet^k) so the result
+    broadcasts/collects at any corpus size. Default is the Arrow form:
+    ONE Counter per Arrow batch (a map-side combine in Python) emits
+    one partial row per distinct k-mer per batch, so the exchange moves
+    vocabulary-bounded partials — measured 4.8s vs 10.7s at sf10 /
+    23s vs 114s at sf100 against the explode + codegen hash aggregate
+    (kept one flag away; both forms pinned value-equal by
+    tests/test_quantify_e2e.py — integer counts, exact)."""
+    if not pandas_kernel:
+        return (
+            docs.select(F.explode(char_shingles("text", K)).alias("kmer"))
+            .groupBy("kmer")
+            .agg(F.count("*").alias("g_cnt"))
+        )
+    k = K
 
-    Built from two cheap corpus scans and NO corpus-sized intermediate
-    state (r10 VERDICT #1: stage attribution at sf100 put 87% of the
-    flagship's 682s in the GENERIC state build — a cached 1.09B-row
-    exploded class map 377s, a second corpus pass + 1B-row sort-merge
-    join 246s, a 1.09B-row distinct + two 23M-row broadcasts 120s —
-    while the 5 EM iterations cost 49s):
-      * scan 1 (``global_counts``): plain explode + codegen'd partial
-        hash aggregate — bounded by vocabulary (distinct k-mers ≤
-        alphabet^k), so the result BROADCASTS;
-      * scan 2 (``cc``): the zero-shuffle run-length kernel emits
-        per-doc (kmer, kcnt) pairs that join the broadcast map-side and
-        partial-aggregate straight to the (doc_id, cnt) class grain —
-        two longs on the exchange, nothing corpus-sized exchanged;
-      * the md5 class key mints once per CLASS (n_classes rows), not
-        once per (kmer, doc) pair (1B md5s);
-      * t_len is n_chars (functionally dependent on doc_id), carried
-        through the grouping — the edge table needs NO joins at all.
-    The fused kernel→explode is only viable because the engine session
-    EXCLUDES Spark's InferFiltersFromGenerate rule (session.py): it
-    infers ``size(kc) > 0`` from the explode and pushes it below the
-    widen exchange, duplicating the whole interpreted run-length kernel
-    twice more per row — measured 31.2s vs 1.6s at sf1 for
-    kernel→explode alone. (A DISK_ONLY staging of the kernel output —
-    the best pre-exclusion workaround — paid a corpus-sized disk
-    round-trip: 194s write + its share of a 271s read-join-agg at
-    sf100; a MEMORY cache of the same state OOMs a 16g heap under 32
-    concurrent columnar unrolls. The no-kernel groupBy form lost too:
-    40.7s vs 28.8s at sf10.)
+    def batches(it):
+        from collections import Counter
 
-    Exactness: every count is a long (sums exact in any order), rel_p
-    and t_len are the identical values, so only the M-step's double
-    summation order can shift — absorbed by the 8dp rounding exactly
-    as the DuckDB oracle's own ordering already is.
+        import pandas as pd
+
+        c: Counter = Counter()
+        for pdf in it:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                c.update(text[i : i + k] for i in range(len(text) - k + 1))
+        yield pd.DataFrame({"kmer": list(c.keys()), "g_p": list(c.values())})
+
+    part = docs.select("text").mapInPandas(batches, "kmer string, g_p long")
+    return part.groupBy("kmer").agg(F.sum("g_p").alias("g_cnt"))
+
+
+def em_state(docs: DataFrame, pandas_kernel: bool = True) -> dict[str, DataFrame]:
+    """The em_quantify flagship's state construction, shared verbatim
+    with ``tools/em_stage_attribution.py`` (extracted r11 so the
+    attribution tool cannot silently desynchronize from the plan the
+    flagship actually runs).
+
+    r12 rebuild — the FUSED-PANDAS two-scan form. The r11 construction
+    (explode+hashagg global counts, then interpreted run-length kernel
+    → 1B-row explode → broadcast join → partial agg) left a 421s
+    residual at sf100, decomposed this round as kernel 138s + join
+    probe 118s + agg 7s + the 93s global-counts scan. The decisive
+    observation: the class key is (doc_id, kcnt) — ENTIRELY within one
+    document — so one Arrow-batched Python pass can emit the FINAL
+    class grain directly: per doc, Counter(k-mers) then an accumulate
+    of broadcast g_cnt by count value. That eliminates the corpus-sized
+    explode, the 1B broadcast-join probes, the partial aggregate, AND
+    the 1B-row Arrow back-transfer (output is ~6 rows/doc, not ~200) —
+    measured 5.9s vs 20.7s at sf10 and 53.8s vs 329.9s (6.1x) at sf100
+    for the whole state build (gc + cc; bench ``ab.em_state``
+    re-measures each round; the r11 JVM form is kept one flag away and
+    pinned value-equal by tests/test_quantify_e2e.py — integer sums,
+    exact).
+
+      * scan 1 (``global_counts``): :func:`em_global_counts` — Counter
+        partials per Arrow batch, vocabulary-bounded output, COLLECTED
+        to a broadcast dict (the same boundedness argument that
+        broadcast-joined it before; a bounded model table, not a data
+        path — the C5 collect-audit class);
+      * scan 2 (``cc``): the fused Python pass above — zero shuffle,
+        zero join, final grain straight out of the scan;
+      * the md5 class key mints once per CLASS (n_classes rows);
+      * t_len is n_chars, carried through — the edge table needs NO
+        joins at all.
+
+    Exactness: every count is a long (sums exact in any order; the
+    Python accumulate sums the same integers the JVM join+agg summed),
+    rel_p and t_len are the identical values, so only the M-step's
+    double summation order can shift — absorbed by the 8dp rounding
+    exactly as the DuckDB oracle's own ordering already is. At 100 TB:
+    both scans are embarrassingly parallel; the only state that is not
+    corpus-sized is the vocabulary dict, the same object every engine
+    that counts k-mers must hold somewhere.
 
     Returns every piece so the attribution tool can force each at its
     production materialization boundary: ``global_counts``, ``cc``
     (cached), ``class_counts``, ``edges`` (class_id-partitioned,
     cached), ``transcripts``."""
-    global_counts = (
-        docs.select(F.explode(char_shingles("text", K)).alias("kmer"))
-        .groupBy("kmer")
-        .agg(F.count("*").alias("g_cnt"))
-    )
-    kexp = (
-        with_value_counts(
-            docs.select("doc_id", "n_chars", "text"), char_shingles("text", K), "kc"
+    global_counts = em_global_counts(docs, pandas_kernel=pandas_kernel)
+    if pandas_kernel:
+        k = K
+        gcd = {r["kmer"]: r["g_cnt"] for r in global_counts.collect()}
+        bc = docs.sparkSession.sparkContext.broadcast(gcd)
+
+        def batches(it):
+            from collections import Counter
+
+            import pandas as pd
+
+            G = bc.value
+            for pdf in it:
+                out = {"doc_id": [], "n_chars": [], "kcnt": [], "class_cnt": []}
+                for doc_id, n_chars, text in zip(
+                    pdf["doc_id"], pdf["n_chars"], pdf["text"]
+                ):
+                    if text is None:
+                        continue
+                    c = Counter(text[i : i + k] for i in range(len(text) - k + 1))
+                    acc: dict[int, int] = {}
+                    for km, cnt in c.items():
+                        acc[cnt] = acc.get(cnt, 0) + G.get(km, 0)
+                    for cnt, s in acc.items():
+                        out["doc_id"].append(doc_id)
+                        out["n_chars"].append(n_chars)
+                        out["kcnt"].append(cnt)
+                        out["class_cnt"].append(s)
+                yield pd.DataFrame(out)
+
+        cc = docs.select("doc_id", "n_chars", "text").mapInPandas(
+            batches, "doc_id bigint, n_chars bigint, kcnt bigint, class_cnt bigint"
+        ).cache()
+    else:
+        # the r11 JVM form: run-length kernel → explode → broadcast
+        # join → partial agg. Viable only because the engine session
+        # EXCLUDES Spark's InferFiltersFromGenerate rule (session.py):
+        # it infers ``size(kc) > 0`` from the explode and pushes it
+        # below the widen exchange, re-evaluating the whole interpreted
+        # kernel twice more per row (31.2s vs 1.6s at sf1).
+        kexp = (
+            with_value_counts(
+                docs.select("doc_id", "n_chars", "text"), char_shingles("text", K), "kc"
+            )
+            .drop("text")
+            .select("doc_id", "n_chars", F.explode("kc").alias("x"))
+            .select(
+                "doc_id", "n_chars", F.col("x.value").alias("kmer"), F.col("x.cnt").alias("kcnt")
+            )
         )
-        .drop("text")
-        .select("doc_id", "n_chars", F.explode("kc").alias("x"))
-        .select(
-            "doc_id", "n_chars", F.col("x.value").alias("kmer"), F.col("x.cnt").alias("kcnt")
+        cc = (
+            kexp.join(F.broadcast(global_counts), "kmer")
+            .groupBy("doc_id", "n_chars", "kcnt")
+            .agg(F.sum("g_cnt").alias("class_cnt"))
+            .cache()
         )
-    )
-    cc = (
-        kexp.join(F.broadcast(global_counts), "kmer")
-        .groupBy("doc_id", "n_chars", "kcnt")
-        .agg(F.sum("g_cnt").alias("class_cnt"))
-        .cache()
-    )
     class_key = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("kcnt")))
     class_counts = cc.select(class_key.alias("class_id"), F.col("class_cnt").alias("cnt"))
     total = cc.agg(F.sum("class_cnt").alias("_total"))

@@ -1498,7 +1498,10 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     model = lm.train_char_lm(docs, n=_LM_N)
-    return lm.lm_perplexity(docs, model, n=_LM_N, vocab_size=_LM_V)
+    # r12 twin default: the Arrow-batched scorer (bench ab.lm_scoring
+    # re-measures per round; pinned value-equal incl. NULL/short docs
+    # by tests/test_lm.py) — the HOF+join form stays one flag away
+    return lm.lm_perplexity_pandas(docs, model, n=_LM_N, vocab_size=_LM_V)
 
 
 # rounded-perplexity threshold for the excision composite: ~p90 of the
@@ -1568,7 +1571,10 @@ def excise_ppl_tail_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
     model = lm.train_char_lm(docs, n=_LM_N)
-    ppl = lm.paragraph_perplexity(
+    # r12 twin default: the Arrow-batched paragraph scorer (bench
+    # ab.paragraph_ppl re-measures per round; value-equality pinned by
+    # tests/test_lm.py incl. the trim/blank-segment edges)
+    ppl = lm.paragraph_perplexity_pandas(
         docs, model, n=_LM_N, vocab_size=_LM_V, split_pattern=_PARA_SPLIT
     )
     bad = ppl.filter(F.col("perplexity") >= _EXCISE_PPL_T).select("doc_id", "para_idx")

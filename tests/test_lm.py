@@ -529,3 +529,58 @@ def test_paragraph_perplexity_full_duckdb_cross_check(spark):
     """
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want and got
+
+
+def _edge_docs(spark):
+    return spark.createDataFrame(
+        [
+            (900001, None),                       # NULL text
+            (900002, ""),                         # empty
+            (900003, "ab"),                       # shorter than n=3
+            (900004, "abc"),                      # exactly one gram
+            (900005, "p1 xx\n\np2 yy\n\n \n\nzz"),  # blank + space-only segments
+            (900006, "\n"),                       # F.trim keeps '\n' (space-only trim)
+            (900007, "solo paragraph no split"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_lm_perplexity_pandas_twin_value_equal(spark, sf_dir):
+    # r12 measured-twin discipline: the Arrow scorer must reproduce the
+    # JVM explode+join form EXACTLY (same 6dp-rounded values, same rows)
+    # on real corpus rows plus null/short/exact-n edges
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    both = docs.union(_edge_docs(spark))
+    model = lm.train_char_lm(both.filter("doc_id % 10 = 0"))
+    a = {r.doc_id: tuple(r)[1:] for r in lm.lm_perplexity(both, model).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in lm.lm_perplexity_pandas(both, model).collect()}
+    model.unpersist()
+    assert set(a) == set(b) and len(a) > 500
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+    # the contract rows: short/NULL docs keep (0, 0.0, 1.0)
+    assert a[900001] == (0, 0.0, 1.0) and a[900003] == (0, 0.0, 1.0)
+
+
+def test_paragraph_perplexity_pandas_twin_value_equal(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    both = docs.union(_edge_docs(spark))
+    model = lm.train_char_lm(both.filter("doc_id % 10 = 0"))
+    a = {
+        (r.doc_id, r.para_idx): tuple(r)[2:]
+        for r in lm.paragraph_perplexity(both, model).collect()
+    }
+    b = {
+        (r.doc_id, r.para_idx): tuple(r)[2:]
+        for r in lm.paragraph_perplexity_pandas(both, model).collect()
+    }
+    model.unpersist()
+    assert set(a) == set(b) and len(a) > 500
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+    # parity contract: NULL text vanishes; blank segments keep their
+    # index but emit no row; the '\n'-only doc survives (space-only trim)
+    assert not any(d == 900001 for d, _ in a)
+    assert {i for d, i in a if d == 900005} == {0, 1, 3}
+    assert (900006, 0) in a

@@ -169,3 +169,34 @@ def test_quantify_skew_safe_matches_window_on_mega_class(spark):
     assert set(got_w) == set(got_s) and got_w
     for t in got_w:
         assert abs(got_w[t] - got_s[t]) < 1e-9, (t, got_w[t], got_s[t])
+
+
+def test_em_state_fused_pandas_twin_value_equal(spark, sf_dir):
+    # r12: em_state's default is the fused Arrow construction (Counter
+    # + broadcast-dict accumulate straight to the class grain); the r11
+    # kernel+join form stays one flag away and this pin keeps the two
+    # value-identical — integer counts, so equality is exact. A NULL-
+    # text document must vanish from BOTH (explode drops it in the JVM
+    # form, the Python pass skips it).
+    from rnadam_spark.queries.genomics_q import em_global_counts, em_state
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").union(
+        spark.createDataFrame(
+            [(900001, None, None, None, 0)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+    )
+    gc_a = sorted(tuple(r) for r in em_global_counts(docs, pandas_kernel=False).collect())
+    gc_b = sorted(tuple(r) for r in em_global_counts(docs, pandas_kernel=True).collect())
+    assert gc_a == gc_b and len(gc_a) > 1000
+    a = em_state(docs, pandas_kernel=False)
+    b = em_state(docs, pandas_kernel=True)
+    try:
+        cc_a = sorted(tuple(r) for r in a["cc"].collect())
+        cc_b = sorted(tuple(r) for r in b["cc"].collect())
+    finally:
+        for s in (a, b):
+            s["cc"].unpersist()
+            s["edges"].unpersist()
+    assert cc_a == cc_b and len(cc_a) > 1000
+    assert not any(r[0] == 900001 for r in cc_b)

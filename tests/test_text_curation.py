@@ -486,3 +486,27 @@ def test_contamination_pandas_twin_value_equal(spark, sf_dir):
         assert a[k] == b[k], (k, a[k], b[k])
     # the planted benchmark doc is fully contaminated on both sides
     assert a[300004][2] == 1.0
+
+
+def test_vocabulary_pandas_twin_value_equal(spark, sf_dir):
+    # r12 measured-twin discipline: all-integer counts, so the pin is
+    # exact equality on real corpus rows plus null/empty/whitespace edges
+    from rnadam_spark.operators.text import vocabulary, vocabulary_pandas
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, " \t\n "),
+            (900004, "zzdup zzdup zzdup zzonce"),
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.union(edge)
+    a = {r.token: (r.tf, r.df) for r in vocabulary(both).collect()}
+    b = {r.token: (r.tf, r.df) for r in vocabulary_pandas(both).collect()}
+    # the driver corpus's synthetic vocabulary is ~32 tokens; the edge
+    # rows add 2 more
+    assert a == b and len(a) > 30
+    assert a["zzdup"] == (3, 1) and a["zzonce"] == (1, 1)

@@ -81,13 +81,16 @@ def main() -> None:
     from rnadam_spark.queries.genomics_q import em_state
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    state = em_state(docs)
-    global_counts = state["global_counts"]
+    # r12: em_state's fused-pandas construction COLLECTS the
+    # vocabulary-bounded global counts eagerly inside the constructor
+    # (scan 1 runs here), so the constructor call IS the
+    # global-counts phase; forcing state["global_counts"] afterwards
+    # would re-run the scan and double-charge it.
+    state = phase("global_counts_pass", lambda: em_state(docs))
     cc = state["cc"]
     class_counts = state["class_counts"]
     edges = state["edges"]
     transcripts = state["transcripts"]
-    phase("global_counts_pass", lambda: force(global_counts))
     phase("cc_cache", lambda: force(cc))
     phase("edges_cache", lambda: force(edges))
 
