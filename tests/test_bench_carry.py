@@ -56,3 +56,13 @@ def test_legacy_carried_rows_start_at_one():
     decision, row = _carry_decision(legacy, True, False, 2)
     assert decision == "carry" and row["carries"] == 2
     assert _carry_decision(row, True, False, 2) == ("force", None)
+
+
+def test_error_rows_are_not_history():
+    # r11 ADVICE: a previous {"error": ...} row carried as
+    # carried_from_previous re-presents a stale error as a timing
+    # artifact; timing-less rows must be treated as no-history (skip)
+    assert _carry_decision({"error": "boom"}, True, False, 2) == ("skip", None)
+    assert _carry_decision({"sf1_sec": 1.0}, True, False, 2) == ("skip", None)
+    # under budget an errored history still re-measures
+    assert _carry_decision({"error": "boom"}, False, False, 2) == ("measure", None)
