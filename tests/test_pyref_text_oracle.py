@@ -39,11 +39,18 @@ def expected(sf_dir):
 def test_pyref_text_oracle_matches_duckdb(sf_dir, expected, name):
     from __spark_entry__ import oracle_sql
 
+    from rnadam_spark.queries.pipeline_q import _BPE_STATS_SQL
+
+    # bpe_token_stats retired from the registry in the r12 rotation;
+    # its oracle SQL lives on as the module constant the pytest
+    # DuckDB twin uses, and the python reference stays pinned to it
+    sqls = dict(oracle_sql())
+    sqls.setdefault("bpe_token_stats", _BPE_STATS_SQL)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
-    want = set(map(tuple, con.execute(oracle_sql()[name]).fetchall()))
+    want = set(map(tuple, con.execute(sqls[name]).fetchall()))
     assert expected[name] == want and want
 
 
