@@ -359,13 +359,36 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         # registered default follows the sf10 measurement, these rows
         # re-check the trade at sf0.1 every round
         **_lm_vocab_ab(spark, timed, docs),
+        # r12 fused-pandas DSIR (Counter histograms + fused scorer) vs
+        # the explode+join form — default follows sf10 (11.4 vs 17.7s)
+        "dsir_weights": _dsir_ab(spark, timed, docs),
         # r12 fused-pandas EM state build vs the r11 kernel+join form —
         # the flagship's default follows the sf10/sf100 measurement
-        # (5.9 vs 20.7s / 73 vs 356s); this row re-checks at sf0.1
+        # (5.9 vs 20.7s / 53.8 vs 329.9s); this row re-checks at sf0.1
         "em_state": {
             "fused_pandas": _timed_em_state(spark, docs, True),
             "hof_join": _timed_em_state(spark, docs, False),
         },
+    }
+
+
+def _dsir_ab(spark, timed, docs) -> dict[str, float]:
+    """A/B the full dsir gate-row pipeline (two histograms + scorer)
+    in both forms."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rnadam_spark.operators import dsir, sampling
+    from rnadam_spark.queries.pipeline_q import DSIR_BUCKETS, _DSIR_SEED, _DSIR_TARGET_FRAC
+
+    def run(pandas_form: bool):
+        target = sampling.hash_sample(docs, "doc_id", _DSIR_TARGET_FRAC, seed=_DSIR_SEED)
+        bcount = dsir.bucket_counts_pandas if pandas_form else dsir.bucket_counts
+        score = dsir.dsir_log_weights_pandas if pandas_form else dsir.dsir_log_weights
+        return score(docs, bcount(target, DSIR_BUCKETS), bcount(docs, DSIR_BUCKETS), DSIR_BUCKETS)
+
+    return {
+        "fused_pandas": timed(lambda: run(True)),
+        "explode_join": timed(lambda: run(False)),
     }
 
 

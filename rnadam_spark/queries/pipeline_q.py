@@ -1644,9 +1644,13 @@ def dsir_log_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     target = sampling.hash_sample(docs, "doc_id", _DSIR_TARGET_FRAC, seed=_DSIR_SEED)
-    tc = dsir.bucket_counts(target, DSIR_BUCKETS)
-    rc = dsir.bucket_counts(docs, DSIR_BUCKETS)
-    return dsir.dsir_log_weights(docs, tc, rc, DSIR_BUCKETS)
+    # r12 twin defaults (bench ab.dsir_weights re-measures per round;
+    # both twins pinned value-equal by tests/test_dsir.py): Counter
+    # partials for the bounded histograms, and the FUSED scorer — the
+    # em_state pattern — for the per-doc weights
+    tc = dsir.bucket_counts_pandas(target, DSIR_BUCKETS)
+    rc = dsir.bucket_counts_pandas(docs, DSIR_BUCKETS)
+    return dsir.dsir_log_weights_pandas(docs, tc, rc, DSIR_BUCKETS)
 
 
 _BOILER_N = 3

@@ -283,3 +283,33 @@ def test_dsir_select_approx_agrees_with_exact(spark):
     # default auto-switch: below the row threshold the exact form runs
     auto = {r.doc_id for r in dsir.dsir_select(w, 0.25).collect()}
     assert auto == exact
+
+
+def test_dsir_pandas_twins_value_equal(spark, sf_dir):
+    # r12 measured-twin discipline: the Counter histogram twin and the
+    # FUSED scorer twin (em_state pattern — final per-doc grain straight
+    # from the Arrow pass) must reproduce the explode+join forms EXACTLY
+    # on real corpus rows plus null/empty/short edges. n_features must
+    # count every feature occurrence, hit or not: the extra '[t]'-only
+    # doc below produces buckets the ratio table may miss.
+    from rnadam_spark.operators import dsir, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(900001, None), (900002, ""), (900003, "one"),
+             (900004, "zq zq zq unseen-gram-zz")],
+            "doc_id bigint, text string",
+        )
+    )
+    target = sampling.hash_sample(docs, "doc_id", 0.2, seed=31)
+    tc_a, rc_a = dsir.bucket_counts(target, 4096), dsir.bucket_counts(docs, 4096)
+    tc_b, rc_b = dsir.bucket_counts_pandas(target, 4096), dsir.bucket_counts_pandas(docs, 4096)
+    assert sorted(map(tuple, tc_a.collect())) == sorted(map(tuple, tc_b.collect()))
+    assert sorted(map(tuple, rc_a.collect())) == sorted(map(tuple, rc_b.collect()))
+    a = {r.doc_id: tuple(r)[1:] for r in dsir.dsir_log_weights(docs, tc_a, rc_a, 4096).collect()}
+    b = {r.doc_id: tuple(r)[1:]
+         for r in dsir.dsir_log_weights_pandas(docs, tc_b, rc_b, 4096).collect()}
+    assert set(a) == set(b) and len(a) > 500
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+    assert a[900001] == (0, 0.0) and a[900002] == (0, 0.0)
