@@ -413,15 +413,28 @@ def _lm_vocab_ab(spark, timed, docs) -> dict[str, dict[str, float]]:
     paragraph-level LM scoring (the excise row's unit, split on the
     corpus's ' table ' paragraph convention), and the vocabulary
     kernel. The model trains once on a 10% deterministic sample and is
-    released after — both scorer variants time SCORING, not training."""
+    released after — both scorer variants time SCORING, not training.
+    The trained model is parked in a temp PARQUET, not the session
+    cache: _min_of_repeats clears the cache before every repeat, so a
+    cached model would silently re-train INSIDE the timed window — and
+    asymmetrically (the JVM scorer materializes the uncached training
+    subtree once per broadcast exchange, the pandas scorer once per
+    collect), biasing the very A/B that picks the default (r12
+    review). A bounded-row parquet scan survives clearCache and costs
+    the same few ms for both variants."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from rnadam_spark.operators import lm as lmod
     from rnadam_spark.operators import text as tmod
     from rnadam_spark.queries.pipeline_q import _PARA_SPLIT
 
-    model = lmod.train_char_lm(docs.filter(F.col("doc_id") % 10 == 0))
-    model.count()  # materialize the cache outside the timed region
+    _tmp = tempfile.mkdtemp(prefix="bench_lm_model_")
+    trained = lmod.train_char_lm(docs.filter(F.col("doc_id") % 10 == 0), cache=False)
+    trained.write.mode("overwrite").parquet(_tmp)
+    model = docs.sparkSession.read.parquet(_tmp)
     try:
         out = {
             "lm_scoring": {
@@ -444,7 +457,7 @@ def _lm_vocab_ab(spark, timed, docs) -> dict[str, dict[str, float]]:
             },
         }
     finally:
-        model.unpersist()
+        shutil.rmtree(_tmp, ignore_errors=True)
     return out
 
 
@@ -457,7 +470,10 @@ def _contamination_sf1_ab(spark, text, F, bench_mod: int, n: int) -> dict[str, f
     from rnadam_spark.sources.tables import load_table
 
     sf1_dir = os.environ.get("SPARK_GRAFT_BENCH_SF10_DIRS", "/tmp/sf1,/tmp/sf10").split(",")[0].strip()
-    if not os.path.isdir(sf1_dir):
+    # the row's whole point is pinning the crossover DECADE — refuse to
+    # publish some other scale under the _sf1 keys if the env override
+    # reorders or truncates the dir list (r12 review)
+    if not os.path.isdir(sf1_dir) or _sf_from_dir(sf1_dir) != 1.0:
         return {}
     docs1 = load_table(spark, sf1_dir, "documents", widen=True)
     bench1 = docs1.filter(F.col("doc_id") % bench_mod == 0)

@@ -46,10 +46,12 @@ and the only broadcast tables are O(n_buckets).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rnadam_spark.functions.hashing import MOD, poly_hash_col
+from rnadam_spark.functions.hashing import BASE, MOD, poly_hash_col
 from rnadam_spark.functions.rounding import hround
 from rnadam_spark.functions.shingles import ngrams_of, tokens
 from rnadam_spark.operators.sampling import _sample_code
@@ -92,6 +94,22 @@ def doc_feature_buckets(
     return F.transform(grams, lambda g: _bucket_of(g, n_buckets))
 
 
+# module scope, not per-document (the Arrow kernels call _py_doc_buckets
+# once per corpus row — r12 review): Java \s is the ASCII class
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _py_bucket(gram: str, n_buckets: int) -> int:
+    """rpad-8 polynomial hash of one gram, reduced mod n_buckets —
+    exact integer mirror of ``_bucket_of`` (BASE/MOD from
+    functions/hashing)."""
+    g = gram[:HASH_CHARS].ljust(HASH_CHARS, "_")
+    acc = ord(g[0])
+    for i in range(1, HASH_CHARS):
+        acc = (acc * BASE + ord(g[i])) % MOD
+    return acc % n_buckets
+
+
 def _py_doc_buckets(text, n_buckets: int, ns: tuple[int, ...]) -> list[int]:
     """Python mirror of ``doc_feature_buckets`` for the Arrow twins:
     Java-``\\s`` tokens, grams per width in the SAME concat order the
@@ -99,26 +117,15 @@ def _py_doc_buckets(text, n_buckets: int, ns: tuple[int, ...]) -> list[int]:
     polynomial hash in exact integer arithmetic — bucket ids are
     bit-identical, and the emission ORDER matches so downstream float
     summation order matches too."""
-    import re
-
-    ws = re.compile("[ \t\n\x0b\f\r]+")
-    toks = [w for w in ws.split(text) if w] if text is not None else []
-    from rnadam_spark.functions.hashing import BASE
-
-    def bucket(gram: str) -> int:
-        g = gram[:HASH_CHARS].ljust(HASH_CHARS, "_")
-        acc = ord(g[0])
-        for i in range(1, HASH_CHARS):
-            acc = (acc * BASE + ord(g[i])) % MOD
-        return acc % n_buckets
-
+    toks = [w for w in _JAVA_WS.split(text) if w] if text is not None else []
     out: list[int] = []
     for n in ns:
         if n == 1:
-            out.extend(bucket(t) for t in toks)
+            out.extend(_py_bucket(t, n_buckets) for t in toks)
         else:
             out.extend(
-                bucket(" ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)
+                _py_bucket(" ".join(toks[i : i + n]), n_buckets)
+                for i in range(len(toks) - n + 1)
             )
     return out
 
@@ -172,7 +179,13 @@ def dsir_log_weights_pandas(
     (hit or not — the JVM count("bucket") after a LEFT join); the sum
     skips ratio misses (SUM over nulls) and accumulates in the same
     bucket-emission order the explode produced; NULL/empty text keeps
-    its (0, 0.0) audit row; 6dp half-up rounding."""
+    its (0, 0.0) audit row; 6dp half-up rounding.
+
+    EAGER AT CONSTRUCTION (the em_state contract, r12 review): the
+    log-ratio collect forces both histogram scans when this function
+    is CALLED, not when the returned DataFrame is acted on — callers
+    composing build-then-maybe-execute plans should defer the call or
+    use the lazy :func:`dsir_log_weights`."""
     import math
 
     ratios = {

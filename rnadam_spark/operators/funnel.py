@@ -176,9 +176,9 @@ def curation_funnel(
     if lm_model is not None and max_perplexity is not None:
         from rnadam_spark.operators.lm import lm_perplexity_pandas
 
-        ppl = lm_perplexity_pandas(scrubbed_docs, lm_model).select(
-            id_col, (F.col("perplexity") <= max_perplexity).alias("_p_ppl")
-        )
+        ppl = lm_perplexity_pandas(
+            scrubbed_docs, lm_model, text_col=text_col, id_col=id_col
+        ).select(id_col, (F.col("perplexity") <= max_perplexity).alias("_p_ppl"))
         flagged = flagged.join(ppl, id_col)
     else:
         flagged = flagged.withColumn("_p_ppl", F.lit(True))
@@ -186,7 +186,11 @@ def curation_funnel(
         from rnadam_spark.operators.lm import classifier_score
 
         prob = classifier_score(
-            scrubbed_docs, classifier_weights, intercept=classifier_intercept
+            scrubbed_docs,
+            classifier_weights,
+            intercept=classifier_intercept,
+            text_col=text_col,
+            id_col=id_col,
         ).select(id_col, (F.col("prob") >= classifier_min).alias("_p_cls"))
         flagged = flagged.join(prob, id_col)
     else:

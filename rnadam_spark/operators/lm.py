@@ -195,7 +195,13 @@ def lm_perplexity_pandas(
     Parity contract with the JVM twin, mirrored here exactly:
     documents shorter than ``n`` (and NULL text, via explode_outer)
     keep an (id, 0, 0.0, 1.0) row; per-gram arithmetic, in-row
-    summation order, and 6dp half-up rounding are identical."""
+    summation order, and 6dp half-up rounding are identical.
+
+    EAGER AT CONSTRUCTION: collecting the model runs the (cached or
+    bounded) training plan when this function is CALLED — callers
+    composing build-then-maybe-execute plans should defer the call or
+    use the lazy :func:`lm_perplexity`. Same note on
+    :func:`paragraph_perplexity_pandas`."""
     import pandas as pd
 
     G, P = _collect_char_lm(lm, n)
@@ -240,9 +246,17 @@ def perplexity_buckets(
     (fixed-size sketch per partition — no sort, no window) broadcast
     back onto the scored table: scoring's single doc_id exchange stays
     the only corpus-wide shuffle."""
-    scored = lm_perplexity_pandas(
-        docs, lm, n=n, vocab_size=vocab_size, text_col=text_col, id_col=id_col
-    ).select(id_col, "perplexity")
+    from rnadam_spark.lineage import truncate_lineage
+
+    # materialized once: the scored table feeds BOTH the percentile
+    # aggregate and the final projection — without the boundary the
+    # whole corpus-wide Arrow scoring pass executes twice (the
+    # dsir_select discipline; r12 review)
+    scored = truncate_lineage(
+        lm_perplexity_pandas(
+            docs, lm, n=n, vocab_size=vocab_size, text_col=text_col, id_col=id_col
+        ).select(id_col, "perplexity")
+    )
     thresholds = scored.agg(
         F.percentile_approx("perplexity", list(cuts), accuracy).alias("_t")
     )
