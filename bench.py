@@ -651,7 +651,28 @@ def _extras_block(spark, sf_dir: str) -> dict[str, float]:
         "cap_per_domain": timed(
             lambda: sampling_mod.cap_per_group(docs, "source", 20, "doc_id")
         ),
+        # r12: the native ingestion surface, measured end-to-end
+        # (derive file from parquet + distributed write + native parse
+        # — the same composite the gate rows hash-verify); parallelism
+        # is the written shard count, see sources/bio_formats.py
+        **{
+            f"ingest_{fmt}": timed(
+                lambda fmt=fmt: _ingest_q(spark, sf_dir, fmt)
+            )
+            for fmt in ("fastq", "sam", "gtf")
+        },
     }
+
+
+def _ingest_q(spark, sf_dir: str, fmt: str):
+    from rnadam_spark.queries import ingest_q
+
+    fn = {
+        "fastq": ingest_q.fastq_ingest,
+        "sam": ingest_q.sam_ingest,
+        "gtf": ingest_q.gtf_ingest,
+    }[fmt]
+    return fn(spark, sf_dir)
 
 
 def _quality_block(spark, sf_dir: str) -> dict:
