@@ -362,6 +362,10 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         # r12 fused-pandas DSIR (Counter histograms + fused scorer) vs
         # the explode+join form — default follows sf10 (11.4 vs 17.7s)
         "dsir_weights": _dsir_ab(spark, timed, docs),
+        # r12 fused curation scores vs the two-projection form whose
+        # pushed-down filters evaluate each kernel TWICE (36.5 vs ~13s
+        # at sf10) — the composite's default follows the fused form
+        "curated": _curated_ab(spark, timed, sf_dir),
         # r12 fused-pandas EM state build vs the r11 kernel+join form —
         # the flagship's default follows the sf10/sf100 measurement
         # (5.9 vs 20.7s / 53.8 vs 329.9s); this row re-checks at sf0.1
@@ -369,6 +373,36 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "fused_pandas": _timed_em_state(spark, docs, True),
             "hof_join": _timed_em_state(spark, docs, False),
         },
+    }
+
+
+def _curated_ab(spark, timed, sf_dir: str) -> dict[str, float]:
+    """A/B the curated_documents composite: fused Arrow scores vs the
+    two-JVM-projection form (whose filters push into the scans and
+    re-evaluate both kernels)."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import dedup, text
+    from rnadam_spark.queries.pipeline_q import curated_documents
+    from rnadam_spark.sources.tables import load_table
+
+    def two_projection():
+        docs = load_table(spark, sf_dir, "documents")
+        q = text.quality_scores(docs).select("doc_id", "quality")
+        lng = text.lang_scores(docs).select("doc_id", "predicted_lang")
+        canon = dedup.exact_dup_groups(docs).select(
+            F.col("canonical_id").alias("doc_id"), "n_dups"
+        )
+        return (
+            q.join(lng, "doc_id")
+            .join(canon, "doc_id")
+            .filter((F.col("quality") >= 0.9) & (F.col("predicted_lang") == "en"))
+            .select("doc_id", "quality", "predicted_lang", "n_dups")
+        )
+
+    return {
+        "fused_pandas": timed(lambda: curated_documents(spark, sf_dir)),
+        "two_projection_jvm": timed(two_projection),
     }
 
 

@@ -736,20 +736,24 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite a training-data user actually runs: exact-dedup to
     canonical docs ∘ quality filter ∘ language filter, in one plan.
-    Every stage is a per-row projection except the dedup groupBy; the
-    quality/lang joins are doc_id-equi and co-partition with it. The
-    filter on rounded quality uses the identical rounded value on both
-    engines, so the predicate cannot disagree at the boundary."""
+    The filter on rounded quality uses the identical rounded value on
+    both engines, so the predicate cannot disagree at the boundary.
+
+    r12: quality + lang fused into ONE Arrow pass
+    (``text.curation_scores_pandas``) — the separate-projection form
+    let Catalyst push the two filters into the scans' DataFilters,
+    evaluating the full interpreted kernels TWICE per document (36.5s
+    at sf10 where the parts sum to ~13s); a mapInPandas boundary is
+    opaque to pushdown, so each kernel runs once (bench ``ab.curated``;
+    twin pinned value-equal incl. NULL corners)."""
     docs = load_table(spark, sf_dir, "documents")
-    q = text.quality_scores(docs).select("doc_id", "quality")
-    lng = text.lang_scores(docs).select("doc_id", "predicted_lang")
+    scores = text.curation_scores_pandas(docs)
     canon = dedup.exact_dup_groups(docs).select(
         F.col("canonical_id").alias("doc_id"), "n_dups"
     )
     return (
-        q.join(lng, "doc_id")
+        scores.filter((F.col("quality") >= 0.9) & (F.col("predicted_lang") == "en"))
         .join(canon, "doc_id")
-        .filter((F.col("quality") >= 0.9) & (F.col("predicted_lang") == "en"))
         .select("doc_id", "quality", "predicted_lang", "n_dups")
     )
 

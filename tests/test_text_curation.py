@@ -510,3 +510,37 @@ def test_vocabulary_pandas_twin_value_equal(spark, sf_dir):
     # rows add 2 more
     assert a == b and len(a) > 30
     assert a["zzdup"] == (3, 1) and a["zzonce"] == (1, 1)
+
+
+def test_curation_scores_pandas_twin_value_equal(spark, sf_dir):
+    # r12: the fused Arrow kernel behind curated_documents must equal
+    # quality_scores ⋈ lang_scores exactly — including the NULL-text
+    # corners (least() skips nulls -> quality 0.4; the argmax never
+    # improves past its 'de' initial) and empty/whitespace/tie rows
+    from rnadam_spark.operators.text import (
+        curation_scores_pandas,
+        lang_scores,
+        quality_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, " \t "),
+            (900004, "the a of and is to in"),          # en, stop-heavy
+            (900005, "der die und ist das xyz 123!!"),  # de + digits/punct
+            (900006, "el la de y es le et est les"),    # es/fr tie material
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.union(edge)
+    q = {r.doc_id: r.quality for r in quality_scores(both).collect()}
+    lg = {r.doc_id: r.predicted_lang for r in lang_scores(both).collect()}
+    fused = {r.doc_id: (r.quality, r.predicted_lang)
+             for r in curation_scores_pandas(both).collect()}
+    assert set(fused) == set(q) and len(fused) > 500
+    for k, (qv, lv) in fused.items():
+        assert qv == q[k] and lv == lg[k], (k, (qv, lv), (q[k], lg[k]))
+    assert fused[900001] == (0.4, "de")
