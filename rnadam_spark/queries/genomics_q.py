@@ -657,8 +657,13 @@ def kmer_bias_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     its directional pytest coverage (tests/test_tare.py).
     """
     from rnadam_spark.algorithms.tare import recalibrate_counts
+    from rnadam_spark.lineage import truncate_lineage
 
-    kc = kmer_count(spark, sf_dir)
+    # materialized once (r12): the counted table feeds BOTH the stats
+    # aggregate and the per-kmer projection — without the boundary the
+    # whole shingle explode+agg evaluates twice (20.6 → ~11s at sf10);
+    # the checkpointed table is vocabulary-bounded (≤ alphabet^k rows)
+    kc = truncate_lineage(kmer_count(spark, sf_dir))
     stats = kc.agg(F.count("*").alias("n"), F.sum("cnt").alias("total_mult")).select(
         F.log(F.col("total_mult") / F.col("n")).alias("mean")
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.functions.hashing import MOD, hash_family, poly_hash_sql
 from rnadam_spark.functions.rounding import hround, hround_sql
+from rnadam_spark.lineage import truncate_lineage
 from rnadam_spark.operators import (
     dedup,
     mixing,
@@ -989,7 +990,13 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested equivalent at matching accuracy in tests/test_sampling.py)."""
     docs = load_table(spark, sf_dir, "documents")
     q = text.quality_scores(docs).select("doc_id", "quality")
-    j = q.join(docs.select("doc_id", "source"), "doc_id")
+    # materialized once (r12): the slim scored table feeds BOTH the
+    # threshold aggregate and the probe side of the broadcast join —
+    # without the boundary the interpreted quality kernel evaluates
+    # twice (13.1 → 7.4s at sf10; the cli excise discipline). The
+    # checkpointed table is 3 slim columns, far cheaper than a second
+    # kernel pass at any scale.
+    j = truncate_lineage(q.join(docs.select("doc_id", "source"), "doc_id"))
     return sampling.top_fraction_per_group_threshold(
         j, "source", "quality", QUALITY_TOP_FRACTION
     ).select("doc_id", "source", "quality")
