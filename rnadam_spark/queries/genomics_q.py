@@ -171,9 +171,18 @@ def class_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row aggregate — an empty-partition window would funnel
     every class through one task; this keeps the normalize parallel.
     """
+    from rnadam_spark.lineage import truncate_lineage
+
     cls = _classes(spark, sf_dir)
-    counted = cls.groupBy("class_id").agg(
-        F.sum(F.col("cnt") * F.col("n_kmers")).cast("bigint").alias("class_count")
+    # materialized once (r12 double-consumption audit): ``counted``
+    # feeds BOTH the global-total aggregate and the normalize probe —
+    # without the boundary the run-length class kernel and its groupBy
+    # evaluate twice (24.6 → ~13s at sf10); the checkpointed table is
+    # one row per class, a sliver of the corpus
+    counted = truncate_lineage(
+        cls.groupBy("class_id").agg(
+            F.sum(F.col("cnt") * F.col("n_kmers")).cast("bigint").alias("class_count")
+        )
     )
     total = counted.agg(F.sum("class_count").alias("_total"))
     return counted.crossJoin(F.broadcast(total)).select(
