@@ -250,7 +250,16 @@ def _log_ratio_table(
     when T=R — callers wanting the exact smoothed tail can densify, but
     a bucket no corpus ever produced cannot appear in a scored doc's
     features drawn from the raw corpus used here, so the fast path is
-    exact for :func:`dsir_log_weights` on the same raw corpus."""
+    exact for :func:`dsir_log_weights` on the same raw corpus.
+
+    Each histogram is consumed TWICE below (the counts and their
+    total), and each is a full corpus scan upstream — materialize the
+    ≤ n_buckets rows once so the scans run once (r12 double-consumption
+    audit; sf10 gate row 15.3 → ~9s)."""
+    from rnadam_spark.lineage import truncate_lineage
+
+    target_counts = truncate_lineage(target_counts)
+    raw_counts = truncate_lineage(raw_counts)
     t_total = target_counts.agg(F.sum("cnt").alias("_t_total"))
     r_total = raw_counts.agg(F.sum("cnt").alias("_r_total"))
     t = target_counts.select("bucket", F.col("cnt").alias("_t_cnt"))
