@@ -171,18 +171,17 @@ def class_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row aggregate — an empty-partition window would funnel
     every class through one task; this keeps the normalize parallel.
     """
-    from rnadam_spark.lineage import truncate_lineage
-
     cls = _classes(spark, sf_dir)
-    # materialized once (r12 double-consumption audit): ``counted``
-    # feeds BOTH the global-total aggregate and the normalize probe —
-    # without the boundary the run-length class kernel and its groupBy
-    # evaluate twice (24.6 → ~13s at sf10); the checkpointed table is
-    # one row per class, a sliver of the corpus
-    counted = truncate_lineage(
-        cls.groupBy("class_id").agg(
-            F.sum(F.col("cnt") * F.col("n_kmers")).cast("bigint").alias("class_count")
-        )
+    # ``counted`` feeds BOTH the global-total aggregate and the
+    # normalize probe, but needs NO explicit barrier: both consumers
+    # sit directly above the SAME groupBy exchange, and Spark's
+    # ReuseExchange serves them from one shuffle — A/B'd none vs cache
+    # vs localCheckpoint at sf0.1 (1.07/1.07/0.77s, job-noise range)
+    # and sf10 (13.0/13.0s, identical). Contrast the quantile/stats
+    # rows below, whose PROBE side has no exchange to reuse and where a
+    # barrier genuinely halves the work (r12 double-consumption audit).
+    counted = cls.groupBy("class_id").agg(
+        F.sum(F.col("cnt") * F.col("n_kmers")).cast("bigint").alias("class_count")
     )
     total = counted.agg(F.sum("class_count").alias("_total"))
     return counted.crossJoin(F.broadcast(total)).select(
@@ -666,13 +665,15 @@ def kmer_bias_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     its directional pytest coverage (tests/test_tare.py).
     """
     from rnadam_spark.algorithms.tare import recalibrate_counts
-    from rnadam_spark.lineage import truncate_lineage
 
-    # materialized once (r12): the counted table feeds BOTH the stats
-    # aggregate and the per-kmer projection — without the boundary the
-    # whole shingle explode+agg evaluates twice (20.6 → ~11s at sf10);
-    # the checkpointed table is vocabulary-bounded (≤ alphabet^k rows)
-    kc = truncate_lineage(kmer_count(spark, sf_dir))
+    # ``kc`` feeds BOTH the stats aggregate and the per-kmer projection
+    # but needs NO barrier: kmer_count ends in a groupBy exchange and
+    # ReuseExchange serves both consumers from one shuffle (A/B'd at
+    # sf10: 8.4s bare vs 8.5s checkpointed — see the r12 audit note on
+    # class_counts_normalized; quality_quantile_filter is the contrast
+    # case whose probe side has no exchange and where the barrier
+    # genuinely halves the work)
+    kc = kmer_count(spark, sf_dir)
     stats = kc.agg(F.count("*").alias("n"), F.sum("cnt").alias("total_mult")).select(
         F.log(F.col("total_mult") / F.col("n")).alias("mean")
     )
