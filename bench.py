@@ -988,20 +988,39 @@ def _await_quiet_host() -> dict:
     import time as _time
 
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    # r12 post-mortem: the r12 driver artifact started at 1-min load
+    # 1.58 but 5-min load 8.1 — the host was mid-settle after a burst,
+    # the single 1-min sample slipped under the gate, and every row
+    # inflated 1.2-8.8x. Two fixes (judge r12 #2): gate on the 5-min
+    # average too, and require TWO consecutive quiet samples 15s apart
+    # so one momentary dip can't open the gate.
+    threshold5 = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD5", "4.0"))
     # modest default: the driver runs bench unattended, and a long stall
-    # risks its timeout more than residual load risks the numbers
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "240"))
+    # risks its timeout more than residual load risks the numbers —
+    # but the 5-min average decays slowly (8 -> 4 takes ~3.5 min), so
+    # the budget is wider than r12's 240s
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "480"))
     waited = 0.0
-    start_load = os.getloadavg()[0]
-    while os.getloadavg()[0] > threshold and waited < budget:
+    start_load = [round(x, 2) for x in os.getloadavg()]
+
+    def _quiet() -> bool:
+        l1, l5, _ = os.getloadavg()
+        return l1 <= threshold and l5 <= threshold5
+
+    consecutive = 1 if _quiet() else 0
+    while consecutive < 2 and waited < budget:
         _time.sleep(15)
         waited += 15
-    final_load = os.getloadavg()[0]
+        consecutive = consecutive + 1 if _quiet() else 0
+    final = [round(x, 2) for x in os.getloadavg()]
     return {
         "threshold": threshold,
-        "load_when_invoked": round(start_load, 2),
+        "threshold5": threshold5,
+        "load_when_invoked": start_load[0],
+        "loadavg_when_invoked": start_load,
+        "loadavg_when_opened": final,
         "waited_sec": round(waited, 1),
-        "proceeded_under_load": final_load > threshold,
+        "proceeded_under_load": consecutive < 2,
     }
 
 

@@ -674,6 +674,9 @@ def _run_curate(spark, args) -> None:
         kept = repetition.with_dup_5gram_char_frac(kept).filter(
             F.col("dup_5gram_char_frac") <= args.max_dup_5gram
         )
+    model = None  # the char-LM table, shared by the perplexity filter
+    # and the excision stage below; cached because it MAY be collected
+    # twice, and unpersisted after the last consumer (r12 ADVICE)
     if args.max_perplexity is not None:
         from rnadam_spark.operators import lm
         from rnadam_spark.operators.sampling import hash_sample
@@ -761,6 +764,11 @@ def _run_curate(spark, args) -> None:
         # emptied documents drop here — the span-excision stance: empty
         # docs carry nothing to train on
         kept = text.excise_paragraphs(kept, bad).filter(F.length("text") > 0)
+    if model is not None:
+        # both pandas scorers collect the model EAGERLY at construction,
+        # so every consumer is done by here — release the cached table
+        # instead of orphaning it in the session (r12 ADVICE)
+        model.unpersist()
     if args.bad_phrases is not None or args.decontaminate is not None:
         from rnadam_spark.lineage import truncate_lineage
 

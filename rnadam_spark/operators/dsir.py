@@ -185,7 +185,8 @@ def dsir_log_weights_pandas(
     log-ratio collect forces both histogram scans when this function
     is CALLED, not when the returned DataFrame is acted on — callers
     composing build-then-maybe-execute plans should defer the call or
-    use the lazy :func:`dsir_log_weights`."""
+    use :func:`dsir_log_weights` with ``materialize=False`` (its
+    default is ALSO eager since the r12 barrier — r13 ADVICE fix)."""
     import math
 
     ratios = {
@@ -240,7 +241,11 @@ def bucket_counts(
 
 
 def _log_ratio_table(
-    target_counts: DataFrame, raw_counts: DataFrame, n_buckets: int, alpha: float
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int,
+    alpha: float,
+    materialize: bool = True,
 ) -> DataFrame:
     """(bucket, log_ratio): ln p̂_target(b) − ln p̂_raw(b) with add-α
     smoothing. Totals ride the plan as broadcast 1-row aggregates (the
@@ -255,11 +260,17 @@ def _log_ratio_table(
     Each histogram is consumed TWICE below (the counts and their
     total), and each is a full corpus scan upstream — materialize the
     ≤ n_buckets rows once so the scans run once (r12 double-consumption
-    audit; sf10 gate row 15.3 → ~9s)."""
-    from rnadam_spark.lineage import truncate_lineage
+    audit; sf10 gate row 15.3 → ~9s). truncate_lineage is EAGER, so
+    ``materialize=True`` (the default, and what every scoring path
+    wants — the table WILL be consumed twice immediately) executes both
+    corpus scans at construction time; pass ``materialize=False`` to
+    compose an unexecuted plan and accept the double scan if it is
+    later acted on without a barrier (r12 ADVICE)."""
+    if materialize:
+        from rnadam_spark.lineage import truncate_lineage
 
-    target_counts = truncate_lineage(target_counts)
-    raw_counts = truncate_lineage(raw_counts)
+        target_counts = truncate_lineage(target_counts)
+        raw_counts = truncate_lineage(raw_counts)
     t_total = target_counts.agg(F.sum("cnt").alias("_t_total"))
     r_total = raw_counts.agg(F.sum("cnt").alias("_r_total"))
     t = target_counts.select("bucket", F.col("cnt").alias("_t_cnt"))
@@ -288,6 +299,7 @@ def dsir_log_weights(
     ns: tuple[int, ...] = (1, 2),
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, n_features, log_weight): per-document log importance
     weight under the hashed-n-gram bag model. Documents with no tokens
@@ -296,8 +308,14 @@ def dsir_log_weights(
 
     Plan: corpus exploded once → broadcast join on the ≤n_buckets
     log-ratio table → map-side-partial doc_id re-aggregation. One
-    exchange total."""
-    ratios = F.broadcast(_log_ratio_table(target_counts, raw_counts, n_buckets, alpha))
+    exchange total. EAGER AT CONSTRUCTION by default (r12 ADVICE): the
+    log-ratio table is localCheckpointed so its two consumers share one
+    pair of histogram scans, which runs those scans when this function
+    is CALLED; pass ``materialize=False`` to compose an unexecuted
+    plan (and pay the double scan if it later executes barrier-less)."""
+    ratios = F.broadcast(
+        _log_ratio_table(target_counts, raw_counts, n_buckets, alpha, materialize)
+    )
     staged = raw_docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
     feats = staged.select(
         F.col(id_col),

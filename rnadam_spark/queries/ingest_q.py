@@ -20,12 +20,20 @@ compare is order-insensitive).
 Scale shape: one distributed text write + one distributed native read
 per row — two corpus passes, no shuffle anywhere (the GTF row's rollup
 groupBy is the one exchange, grouped on the line-local transcript_id).
+
+Shared-filesystem assumption (r12 ADVICE): the staging dir lives on the
+LOCAL filesystem, which works because this harness runs local[N] — the
+driver that writes and the executors that read share /tmp. On a real
+multi-node cluster these rows would need a shared scratch URI (HDFS/S3)
+instead; the loaders themselves are path-scheme-agnostic.
 """
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,11 +43,23 @@ from rnadam_spark.sources import bio_formats
 from rnadam_spark.sources.tables import load_table
 
 
+def _cleanup_staging() -> None:
+    """Remove this process's staging root at interpreter exit — the
+    per-pid key that isolates concurrent harnesses would otherwise
+    guarantee one leaked corpus-sized directory PER process (r12
+    ADVICE)."""
+    shutil.rmtree(f"/tmp/rnadam_ingest_{os.getpid()}", ignore_errors=True)
+
+
+atexit.register(_cleanup_staging)
+
+
 def _staging_dir(fmt: str, sf_dir: str) -> str:
     """Deterministic per-(format, corpus, process) scratch dir. The pid
     keeps concurrent harnesses (driver gate vs a local bench) from
     overwriting each other's files mid-read; reruns in one process
-    overwrite in place."""
+    overwrite in place, and the whole pid root is rmtree'd at process
+    exit (atexit above)."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     return f"/tmp/rnadam_ingest_{os.getpid()}/{fmt}_{tag}"
 

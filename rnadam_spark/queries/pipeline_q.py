@@ -1508,7 +1508,11 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rnadam_spark.operators import lm
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    model = lm.train_char_lm(docs, n=_LM_N)
+    # cache=False: the pandas scorer collects the model exactly once,
+    # so a cached handle would be orphaned in the session after the
+    # collect and accumulate across bench loops / repeated gate rows
+    # (r12 ADVICE) — one uncached training pass is the same cost
+    model = lm.train_char_lm(docs, n=_LM_N, cache=False)
     # r12 twin default: the Arrow-batched scorer (bench ab.lm_scoring
     # re-measures per round; pinned value-equal incl. NULL/short docs
     # by tests/test_lm.py) — the HOF+join form stays one flag away
@@ -1581,7 +1585,9 @@ def excise_ppl_tail_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rnadam_spark.operators import lm
 
     docs = load_table(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
-    model = lm.train_char_lm(docs, n=_LM_N)
+    # cache=False: single immediate pandas-scorer consumer — a cached
+    # handle would outlive the collect as an orphan (r12 ADVICE)
+    model = lm.train_char_lm(docs, n=_LM_N, cache=False)
     # r12 twin default: the Arrow-batched paragraph scorer (bench
     # ab.paragraph_ppl re-measures per round; value-equality pinned by
     # tests/test_lm.py incl. the trim/blank-segment edges)
