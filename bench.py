@@ -39,6 +39,7 @@ def _bench_queries() -> dict:
     CTE, simhash_16 inside simhash_hamming_pairs' oracle)."""
     from rnadam_spark.queries.pipeline_q import (
         embedding_topk,
+        lsh_candidate_pairs,
         minhash_signatures,
         quality_scores,
         simhash_16,
@@ -61,6 +62,10 @@ def _bench_queries() -> dict:
         # deregistered round 11 (ann_recall/excise_paragraphs rotation);
         # headline keeps timing the brute-force ANN baseline
         "embedding_topk": embedding_topk,
+        # deregistered round 13 (bam_ingest rotation; dedup_clusters'
+        # oracle embeds the pair SQL verbatim); headline and the
+        # cross-decade block keep timing the banding kernel
+        "lsh_candidate_pairs": lsh_candidate_pairs,
     }
 
 # Headline set: the reference's hot path (k-mer count → classes), the

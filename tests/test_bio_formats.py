@@ -854,3 +854,31 @@ def test_bam_region_csi_bare_contig_beyond_2pow29(spark, tmp_path):
     assert [g[0] for g in _region_rows(spark, bam, "chr1")] == ["deep", "near"]
     got = _region_rows(spark, bam, "chr1:600000000-600000010")
     assert [g[0] for g in got] == ["deep"]
+
+
+def test_bam_ingest_matches_gate_oracle(spark, sf_dir):
+    # the r13 gate row's own pin at pytest scale: spec-packed shards
+    # (plain + two-member gzip) through read_bam vs the DuckDB oracle
+    # that recomputes every record from parquet alone
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.ingest_q import _BAM_SQL, bam_ingest
+
+    got = sorted(
+        tuple(r)
+        for r in bam_ingest(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_BAM_SQL).fetchall()))
+    assert got == want and len(got) > 100
+    # the adversarial sentinels all actually occur at this sf
+    assert any(r[2] is None for r in got)  # unmapped -> null contig
+    assert any(r[3] is None for r in got)  # pos0 -1 -> null pos
+    assert any(r[7] is None and r[6] for r in got)  # 0xff qual fill
+    assert any(r[5] == "*" and r[6] == "" for r in got)  # l_seq 0
+    assert any(r[5].endswith("M1S") for r in got)  # multi-op cigar
+    assert any(r[6].startswith("N") for r in got)  # N nibble (code 15)

@@ -390,3 +390,22 @@ def test_candidate_recall_custom_columns(spark):
         id_col="uid",
     )
     assert renamed == default and default["n_true"] > 0
+
+
+def test_lsh_candidate_pairs_match_retired_oracle(spark, sf_dir):
+    # gate rotation r13 retired the lsh_candidate_pairs CORRECTNESS row
+    # (slot -> bam_ingest); dedup_clusters' oracle embeds _LSH_PAIRS_SQL
+    # verbatim as its pairs CTE, and the pair stage keeps its direct
+    # cross-engine check here
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.pipeline_q import _LSH_PAIRS_SQL, lsh_candidate_pairs
+
+    got = sorted((r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, sf_dir).collect())
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_LSH_PAIRS_SQL).fetchall()))
+    assert got == want and got
