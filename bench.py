@@ -378,6 +378,9 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "fused_pandas": _timed_em_state(spark, docs, True),
             "hof_join": _timed_em_state(spark, docs, False),
         },
+        # r13: the loop residual — checkpoint cadence over a pre-built
+        # state (every-1 default; see _em_loop_ab for the adoption bar)
+        "em_loop": _em_loop_ab(spark, docs),
     }
 
 
@@ -425,10 +428,48 @@ def _dsir_ab(spark, timed, docs) -> dict[str, float]:
         score = dsir.dsir_log_weights_pandas if pandas_form else dsir.dsir_log_weights
         return score(docs, bcount(target, DSIR_BUCKETS), bcount(docs, DSIR_BUCKETS), DSIR_BUCKETS)
 
-    return {
+    out = {
         "fused_pandas": timed(lambda: run(True)),
         "explode_join": timed(lambda: run(False)),
     }
+    # r13 (VERDICT r12 #6): the dsir default follows the sf10/sf100
+    # wins while sf0.1 is a coin-flip — publish the crossover decade
+    # like contamination's, single timed run per form at sf1
+    docs1 = _sf1_corpus(spark)
+    if docs1 is not None:
+        import time as _time
+
+        def run1(pandas_form: bool):
+            target = sampling.hash_sample(
+                docs1, "doc_id", _DSIR_TARGET_FRAC, seed=_DSIR_SEED
+            )
+            bcount = dsir.bucket_counts_pandas if pandas_form else dsir.bucket_counts
+            score = dsir.dsir_log_weights_pandas if pandas_form else dsir.dsir_log_weights
+            return score(
+                docs1, bcount(target, DSIR_BUCKETS), bcount(docs1, DSIR_BUCKETS), DSIR_BUCKETS
+            )
+
+        for key, form in (("fused_pandas_sf1", True), ("explode_join_sf1", False)):
+            t0 = _time.time()
+            run1(form).write.format("noop").mode("overwrite").save()
+            out[key] = round(_time.time() - t0, 3)
+    return out
+
+
+def _sf1_corpus(spark):
+    """The validated sf1 documents table for crossover rows, or None.
+    Same guard as _contamination_sf1_ab: refuse to publish some other
+    scale under _sf1 keys if the env override reorders the dir list."""
+    from rnadam_spark.sources.tables import load_table
+
+    sf1_dir = (
+        os.environ.get("SPARK_GRAFT_BENCH_SF10_DIRS", "/tmp/sf1,/tmp/sf10")
+        .split(",")[0]
+        .strip()
+    )
+    if not os.path.isdir(sf1_dir) or _sf_from_dir(sf1_dir) != 1.0:
+        return None
+    return load_table(spark, sf1_dir, "documents", widen=True)
 
 
 def _timed_em_state(spark, docs, pandas_kernel: bool) -> float:
@@ -445,6 +486,50 @@ def _timed_em_state(spark, docs, pandas_kernel: bool) -> float:
             state["edges"].unpersist()  # lazy cache marker, never forced here
 
     return _min_of_repeats(spark, run)
+
+
+def _em_loop_ab(spark, docs) -> dict[str, float]:
+    """r13 (VERDICT r12 #4): time the 5-iteration EM loop ALONE over a
+    pre-built, pre-forced state, isolating the loop residual (the
+    flagship's largest remaining sf100 block, ~45s) from the state
+    build. checkpoint_every=2 is the loop-unrolled two-iteration plan:
+    one eager truncation per two iterations, with the unchecked
+    iteration's subtree materializing once inside the next E-step's
+    broadcast exchange. The default stays every-1 unless BOTH sf10 and
+    sf100 invert (adoption discipline: same-protocol win at both)."""
+    from rnadam_spark.algorithms.quantify import em_loop
+    from rnadam_spark.queries.genomics_q import K, em_state
+
+    state = em_state(docs)
+    out: dict[str, float] = {}
+    try:
+        # force the cached state ONCE, outside every timed window
+        state["cc"].write.format("noop").mode("overwrite").save()
+        state["edges"].write.format("noop").mode("overwrite").save()
+        for label, every in (("checkpoint_every_1", 1), ("checkpoint_every_2", 2)):
+            best = None
+            for _ in range(max(REPEATS, 1)):
+                # deliberately NO clearCache (unlike _min_of_repeats):
+                # evicting the pre-built state would charge its rebuild
+                # to the loop under test — and asymmetrically, once per
+                # broadcast exchange
+                t0 = time.time()
+                em_loop(
+                    state["class_counts"],
+                    state["edges"],
+                    state["transcripts"],
+                    k=K,
+                    max_iterations=5,
+                    calibrate_length_bias=False,
+                    checkpoint_every=every,
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[label] = round(best, 3)
+    finally:
+        state["cc"].unpersist()
+        state["edges"].unpersist()
+    return out
 
 
 def _lm_vocab_ab(spark, timed, docs) -> dict[str, dict[str, float]]:
@@ -495,6 +580,20 @@ def _lm_vocab_ab(spark, timed, docs) -> dict[str, dict[str, float]]:
                 "pandas_arrow": timed(lambda: tmod.vocabulary_pandas(docs)),
             },
         }
+        # r13 (VERDICT r12 #6): vocabulary's sf0.1 trade is a
+        # coin-flip held by the sf10 win — publish the crossover
+        # decade, single timed run per form at sf1
+        docs1 = _sf1_corpus(spark)
+        if docs1 is not None:
+            import time as _time
+
+            for key, make in (
+                ("runlength_hof_sf1", lambda: tmod.vocabulary(docs1)),
+                ("pandas_arrow_sf1", lambda: tmod.vocabulary_pandas(docs1)),
+            ):
+                t0 = _time.time()
+                make().write.format("noop").mode("overwrite").save()
+                out["vocabulary"][key] = round(_time.time() - t0, 3)
     finally:
         shutil.rmtree(_tmp, ignore_errors=True)
     return out
