@@ -383,6 +383,13 @@ def em_state(
             .agg(F.sum("g_cnt").alias("class_cnt"))
             .cache()
         )
+        if not broadcast_gc:
+            # the over-cap fallback: the guard's count() already made
+            # this path eager, so force cc now and release the (large —
+            # that is why we are here) persisted histogram instead of
+            # leaving it as dead weight on executor disk
+            cc.count()
+            global_counts.unpersist()
     class_key = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("kcnt")))
     class_counts = cc.select(class_key.alias("class_id"), F.col("class_cnt").alias("cnt"))
     total = cc.agg(F.sum("class_cnt").alias("_total"))
