@@ -44,6 +44,7 @@ def _bench_queries() -> dict:
         quality_scores,
         simhash_16,
     )
+    from rnadam_spark.queries.genomics_q import equivalence_classes
     from rnadam_spark.queries.windows_q import fraction_of_group, hourly_event_rollup
 
     return {
@@ -66,6 +67,10 @@ def _bench_queries() -> dict:
         # oracle embeds the pair SQL verbatim); headline and the
         # cross-decade block keep timing the banding kernel
         "lsh_candidate_pairs": lsh_candidate_pairs,
+        # deregistered round 13 (bam_region_ingest rotation;
+        # class_counts_normalized's oracle embeds _CLASSES_SQL
+        # verbatim); headline keeps timing the class construction
+        "equivalence_classes": equivalence_classes,
     }
 
 # Headline set: the reference's hot path (k-mer count → classes), the

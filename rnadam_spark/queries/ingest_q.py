@@ -427,3 +427,209 @@ def bam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src.mapInPandas(write_shards, "n long").agg(F.sum("n")).collect()
     return bio_formats.read_bam(spark, out).drop("source_file")
+
+
+# -------------------------------------------------- BAM + BAI region
+
+#: 1-based inclusive samtools form. The window sits LOW because
+#: pos0 = doc_id % 100000 degenerates to pos0 = doc_id on small
+#: corpora — a high window would be empty at gate scale and the row
+#: would pin nothing (caught on first run: 0 rows at sf0.01).
+_BAM_REGION = "c3:101-300"
+_BAM_REGION_BEG0, _BAM_REGION_END0 = 100, 300
+
+#: Inflated-payload cap per gzip member. Real BGZF caps members at
+#: 64 KiB (the 16-bit in-member virtual-offset field); 2 KiB here
+#: forces MULTI-member shards even at gate scale (sf0.01 ~ a dozen
+#: records per shard), so the index seek path crosses member
+#: boundaries from the smallest corpus up.
+_BAM_MEMBER_CAP = 2048
+
+# The region row's oracle: the mapped subset of the bam_ingest record
+# derivation, filtered by the reader's exact overlap predicate —
+# pos0 < end0 AND pos0 + span > beg0, where span is the CIGAR's
+# reference consumption ((l-1)M1S consumes l-1: S is not M/D/N/=/X)
+# and a '*'-cigar record counts as a 1-base POINT (the samtools
+# convention the reader applies via `_cigar_ref_span(...) or 1`).
+_BAM_REGION_SQL = f"""
+WITH s AS (SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN '' ELSE {_SEQ_SQL} END AS seq0
+           FROM documents
+           WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0 AND doc_id % 7 = 3),
+     s2 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 19 = 0 AND length(seq0) > 0
+                        THEN 'N' || substr(seq0, 2) ELSE seq0 END AS seq
+            FROM s),
+     m AS (SELECT doc_id, seq, doc_id % 100000 AS pos0,
+                  CASE WHEN length(seq) = 0 THEN 1
+                       WHEN doc_id % 3 = 0 AND length(seq) >= 2
+                       THEN length(seq) - 1
+                       ELSE length(seq) END AS span
+           FROM s2)
+SELECT 'r' || CAST(doc_id AS VARCHAR) AS read_name,
+       CAST(doc_id % 4096 AS INT) AS flag,
+       'c3' AS contig,
+       CAST(pos0 + 1 AS BIGINT) AS pos,
+       CAST(doc_id % 61 AS INT) AS mapq,
+       CASE WHEN length(seq) = 0 THEN '*'
+            WHEN doc_id % 3 = 0 AND length(seq) >= 2
+            THEN CAST(length(seq) - 1 AS VARCHAR) || 'M1S'
+            ELSE CAST(length(seq) AS VARCHAR) || 'M' END AS cigar,
+       seq AS sequence,
+       CASE WHEN doc_id % 5 = 0 OR length(seq) = 0 THEN NULL
+            ELSE repeat(chr(CAST(33 + doc_id % 9 AS INT)), length(seq)) END AS quality
+FROM m
+WHERE pos0 < {_BAM_REGION_END0} AND pos0 + span > {_BAM_REGION_BEG0}
+"""
+
+
+def _reg2bin_lit(beg: int, end: int) -> int:
+    """SAM spec §5.3 bin number for [beg, end) — the C macro from the
+    spec written out as literals (min_shift 14, depth 5), deliberately
+    NOT imported from the loader's generalized reg2bin."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _bai_bytes(placed: list[tuple[int, int, int, int, int]], n_ref: int = 7) -> bytes:
+    """Spec §5.2 BAI for one shard: per ref, the bin->chunk table (one
+    exact chunk per record) and the 16 KiB linear index (min virtual
+    offset per window, next-record fallback past the tail — the value
+    the reader's chunk pruning lower-bounds against).
+
+    ``placed``: (ref_id, beg0, end0, vbeg, vend) per mapped record."""
+    import struct
+
+    out = bytearray(b"BAI\x01" + struct.pack("<i", n_ref))
+    for rid in range(n_ref):
+        mine = [p for p in placed if p[0] == rid]
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for _, beg0, end0, vbeg, vend in mine:
+            bins.setdefault(_reg2bin_lit(beg0, end0), []).append((vbeg, vend))
+        out += struct.pack("<i", len(bins))
+        for b, chunks in sorted(bins.items()):
+            out += struct.pack("<Ii", b, len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+        n_intv = (max((p[2] - 1 for p in mine), default=0) >> 14) + 1 if mine else 0
+        out += struct.pack("<i", n_intv)
+        for w in range(n_intv):
+            lo, hi = w << 14, (w + 1) << 14
+            over = [p[3] for p in mine if p[1] < hi and p[2] > lo]
+            after = [p[3] for p in mine if p[1] >= hi]
+            out += struct.pack("<Q", min(over or after or [0]))
+    return bytes(out)
+
+
+@query("bam_region_ingest", oracle=_BAM_REGION_SQL)
+def bam_region_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ingestion, BAI-indexed region slice — cli/Quantify.scala:73's
+    region-query capability (htsjdk/ADAM there), driver-verified (gate
+    rotation r13, second row; the binary surface's seek path). Each
+    executor packs its partition's MAPPED records (the bam_ingest
+    derivation minus the unmapped/-1-pos rows, same shared
+    _pack_bam_record), splits the payload into gzip members capped at
+    2 KiB inflated bytes (_BAM_MEMBER_CAP) (multi-member layout even at gate
+    scale), and writes a spec §5.2 .bam.bai sidecar — binning via the
+    spec's literal C macro, one exact virtual-offset chunk per record,
+    16 KiB linear index with the next-record fallback. read_bam_region
+    then seeks straight to the indexed chunks for _BAM_REGION and the
+    DuckDB oracle predicts the result from parquet with the reader's
+    exact overlap predicate — including the '*'-cigar POINT convention
+    (empty-seq records span 1 base) and the (l-1)M1S soft-clip span
+    (S consumes no reference).
+
+    What the row pins that bam_ingest cannot: virtual-offset encoding
+    (compressed member start << 16 | in-member offset), bin/chunk
+    framing, linear-index pruning correctness (a wrong lower bound
+    DROPS records -> hash mismatch), cross-member seeks, and the
+    overlap re-filter. Same co-designed-writer caveat as bam_ingest,
+    same mitigations (field derivations oracle-independent, tables as
+    literals, framing desync scrambles everything downstream).
+
+    Scale shape: one corpus pass to pack+index+write, then an
+    index-driven read whose per-task work is proportional to the
+    REGION's data, not the shard's — the sidecars ride a binaryFile
+    scan and each task opens only its own shard (read_bam_region's
+    contract; at 100 TB this is the difference between a region query
+    and a full scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mapped = docs.filter(
+        (F.pmod("doc_id", F.lit(11)) != 0) & (F.pmod("doc_id", F.lit(13)) != 0)
+    )
+    seq = F.when(F.pmod("doc_id", F.lit(17)) == 0, F.lit("")).otherwise(_seq_col())
+    src = mapped.select(F.col("doc_id").cast("long").alias("doc_id"), seq.alias("seq"))
+    out = _staging_dir("bam_region", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_shards(batches):
+        import gzip
+        import uuid
+
+        import pandas as pd
+
+        recs: list[tuple[int, int, int, bytes]] = []
+        for pdf in batches:
+            for doc_id, s in zip(pdf["doc_id"], pdf["seq"]):
+                doc_id = int(doc_id)
+                length = len(s)
+                if length == 0:
+                    span = 1  # '*' cigar: 1-base point
+                elif doc_id % 3 == 0 and length >= 2:
+                    span = length - 1  # (l-1)M 1S: S consumes no ref
+                else:
+                    span = length
+                pos0 = doc_id % 100000
+                recs.append(
+                    (doc_id % 7, pos0, pos0 + span, _pack_bam_record(doc_id, s))
+                )
+        if recs:
+            blobs = [gzip.compress(_bam_header_bytes(), mtime=0)]
+            coffset = len(blobs[0])
+            placed: list[tuple[int, int, int, int, int]] = []
+            payload = b""
+            cur: list[tuple[int, int, int, int, int]] = []
+
+            def flush():
+                nonlocal payload, cur, coffset
+                if not payload:
+                    return
+                for ref_id, beg0, end0, off, off2 in cur:
+                    placed.append(
+                        (ref_id, beg0, end0, (coffset << 16) | off, (coffset << 16) | off2)
+                    )
+                blob = gzip.compress(payload, mtime=0)
+                blobs.append(blob)
+                coffset += len(blob)
+                payload = b""
+                cur = []
+
+            for ref_id, beg0, end0, rb in recs:
+                if payload and len(payload) + len(rb) > _BAM_MEMBER_CAP:
+                    flush()
+                off = len(payload)
+                payload += rb
+                cur.append((ref_id, beg0, end0, off, len(payload)))
+            flush()
+            name = os.path.join(out, f"shard-{uuid.uuid4().hex}.bam")
+            with open(name, "wb") as f:
+                f.write(b"".join(blobs))
+            with open(name + ".bai", "wb") as f:
+                f.write(_bai_bytes(placed))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    src.mapInPandas(write_shards, "n long").agg(F.sum("n")).collect()
+    return bio_formats.read_bam_region(spark, out + "/*.bam", _BAM_REGION).drop(
+        "source_file"
+    )

@@ -882,3 +882,21 @@ def test_bam_ingest_matches_gate_oracle(spark, sf_dir):
     assert any(r[5] == "*" and r[6] == "" for r in got)  # l_seq 0
     assert any(r[5].endswith("M1S") for r in got)  # multi-op cigar
     assert any(r[6].startswith("N") for r in got)  # N nibble (code 15)
+
+
+def test_bam_region_ingest_matches_gate_oracle(spark, sf_dir):
+    # the r13 second gate row's pytest pin: spec-packed multi-member
+    # shards + literal-macro BAI sidecars through read_bam_region vs
+    # the DuckDB oracle's full-scan overlap predicate
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.ingest_q import _BAM_REGION_SQL, bam_region_ingest
+
+    got = sorted(tuple(r) for r in bam_region_ingest(spark, sf_dir).collect())
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_BAM_REGION_SQL).fetchall()))
+    assert got == want and got

@@ -102,8 +102,14 @@ def test_pyref_kmer_oracle_matches_duckdb(sf_dir):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
+    # the classes row was retired from the gate in r13 (slot ->
+    # bam_region_ingest) but its SQL stays the single source of truth,
+    # embedded in class_counts_normalized's oracle and cross-checked
+    # here directly
+    from rnadam_spark.queries.genomics_q import _CLASSES_SQL
+
     rows = ref.expected_equivalence_classes(sf_dir)
-    want = set(map(tuple, con.execute(oracle_sql()["equivalence_classes"]).fetchall()))
+    want = set(map(tuple, con.execute(_CLASSES_SQL).fetchall()))
     assert rows == want and rows
 
     counts = ref.expected_class_counts(rows)
@@ -111,3 +117,22 @@ def test_pyref_kmer_oracle_matches_duckdb(sf_dir):
         map(tuple, con.execute(oracle_sql()["class_counts_normalized"]).fetchall())
     )
     assert counts == want_counts
+
+
+def test_equivalence_classes_match_retired_oracle(spark, sf_dir):
+    # gate rotation r13 retired the equivalence_classes CORRECTNESS row
+    # (slot -> bam_region_ingest); class_counts_normalized's oracle
+    # embeds _CLASSES_SQL verbatim as its cls CTE, and the class
+    # construction keeps its direct cross-engine check here
+    import os
+
+    import duckdb
+
+    from rnadam_spark.queries.genomics_q import _CLASSES_SQL, equivalence_classes
+
+    got = sorted(tuple(r) for r in equivalence_classes(spark, sf_dir).collect())
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(_CLASSES_SQL).fetchall()))
+    assert got == want and len(got) > 500
