@@ -330,6 +330,18 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                 )
             ),
         },
+        # r13 twin: the numpy minhash kernel (per-doc grain straight
+        # out of the scan, zero shuffle) vs the explode+partial-agg JVM
+        # form — integer-exact, pinned value-equal by
+        # tests/test_dedup.py; the default follows the measurement
+        # (0.35 vs 0.81s at sf0.1, 4.9 vs 12.1s at sf10 in the r13
+        # adoption runs)
+        "minhash": {
+            "pandas_numpy": timed(lambda: dedup.minhash_signatures(docs)),
+            "jvm_explode_agg": timed(
+                lambda: dedup.minhash_signatures(docs, kernel="jvm")
+            ),
+        },
         "em_quantify": {
             "window": timed(lambda: em_quantify(spark, sf_dir)),
             "skew_safe": timed(lambda: em_quantify(spark, sf_dir, skew_safe=True)),

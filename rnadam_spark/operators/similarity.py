@@ -100,6 +100,32 @@ def brute_force_topk(
     )
 
 
+def _bucket_bits(emb: Column, planes: list[list[int]], p: Column | None = None) -> Column:
+    """``Σ_{j<p} (v·hⱼ ≥ 0)·2ʲ`` as ONE transform over the folded plane
+    literal + ONE aggregate — the :func:`_lit_vectors` restructure
+    (r13). The previous per-plane unrolled form built ``n_planes``
+    independent zip_with+aggregate trees whose analysis cost dominated
+    bucketing wall time (measured 1.69s → 1.01s min-of-3 at sf0.1 for
+    ``lsh_buckets_scaled`` over 2k vectors; a flat element_at sum was
+    also tried and REJECTED — 1024 codegen terms blow the JVM method
+    limit and fall back to a 6.4s interpreted tree). Per-plane dot
+    order is unchanged (same left fold), so buckets are bit-identical
+    — verified 0 mismatches against the unrolled form at sf0.1.
+    ``p`` masks to the first p planes (None = use all)."""
+    scores = F.transform(_lit_vectors(planes), lambda c: dot(emb, c))
+    powers = F.array(*[F.lit(2**j).cast("bigint") for j in range(len(planes))])
+
+    def term(s: Column, j: Column) -> Column:
+        keep = (s >= 0) if p is None else ((j.cast("bigint") < p) & (s >= 0))
+        return F.when(keep, F.element_at(powers, j + F.lit(1))).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    return F.aggregate(
+        F.transform(scores, term), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
 def lsh_buckets(
     embeddings: DataFrame, seed: int = 99, dim: int = DIM, n_planes: int = N_PLANES
 ) -> DataFrame:
@@ -107,12 +133,7 @@ def lsh_buckets(
     must match the embedding width (zip_with null-pads otherwise);
     ``n_planes`` must be sized for the corpus — see ``planes_for``."""
     planes = hyperplanes(n=n_planes, dim=dim, seed=seed)
-    emb = _as_double("embedding")
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        bit = (dot(emb, lit_plane) >= 0).cast("int")
-        bucket = bucket + bit * (2**j)
+    bucket = _bucket_bits(_as_double("embedding"), planes)
     return embeddings.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
@@ -159,12 +180,7 @@ def lsh_buckets_scaled(
             for j in range(1, n_planes_max + 1)
         ).cast("bigint"),
     )
-    emb = _as_double("embedding")
-    bucket = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        bit = (dot(emb, lit_plane) >= 0).cast("bigint")
-        bucket = bucket + F.when(F.lit(j) < p, bit * (2**j)).otherwise(F.lit(0))
+    bucket = _bucket_bits(_as_double("embedding"), planes, p=p)
     return (
         embeddings.crossJoin(F.broadcast(n))
         .select("vec_id", bucket.cast("bigint").alias("bucket"))

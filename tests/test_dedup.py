@@ -409,3 +409,27 @@ def test_lsh_candidate_pairs_match_retired_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
     want = sorted(map(tuple, con.execute(_LSH_PAIRS_SQL).fetchall()))
     assert got == want and got
+
+
+def test_minhash_pandas_kernel_matches_jvm(spark):
+    """The r13 numpy kernel must produce IDENTICAL signatures to the
+    explode+aggregate JVM form — including unicode codepoints (utf-32
+    decode vs ascii()), exactly-k and shorter-than-k documents, nulls,
+    and empty strings (all dropped by both forms)."""
+    rows = [
+        (0, BASE),
+        (1, NEAR),
+        (2, "abc"),          # shorter than SHINGLE_K=4 → dropped
+        (3, "abcd"),         # exactly one shingle
+        (4, None),           # null text → dropped
+        (5, ""),             # empty → dropped
+        (6, "héllo wörld ünïcode ★ text with codepoints"),
+        (7, OTHER),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    jvm = dedup.minhash_signatures(docs, kernel="jvm")
+    pnd = dedup.minhash_signatures(docs, kernel="pandas")
+    assert jvm.columns == pnd.columns
+    assert jvm.exceptAll(pnd).count() == 0 and pnd.exceptAll(jvm).count() == 0
+    kept = {r.doc_id for r in pnd.collect()}
+    assert kept == {0, 1, 3, 6, 7}
