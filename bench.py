@@ -342,6 +342,14 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                 lambda: dedup.minhash_signatures(docs, kernel="jvm")
             ),
         },
+        # r13 twin, same discipline: numpy simhash (distinct-token
+        # matrix + np.add.reduceat bit sums) vs the explode + 16-sum
+        # JVM aggregate — integer-exact, parity incl. tokenization
+        # corners pinned by tests/test_dedup.py
+        "simhash": {
+            "pandas_numpy": timed(lambda: dedup.simhash16(docs)),
+            "jvm_explode_agg": timed(lambda: dedup.simhash16(docs, kernel="jvm")),
+        },
         "em_quantify": {
             "window": timed(lambda: em_quantify(spark, sf_dir)),
             "skew_safe": timed(lambda: em_quantify(spark, sf_dir, skew_safe=True)),

@@ -320,30 +320,111 @@ def incremental_near_dups(
     )
 
 
-def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+def simhash16(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    kernel: str = "pandas",
+) -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash over distinct tokens.
 
     Token code = polynomial hash of the token right-padded to 8 chars;
-    bit_j = sign of Σ_tokens (2·(affine_j(code) mod 2) − 1). All
-    higher-order functions on one row — shuffle-free."""
-    token_codes = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.array_distinct(tokens(text_col)),
-                lambda t: poly_hash_col(F.rpad(t, 8, "_"), 8),
+    bit_j = sign of Σ_tokens (2·(affine_j(code) mod 2) − 1).
+
+    ``kernel`` picks the execution form (r13, same integer-exact twin
+    discipline as ``minhash_signatures`` — parity pinned incl.
+    tokenization corners by tests/test_dedup.py):
+
+    - "pandas" (default): the numpy kernel — ``re.split(r'\\s+', ...,
+      flags=re.ASCII)`` reproduces Java's default (non-unicode) ``\\s``
+      class exactly, distinct tokens pad/truncate to the 8-char hash
+      window, codes vectorize as an (n_tokens, 8) codepoint matrix,
+      and the 16 signed bit-sums reduce per document with
+      ``np.add.reduceat``. Measured min-of-2 warm: 0.44 vs 1.50s at
+      sf0.1, 1.6 vs 2.4s at sf10 (bench ``ab.simhash`` re-measures).
+    - "jvm": explode + 16-sum partial aggregate (shuffle carries one
+      row per doc per task after map-side combine)."""
+    if kernel == "jvm":
+        token_codes = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.array_distinct(tokens(text_col)),
+                    lambda t: poly_hash_col(F.rpad(t, 8, "_"), 8),
+                )
+            ).alias("code"),
+        )
+        bit_sums = [
+            F.sum(((F.col("code") * a + b) % MOD % 2) * 2 - 1).alias(f"s{j}")
+            for j, (a, b) in enumerate(hash_family(16, seed))
+        ]
+        sums = token_codes.groupBy(id_col).agg(*bit_sums)
+        simhash = F.lit(0)
+        for j in range(16):
+            simhash = simhash + (F.col(f"s{j}") >= 0).cast("int") * (2**j)
+        return sums.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))
+    if kernel != "pandas":
+        raise ValueError(f"unknown simhash kernel: {kernel!r}")
+    return _simhash16_pandas(docs, text_col, id_col, seed)
+
+
+def _simhash16_pandas(
+    docs: DataFrame, text_col: str, id_col: str, seed: int
+) -> DataFrame:
+    """The Arrow/numpy kernel behind ``simhash16`` (see its docstring).
+    Exactness: distinctness is over FULL tokens (two long tokens
+    sharing their first 8 chars both contribute, as in the JVM form's
+    array_distinct-before-hash order); every arithmetic step is int64,
+    bit-equal to the JVM chain."""
+    fam = hash_family(16, seed)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+", flags=re.ASCII)
+        A = np.array([a for a, _ in fam], dtype=np.int64)
+        B = np.array([b for _, b in fam], dtype=np.int64)
+        pw = np.array([2**j for j in range(16)], dtype=np.int64)
+        for pdf in it:
+            ids, padded, counts = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = dict.fromkeys(t for t in ws.split(text) if t)
+                if not toks:
+                    continue
+                ids.append(doc_id)
+                counts.append(len(toks))
+                padded.append(
+                    "".join((t + "________")[:8] for t in toks)
+                )
+            if not ids:
+                continue
+            ch = (
+                np.frombuffer("".join(padded).encode("utf-32-le"), dtype=np.uint32)
+                .astype(np.int64)
+                .reshape(-1, 8)
             )
-        ).alias("code"),
+            codes = ch[:, 0].copy()
+            for d in range(1, 8):
+                codes = (codes * 31 + ch[:, d]) % MOD
+            counts = np.array(counts, dtype=np.int64)
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            sim = np.zeros(len(counts), dtype=np.int64)
+            for j in range(16):
+                s = np.add.reduceat((codes * A[j] + B[j]) % MOD % 2 * 2 - 1, offsets)
+                sim += (s >= 0) * pw[j]
+            yield pd.DataFrame({id_col: pd.Series(ids), "simhash": sim})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} {id_type}, simhash bigint"
     )
-    bit_sums = [
-        F.sum(((F.col("code") * a + b) % MOD % 2) * 2 - 1).alias(f"s{j}")
-        for j, (a, b) in enumerate(hash_family(16, seed))
-    ]
-    sums = token_codes.groupBy(id_col).agg(*bit_sums)
-    simhash = F.lit(0)
-    for j in range(16):
-        simhash = simhash + (F.col(f"s{j}") >= 0).cast("int") * (2**j)
-    return sums.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))
 
 
 def simhash_hamming_pairs(

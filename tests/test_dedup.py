@@ -433,3 +433,29 @@ def test_minhash_pandas_kernel_matches_jvm(spark):
     assert jvm.exceptAll(pnd).count() == 0 and pnd.exceptAll(jvm).count() == 0
     kept = {r.doc_id for r in pnd.collect()}
     assert kept == {0, 1, 3, 6, 7}
+
+
+def test_simhash_pandas_kernel_matches_jvm(spark):
+    """The r13 numpy simhash kernel must match the JVM form exactly —
+    including: tokens longer than the 8-char hash window that collide
+    after truncation (distinctness is over FULL tokens, so both
+    contribute), Java's ASCII-only \\s token split (unicode NBSP is NOT
+    a separator), empty/null/whitespace-only docs (dropped), and
+    single-token docs."""
+    rows = [
+        (0, BASE),
+        (1, NEAR),
+        (2, "identical9chars_a identical9chars_b x"),  # truncation collision
+        (3, "word glued unicode nbsp is one token"),
+        (4, None),
+        (5, ""),
+        (6, "   \t\n  "),
+        (7, "single"),
+        (8, OTHER),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    jvm = dedup.simhash16(docs, kernel="jvm")
+    pnd = dedup.simhash16(docs, kernel="pandas")
+    assert jvm.exceptAll(pnd).count() == 0 and pnd.exceptAll(jvm).count() == 0
+    kept = {r.doc_id for r in pnd.collect()}
+    assert kept == {0, 1, 2, 3, 7, 8}
