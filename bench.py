@@ -350,6 +350,14 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "pandas_numpy": timed(lambda: dedup.simhash16(docs)),
             "jvm_explode_agg": timed(lambda: dedup.simhash16(docs, kernel="jvm")),
         },
+        # r13 twin: the equivalence-class grain via the Arrow/Counter
+        # kernel vs the in-row run-length JVM form (md5 ids pinned
+        # value-equal by tests/test_index.py; 5.0 vs 19.6s at sf10 in
+        # the adoption runs)
+        "classes": {
+            "pandas_counter": timed(lambda: _classes_q(spark, sf_dir, "pandas")),
+            "jvm_runlength": timed(lambda: _classes_q(spark, sf_dir, "jvm")),
+        },
         "em_quantify": {
             "window": timed(lambda: em_quantify(spark, sf_dir)),
             "skew_safe": timed(lambda: em_quantify(spark, sf_dir, skew_safe=True)),
@@ -407,6 +415,12 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         # state (every-1 default; see _em_loop_ab for the adoption bar)
         "em_loop": _em_loop_ab(spark, docs),
     }
+
+
+def _classes_q(spark, sf_dir: str, kernel: str):
+    from rnadam_spark.queries.genomics_q import _classes
+
+    return _classes(spark, sf_dir, kernel=kernel)
 
 
 def _curated_ab(spark, timed, sf_dir: str) -> dict[str, float]:

@@ -101,11 +101,58 @@ GROUP BY doc_id, cnt
 """
 
 
-def _classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kc = _doc_kmer_counts(spark, sf_dir)
-    return (
-        kc.select("doc_id", F.explode(count_classes(F.col("kc"))).alias("cl"))
-        .select("doc_id", "cl.cnt", "cl.class_id", "cl.n_kmers")
+def _classes(spark: SparkSession, sf_dir: str, kernel: str = "pandas") -> DataFrame:
+    """(doc_id, cnt, class_id, n_kmers) — the equivalence-class grain.
+
+    ``kernel`` (r13 optimization round, the minhash/simhash twin
+    discipline): "pandas" (default) emits the class grain straight from
+    one Arrow-batched pass — per doc a Counter of shingles, members
+    grouped by multiplicity in sorted-kmer order, md5 of the
+    '|'-joined members — no interpreted run-length kernel, no explode.
+    Exactness: counts are ints, Python ``sorted`` on str equals Spark's
+    UTF8-binary ``sort_array`` (UTF-8 byte order is codepoint order),
+    and ``hashlib.md5`` of the identical utf-8 bytes equals Spark's
+    ``md5``; parity pinned by tests/test_index.py. Measured min-of-2
+    warm: 0.44 vs 0.66s at sf0.1 and 5.0 vs 19.6s at sf10 (bench
+    ``ab.classes`` re-measures each round). "jvm" is the in-row
+    run-length + count_classes higher-order-function form."""
+    if kernel == "jvm":
+        kc = _doc_kmer_counts(spark, sf_dir)
+        return (
+            kc.select("doc_id", F.explode(count_classes(F.col("kc"))).alias("cl"))
+            .select("doc_id", "cl.cnt", "cl.class_id", "cl.n_kmers")
+        )
+    if kernel != "pandas":
+        raise ValueError(f"unknown classes kernel: {kernel!r}")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    k = K
+
+    def batches(it):
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "cnt": [], "class_id": [], "n_kmers": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < k:
+                    continue
+                c = Counter(text[i : i + k] for i in range(len(text) - k + 1))
+                groups: dict[int, list[str]] = {}
+                for km in sorted(c):
+                    groups.setdefault(c[km], []).append(km)
+                for cnt, members in groups.items():
+                    out["doc_id"].append(doc_id)
+                    out["cnt"].append(cnt)
+                    out["class_id"].append(
+                        hashlib.md5("|".join(members).encode()).hexdigest()
+                    )
+                    out["n_kmers"].append(len(members))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id bigint, cnt bigint, class_id string, n_kmers bigint"
     )
 
 

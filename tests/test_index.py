@@ -136,3 +136,16 @@ def test_equivalence_classes_match_retired_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
     want = sorted(map(tuple, con.execute(_CLASSES_SQL).fetchall()))
     assert got == want and len(got) > 500
+
+
+def test_classes_pandas_kernel_matches_jvm(spark, sf_dir):
+    """r13: the Arrow/Counter classes kernel (default) must equal the
+    in-row run-length + count_classes JVM form exactly — md5 ids, cnt
+    and n_kmers all pinned (the md5 input is the sorted '|'-joined
+    member list, so a sort-order or join-separator drift would flip
+    every id)."""
+    from rnadam_spark.queries.genomics_q import _classes
+
+    jvm = _classes(spark, sf_dir, kernel="jvm")
+    pnd = _classes(spark, sf_dir, kernel="pandas")
+    assert jvm.exceptAll(pnd).count() == 0 and pnd.exceptAll(jvm).count() == 0
