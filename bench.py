@@ -168,6 +168,7 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from rnadam_spark.lineage import truncate_lineage
     from rnadam_spark.operators import dedup, repetition, similarity, text
     from rnadam_spark.queries.genomics_q import em_quantify
+    from rnadam_spark.queries.genomics_q import kmer_count as kmer_count_q
     from rnadam_spark.queries.pipeline_q import _BENCH_MOD, DECONTAM_N, LSH_MAX_BUCKET
     from rnadam_spark.queries.relational import pricing_summary
     from rnadam_spark.sources.tables import load_table
@@ -357,6 +358,14 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "classes": {
             "pandas_counter": timed(lambda: _classes_q(spark, sf_dir, "pandas")),
             "jvm_runlength": timed(lambda: _classes_q(spark, sf_dir, "jvm")),
+        },
+        # r13 twin: the registered kmer_count row on the Counter-partial
+        # kernel (em_global_counts' form) vs the codegen explode+hashagg
+        # — sf0.1 is a coin flip, sf10 is 2.3 vs 7.1s; the default
+        # follows the sf10 measurement (contamination's crossover shape)
+        "kmer_count": {
+            "pandas_counter": timed(lambda: kmer_count_q(spark, sf_dir, kernel="pandas")),
+            "jvm_explode_agg": timed(lambda: kmer_count_q(spark, sf_dir, kernel="jvm")),
         },
         "em_quantify": {
             "window": timed(lambda: em_quantify(spark, sf_dir)),

@@ -57,19 +57,34 @@ FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - {K - 1}, 0) +
     GROUP BY kmer
     """,
 )
-def kmer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmer_count(spark: SparkSession, sf_dir: str, kernel: str = "pandas") -> DataFrame:
     """A1 (word count over shingles): Quantify.scala:58-60 / adamCountKmers.
 
-    explode(shingles) → groupBy → count, deliberately NOT the per-row
-    run-length path used by the per-document queries: the global key
-    space is bounded (distinct k-mers ≤ alphabet^k), so Catalyst's
-    map-side partial HashAggregate already collapses the shuffle to
-    one row per distinct k-mer per task, and the whole stage is
-    codegen'd — measured faster than the interpreted higher-order-
-    function sort at every scale. Run-length wins only where the
-    grouping key contains the container (see kmer_doc_counts).
+    ``kernel`` (r13): "pandas" (default) is the ``em_global_counts``
+    Counter form — ONE Counter per Arrow batch (a map-side combine in
+    Python) emits one partial row per distinct k-mer per batch, so the
+    exchange moves vocabulary-bounded partials and the shingle slicing
+    never materializes 200×-exploded rows. Integer sums — exact; the
+    flagship's scan-1 twin tests (tests/test_quantify_e2e.py) pin the
+    identical kernel, and ``ab.kmer_count`` re-measures per round
+    (adoption runs: 0.79 vs 0.86s at sf0.1 — a coin flip — and 2.3 vs
+    7.1s at sf10, the same crossover shape as contamination's).
+
+    "jvm": explode(shingles) → groupBy → count, deliberately NOT the
+    per-row run-length path used by the per-document queries: the
+    global key space is bounded (distinct k-mers ≤ alphabet^k), so
+    Catalyst's map-side partial HashAggregate already collapses the
+    shuffle to one row per distinct k-mer per task, and the whole
+    stage is codegen'd. Run-length wins only where the grouping key
+    contains the container (see kmer_doc_counts).
     """
-    return _kmers(spark, sf_dir).groupBy("kmer").agg(F.count("*").alias("cnt"))
+    if kernel == "jvm":
+        return _kmers(spark, sf_dir).groupBy("kmer").agg(F.count("*").alias("cnt"))
+    if kernel != "pandas":
+        raise ValueError(f"unknown kmer_count kernel: {kernel!r}")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    counts = em_global_counts(docs, pandas_kernel=True)
+    return counts.select("kmer", F.col("g_cnt").alias("cnt"))
 
 
 def kmer_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,15 +777,19 @@ def kmer_bias_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     its directional pytest coverage (tests/test_tare.py).
     """
     from rnadam_spark.algorithms.tare import recalibrate_counts
+    from rnadam_spark.lineage import truncate_lineage
 
-    # ``kc`` feeds BOTH the stats aggregate and the per-kmer projection
-    # but needs NO barrier: kmer_count ends in a groupBy exchange and
-    # ReuseExchange serves both consumers from one shuffle (A/B'd at
-    # sf10: 8.4s bare vs 8.5s checkpointed — see the r12 audit note on
-    # class_counts_normalized; quality_quantile_filter is the contrast
-    # case whose probe side has no exchange and where the barrier
-    # genuinely halves the work)
-    kc = kmer_count(spark, sf_dir)
+    # ``kc`` feeds BOTH the stats aggregate and the per-kmer projection.
+    # With the r12 JVM form no barrier was needed (ReuseExchange served
+    # both consumers from the groupBy exchange — A/B'd at sf10: 8.4s
+    # bare vs 8.5s checkpointed). The r13 pandas kernel BREAKS that
+    # reuse: the two consumers' MapInPandas nodes no longer canonicalize
+    # equal (measured: 2 MapInPandas nodes, 0 ReusedExchange — the
+    # corpus scanned twice in Python, 1.34s vs 1.06s at sf0.1), so the
+    # vocabulary-bounded kc table (distinct k-mers ≤ alphabet^k) gets
+    # the quality_quantile_filter barrier instead: one corpus scan,
+    # both consumers read the checkpointed rows.
+    kc = truncate_lineage(kmer_count(spark, sf_dir))
     stats = kc.agg(F.count("*").alias("n"), F.sum("cnt").alias("total_mult")).select(
         F.log(F.col("total_mult") / F.col("n")).alias("mean")
     )
