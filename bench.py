@@ -367,6 +367,13 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "pandas_counter": timed(lambda: kmer_count_q(spark, sf_dir, kernel="pandas")),
             "jvm_explode_agg": timed(lambda: kmer_count_q(spark, sf_dir, kernel="jvm")),
         },
+        # r13 twin: quality_scores on the curation parity kit vs the
+        # staged-HOF form (0.37 vs 0.62s at sf0.1, 3.6 vs 4.8s at sf10
+        # in the adoption runs; parity by tests/test_text_curation.py)
+        "quality_scores": {
+            "pandas_arrow": timed(lambda: text.quality_scores(docs)),
+            "jvm_staged_hof": timed(lambda: text.quality_scores(docs, kernel="jvm")),
+        },
         "em_quantify": {
             "window": timed(lambda: em_quantify(spark, sf_dir)),
             "skew_safe": timed(lambda: em_quantify(spark, sf_dir, skew_safe=True)),

@@ -100,17 +100,88 @@ def quality_columns(
     }
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel: str = "pandas",
+) -> DataFrame:
     """(doc_id, stopword_ratio, punct_ratio, digit_ratio, quality):
     length/punct/stopword heuristics — the standard pre-training
-    quality filters. Staged so the token array materializes once
+    quality filters.
+
+    ``kernel`` (r13): "pandas" (default) is one Arrow pass with the
+    ``curation_scores_pandas`` parity kit (Java's ASCII ``\\w``/``\\s``
+    classes via ``re.ASCII``, each ratio one IEEE division, the
+    NULL-text corner → NULL ratios + quality 0.4 exactly as least()
+    skips nulls) — measured 0.37 vs 0.62s at sf0.1 and 3.6 vs 4.8s at
+    sf10 against the staged-HOF form (parity pinned by
+    tests/test_text_curation.py; bench ``ab.quality_scores``
+    re-measures). "jvm" stages the token array so it materializes once
     (n_tok, n_stop, and quality's stopword term each reference it; see
     :func:`gopher_prelude` on why inline copies re-tokenize)."""
-    staged = docs.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("__qt"))
-    cols = quality_columns(text_col, toks=F.col("__qt"))
-    return staged.select(
-        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    if kernel == "jvm":
+        staged = docs.select(
+            F.col(id_col), F.col(text_col), tokens(text_col).alias("__qt")
+        )
+        cols = quality_columns(text_col, toks=F.col("__qt"))
+        return staged.select(
+            F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+        )
+    if kernel != "pandas":
+        raise ValueError(f"unknown quality kernel: {kernel!r}")
+    stop = set(STOPWORDS)
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, stopword_ratio double, punct_ratio double, "
+        "digit_ratio double, quality double"
     )
+
+    def batches(it):
+        import math
+        import re
+
+        import pandas as pd
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        nonword = re.compile(r"[^\w\s]", re.ASCII)
+        digits = re.compile(r"[0-9]")
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                id_col: [],
+                "stopword_ratio": [],
+                "punct_ratio": [],
+                "digit_ratio": [],
+                "quality": [],
+            }
+            for did, textv in zip(pdf[id_col], pdf[text_col]):
+                rows[id_col].append(did)
+                if textv is None:
+                    # size(null)=NULL propagates through every ratio;
+                    # least() then skips the NULL operands: 0.4
+                    rows["stopword_ratio"].append(None)
+                    rows["punct_ratio"].append(None)
+                    rows["digit_ratio"].append(None)
+                    rows["quality"].append(0.4)
+                    continue
+                toks = [w for w in ws.split(textv) if w]
+                n_tok = len(toks)
+                n_chars = len(textv)
+                sr = sum(1 for t in toks if t.lower() in stop) / max(n_tok, 1)
+                pr = (n_chars - len(nonword.sub("", textv))) / max(n_chars, 1)
+                dr = (n_chars - len(digits.sub("", textv))) / max(n_chars, 1)
+                q = 1.0 - min(pr * 2, 0.5) - min(dr * 2, 0.3) + min(sr, 0.2)
+                rows["stopword_ratio"].append(r6(sr))
+                rows["punct_ratio"].append(r6(pr))
+                rows["digit_ratio"].append(r6(dr))
+                rows["quality"].append(r6(q))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
 
 
 def lang_marker_scores(toks: Column) -> dict[str, Column]:

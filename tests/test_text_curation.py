@@ -544,3 +544,26 @@ def test_curation_scores_pandas_twin_value_equal(spark, sf_dir):
     for k, (qv, lv) in fused.items():
         assert qv == q[k] and lv == lg[k], (k, (qv, lv), (q[k], lg[k]))
     assert fused[900001] == (0.4, "de")
+
+
+def test_quality_scores_pandas_kernel_matches_jvm(spark):
+    """r13: the Arrow quality kernel (default) must equal the staged-HOF
+    JVM form on every column — ratios at 6dp, the quality chain's
+    least() clamps, and the NULL-text corner (NULL ratios, quality
+    0.4)."""
+    from rnadam_spark.operators.text import quality_scores
+
+    rows = [
+        (0, "the quick brown fox, it jumped! 123 over 45 dogs."),
+        (1, "all punctuation!!! ??? ;;; ...,,,"),
+        (2, "1234567890 0987654321"),
+        (3, None),
+        (4, ""),
+        (5, "the and of to in a is it"),
+        (6, "wörds with ünïcode and the stopword the"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    jvm = quality_scores(docs, kernel="jvm")
+    pnd = quality_scores(docs, kernel="pandas")
+    assert jvm.columns == pnd.columns
+    assert jvm.exceptAll(pnd).count() == 0 and pnd.exceptAll(jvm).count() == 0
