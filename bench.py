@@ -369,10 +369,23 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         },
         # r13 twin: quality_scores on the curation parity kit vs the
         # staged-HOF form (0.37 vs 0.62s at sf0.1, 3.6 vs 4.8s at sf10
-        # in the adoption runs; parity by tests/test_text_curation.py)
+        # in the adoption runs; parity by tests/test_text_curation.py).
+        # Measured over the UNWIDENED table — the shape every quality
+        # call site actually reads (pipeline_q loads documents without
+        # widen here): over a WIDENED handle the comparison inverts
+        # (jvm 0.29 vs pandas 0.43 at sf0.1 — the 32-way exchange that
+        # parallelizes the interpreted HOFs costs the pandas form more
+        # than its single Arrow boundary saves), so A/B-ing the widened
+        # frame would publish a crossover no caller ever sees.
         "quality_scores": {
-            "pandas_arrow": timed(lambda: text.quality_scores(docs)),
-            "jvm_staged_hof": timed(lambda: text.quality_scores(docs, kernel="jvm")),
+            "pandas_arrow": timed(
+                lambda: text.quality_scores(load_table(spark, sf_dir, "documents"))
+            ),
+            "jvm_staged_hof": timed(
+                lambda: text.quality_scores(
+                    load_table(spark, sf_dir, "documents"), kernel="jvm"
+                )
+            ),
         },
         "em_quantify": {
             "window": timed(lambda: em_quantify(spark, sf_dir)),

@@ -11,6 +11,8 @@ genomic pipeline itself (Index/Quantify/Tare over A-fixtures) lives in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -463,6 +465,20 @@ def em_state(
     class_key = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("kcnt")))
     class_counts = cc.select(class_key.alias("class_id"), F.col("class_cnt").alias("cnt"))
     total = cc.agg(F.sum("class_cnt").alias("_total"))
+    # Scale-adaptive partition count for the cached, loop-iterated edge
+    # table (r13, guide §2.2): `repartition("class_id")` pinned the
+    # cache at spark.sql.shuffle.partitions (AQE's coalescing keeps
+    # defaultParallelism under parallelismFirst), so every EM iteration
+    # paid 32 near-empty tasks per stage at gate/bench scale. Derive
+    # the count from the DATA instead — cc is cached and the loop
+    # forces it anyway, so the count() only moves that materialization
+    # earlier. Measured 5-iteration loop, min-of-2 warm: sf0.1 (23k
+    # edge rows) 4.32s @32 parts → 1.59s @1; sf10 (2.3M rows) 11.3s
+    # @32 → 10.3s @8, 14.5s @4 — ~250k rows/task is the measured
+    # optimum at both decades and keeps growing task counts with data
+    # (sf100 → ~93 partitions), so nothing here is tuned to local[32].
+    rows_per_part = int(os.environ.get("SPARK_GRAFT_EM_EDGE_ROWS_PER_PART", "250000"))
+    n_parts = max(1, -(-cc.count() // max(rows_per_part, 1)))
     edges = (
         cc.crossJoin(F.broadcast(total))
         .select(
@@ -471,7 +487,7 @@ def em_state(
             (F.col("class_cnt") / F.col("_total")).alias("rel_p"),
             F.col("n_chars").cast("long").alias("t_len"),
         )
-        .repartition("class_id")
+        .repartition(n_parts, "class_id")
         .cache()
     )
     transcripts = docs.select(
