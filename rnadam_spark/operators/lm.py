@@ -174,6 +174,123 @@ def _score_chars_py(s: str, G: dict, P: dict, n: int, vocab_size: int):
     return m, r6(a), r6(math.exp(a))
 
 
+# dense per-gram value tables index by base-128 codepoint codes, so they
+# exist only for n where 128**n stays a bounded model-sized array
+_NP_DENSE_MAX = 16_777_216  # 128**n entries (n=3 → 2M · 8B = 16 MB)
+
+
+def _np_scorer_table(G: dict, P: dict, n: int, vocab_size: int):
+    """Dense float64 table VAL[code(g)] = ln(P.get(p,0)+V) − ln(G.get(g,0)+1)
+    for every pure-ASCII gram ``g`` (code = base-128 codepoint digits),
+    or None when 128**n would be unbounded. Bit-parity with
+    :func:`_score_chars_py`: each entry is built from the SAME two
+    ``math.log`` doubles (memoized per distinct count — ``math.log`` is
+    deterministic for equal integer inputs) joined by one IEEE float64
+    subtraction, which numpy and the interpreter evaluate identically."""
+    import math
+
+    import numpy as np
+
+    if 128**n > _NP_DENSE_MAX:
+        return None
+    logP_arr = np.full(128 ** (n - 1), math.log(vocab_size), dtype=np.float64)
+    logG_arr = np.zeros(128**n, dtype=np.float64)
+    p_memo: dict[int, float] = {}
+    g_memo: dict[int, float] = {}
+    for p, c in P.items():
+        if len(p) == n - 1 and all(ord(x) < 128 for x in p):
+            i = 0
+            for x in p:
+                i = i * 128 + ord(x)
+            v = p_memo.get(c)
+            if v is None:
+                v = p_memo[c] = math.log(c + vocab_size)
+            logP_arr[i] = v
+    for g, c in G.items():
+        if len(g) == n and all(ord(x) < 128 for x in g):
+            i = 0
+            for x in g:
+                i = i * 128 + ord(x)
+            v = g_memo.get(c)
+            if v is None:
+                v = g_memo[c] = math.log(c + 1)
+            logG_arr[i] = v
+    return logP_arr[np.arange(128**n) // 128] - logG_arr
+
+
+class _NpCharScorer:
+    """Vectorized batch mirror of :func:`_score_chars_py` (r13, guide
+    §4.2): one codepoint decode + table gather + per-document sequential
+    sum replaces the per-character Python dict/``math.log`` loop.
+
+    Exactness argument, per position: the dense table holds the SAME
+    ``math.log`` operand doubles the scalar scorer computes (see
+    :func:`_np_scorer_table`); positions containing any non-ASCII
+    codepoint fall back to the scalar expression verbatim. Per document:
+    the scalar loop's left-to-right ``acc += v`` chain is reproduced by
+    ``np.cumsum`` (sequential by construction — every prefix is emitted;
+    verified bit-equal against the interpreter loop, unlike ``np.sum``/
+    ``reduceat`` which sum pairwise), and no ``-0.0`` can enter the
+    chain (``x−y`` with ``x==y`` rounds to ``+0.0``), so seeding the
+    scalar loop at ``0.0`` changes no bits. Division, 6dp half-up
+    rounding and ``exp`` then run on identical doubles."""
+
+    def __init__(self, G: dict, P: dict, n: int, vocab_size: int, table=None):
+        self.G, self.P, self.n, self.V = G, P, n, vocab_size
+        self.VAL = table if table is not None else _np_scorer_table(G, P, n, vocab_size)
+
+    def score_batch(self, texts: list) -> list:
+        """[(n_grams, avg_neg_log_prob, perplexity)] aligned with
+        ``texts`` (entries must be str, not None)."""
+        import math
+
+        import numpy as np
+
+        n, V = self.n, self.V
+        if self.VAL is None:  # unbounded-table n: scalar path
+            return [_score_chars_py(t, self.G, self.P, n, V) for t in texts]
+        if not texts:
+            return []
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        counts = np.maximum(lens - (n - 1), 0)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        joined = "".join(texts)
+        ch = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        W = len(ch) - n + 1
+        vals = None
+        if W > 0:
+            idx = ch[:W].copy()
+            ok = ch[:W] < 128
+            for d in range(1, n):
+                seg = ch[d : W + d]
+                idx = idx * 128 + seg
+                ok &= seg < 128
+            ends = np.cumsum(lens)
+            doc_of = np.repeat(np.arange(len(lens)), lens)[:W]
+            valid = (np.arange(W) + n) <= ends[doc_of]
+            vals = np.zeros(W, dtype=np.float64)
+            m_ok = valid & ok
+            vals[m_ok] = self.VAL[idx[m_ok]]
+            for pos in np.nonzero(valid & ~ok)[0]:
+                g = joined[pos : pos + n]
+                vals[pos] = math.log(self.P.get(g[: n - 1], 0) + V) - math.log(
+                    self.G.get(g, 0) + 1
+                )
+        out = []
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731 — hround(x, 6)
+        for d in range(len(lens)):
+            m = int(counts[d])
+            if m <= 0:
+                out.append((0, 0.0, 1.0))
+                continue
+            s = int(starts[d])
+            acc = float(np.cumsum(vals[s : s + m])[-1])
+            a = acc / m
+            out.append((m, r6(a), r6(math.exp(a))))
+        return out
+
+
 def lm_perplexity_pandas(
     docs: DataFrame,
     lm: DataFrame,
@@ -205,23 +322,30 @@ def lm_perplexity_pandas(
     import pandas as pd
 
     G, P = _collect_char_lm(lm, n)
-    bc = docs.sparkSession.sparkContext.broadcast((G, P))
+    # the dense value table builds ONCE here (driver) and ships with the
+    # dicts — per-task rebuilds would pay the |model| loop per task
+    bc = docs.sparkSession.sparkContext.broadcast(
+        (G, P, _np_scorer_table(G, P, n, vocab_size))
+    )
     id_type = dict(docs.dtypes)[id_col]
     out_schema = (
         f"{id_col} {id_type}, n_grams bigint, avg_neg_log_prob double, perplexity double"
     )
 
     def batches(it):
-        Gb, Pb = bc.value
+        Gb, Pb, Tb = bc.value
+        scorer = _NpCharScorer(Gb, Pb, n, vocab_size, table=Tb)
         for pdf in it:
-            rows = {id_col: [], "n_grams": [], "avg_neg_log_prob": [], "perplexity": []}
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                m, a, ppl = _score_chars_py(text or "", Gb, Pb, n, vocab_size)
-                rows[id_col].append(did)
-                rows["n_grams"].append(m)
-                rows["avg_neg_log_prob"].append(a)
-                rows["perplexity"].append(ppl)
-            yield pd.DataFrame(rows)
+            ids = list(pdf[id_col])
+            scores = scorer.score_batch([t or "" for t in pdf[text_col]])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "n_grams": [s[0] for s in scores],
+                    "avg_neg_log_prob": [s[1] for s in scores],
+                    "perplexity": [s[2] for s in scores],
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
 
@@ -334,7 +458,9 @@ def paragraph_perplexity_pandas(
     import pandas as pd
 
     G, P = _collect_char_lm(lm, n)
-    bc = docs.sparkSession.sparkContext.broadcast((G, P))
+    bc = docs.sparkSession.sparkContext.broadcast(
+        (G, P, _np_scorer_table(G, P, n, vocab_size))
+    )
     splitter = re.compile(split_pattern)
     id_type = dict(docs.dtypes)[id_col]
     out_schema = (
@@ -343,12 +469,10 @@ def paragraph_perplexity_pandas(
     )
 
     def batches(it):
-        Gb, Pb = bc.value
+        Gb, Pb, Tb = bc.value
+        scorer = _NpCharScorer(Gb, Pb, n, vocab_size, table=Tb)
         for pdf in it:
-            rows = {
-                id_col: [], "para_idx": [], "n_grams": [],
-                "avg_neg_log_prob": [], "perplexity": [],
-            }
+            ids, idxs, paras = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -358,13 +482,19 @@ def paragraph_perplexity_pandas(
                     # segment of just '\n' is non-blank there
                     if not para.strip(" "):
                         continue
-                    m, a, ppl = _score_chars_py(para, Gb, Pb, n, vocab_size)
-                    rows[id_col].append(did)
-                    rows["para_idx"].append(idx)
-                    rows["n_grams"].append(m)
-                    rows["avg_neg_log_prob"].append(a)
-                    rows["perplexity"].append(ppl)
-            yield pd.DataFrame(rows)
+                    ids.append(did)
+                    idxs.append(idx)
+                    paras.append(para)
+            scores = scorer.score_batch(paras)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "para_idx": idxs,
+                    "n_grams": [s[0] for s in scores],
+                    "avg_neg_log_prob": [s[1] for s in scores],
+                    "perplexity": [s[2] for s in scores],
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
 

@@ -584,3 +584,39 @@ def test_paragraph_perplexity_pandas_twin_value_equal(spark, sf_dir):
     assert not any(d == 900001 for d, _ in a)
     assert {i for d, i in a if d == 900005} == {0, 1, 3}
     assert (900006, 0) in a
+
+
+def test_np_char_scorer_bitwise_parity_with_scalar_scorer():
+    # r13: the vectorized batch scorer must reproduce _score_chars_py
+    # BIT-exactly — dense-table path (pure-ASCII grams), the non-ASCII
+    # fallback branch, boundary docs, and the oversized-n scalar path
+    import random
+    import struct
+
+    random.seed(5)
+    alpha = "abcde \n\tXYZ.,!€ñ 中 "
+    mk = lambda L: "".join(random.choice(alpha) for _ in range(L))  # noqa: E731
+    n, V = 3, 128
+    G: dict = {}
+    for t in [mk(random.randint(0, 300)) for _ in range(120)]:
+        for i in range(len(t) - n + 1):
+            G[t[i : i + n]] = G.get(t[i : i + n], 0) + 1
+    P: dict = {}
+    for g, c in G.items():
+        P[g[: n - 1]] = P.get(g[: n - 1], 0) + c
+    texts = [mk(random.randint(0, 500)) for _ in range(300)] + [
+        "", "a", "ab", "abc", "€€", "€€€€", mk(4000)
+    ]
+    scorer = lm._NpCharScorer(G, P, n, V)
+    assert scorer.VAL is not None
+    for t, got in zip(texts, scorer.score_batch(texts)):
+        exp = lm._score_chars_py(t, G, P, n, V)
+        assert exp[0] == got[0]
+        assert struct.pack("d", exp[1]) == struct.pack("d", got[1]), (t[:30], exp, got)
+        assert struct.pack("d", exp[2]) == struct.pack("d", got[2])
+    # n=4: 128**4 exceeds the dense cap — scalar fallback engages
+    s4 = lm._NpCharScorer(G, P, 4, V)
+    assert s4.VAL is None
+    assert s4.score_batch(texts[:20]) == [
+        lm._score_chars_py(t, G, P, 4, V) for t in texts[:20]
+    ]
