@@ -496,7 +496,18 @@ def _dsir_ab(spark, timed, docs) -> dict[str, float]:
         score = dsir.dsir_log_weights_pandas if pandas_form else dsir.dsir_log_weights
         return score(docs, bcount(target, DSIR_BUCKETS), bcount(docs, DSIR_BUCKETS), DSIR_BUCKETS)
 
+    def run_self():
+        # r13 default: one corpus pass histograms raw+target together
+        return dsir.dsir_log_weights_self_pandas(
+            docs,
+            sampling.sample_predicate(
+                F.col("doc_id"), _DSIR_TARGET_FRAC, seed=_DSIR_SEED
+            ),
+            DSIR_BUCKETS,
+        )
+
     out = {
+        "one_pass_self": timed(run_self),
         "fused_pandas": timed(lambda: run(True)),
         "explode_join": timed(lambda: run(False)),
     }

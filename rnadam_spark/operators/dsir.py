@@ -218,6 +218,74 @@ def dsir_log_weights_pandas(
     return raw_docs.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
+def dsir_log_weights_self_pandas(
+    raw_docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    ns: tuple[int, ...] = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dsir_log_weights_pandas` for the SELF-SAMPLE shape —
+    target ⊆ raw selected by a row-local predicate column (the
+    registered query's ``hash_sample`` of the same documents table).
+    One Arrow pass histograms BOTH corpora (each task keeps a raw and a
+    target Counter; target docs add to both), replacing the separate
+    target-corpus scan: 3 → 2 corpus passes for the full weights query
+    (r13, guide §2.3 — don't rescan what one pass can count; a
+    vectorized numpy bucket kernel was ALSO measured here and REJECTED,
+    see OPTIMIZATION_r13.md). Counts are exact integers identical to
+    two :func:`bucket_counts_pandas` calls, re-materialized as bounded
+    local tables so :func:`_log_ratio_table` computes the SAME ratio
+    doubles on the same JVM expressions; the scoring pass is unchanged.
+    EAGER AT CONSTRUCTION like every fused dsir form (the histogram
+    pass runs when this is called)."""
+    spark = raw_docs.sparkSession
+
+    def hist_batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        c_raw: Counter = Counter()
+        c_tgt: Counter = Counter()
+        for pdf in it:
+            for text, t in zip(pdf[text_col], pdf["_t"]):
+                bs = _py_doc_buckets(text, n_buckets, ns)
+                c_raw.update(bs)
+                if t:
+                    c_tgt.update(bs)
+        yield pd.DataFrame(
+            {
+                "bucket": list(c_raw.keys()),
+                "p_raw": list(c_raw.values()),
+                "p_tgt": [c_tgt.get(b, 0) for b in c_raw.keys()],
+            }
+        )
+
+    part = raw_docs.select(
+        F.col(text_col), is_target.cast("boolean").alias("_t")
+    ).mapInPandas(hist_batches, "bucket bigint, p_raw bigint, p_tgt bigint")
+    rows = (
+        part.groupBy("bucket")
+        .agg(
+            F.sum("p_raw").cast("bigint").alias("r"),
+            F.sum("p_tgt").cast("bigint").alias("t"),
+        )
+        .collect()
+    )
+    rc = spark.createDataFrame(
+        [(r["bucket"], r["r"]) for r in rows], "bucket bigint, cnt bigint"
+    )
+    tc = spark.createDataFrame(
+        [(r["bucket"], r["t"]) for r in rows if r["t"] > 0], "bucket bigint, cnt bigint"
+    )
+    return dsir_log_weights_pandas(
+        raw_docs, tc, rc, n_buckets, alpha, ns, text_col, id_col
+    )
+
+
 def bucket_counts(
     corpus: DataFrame,
     n_buckets: int = 10_000,

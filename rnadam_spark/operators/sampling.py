@@ -55,7 +55,15 @@ def hash_sample(
     ``fraction`` of the hash range. Membership depends only on (key,
     seed) — re-runs, re-partitions, and other engines agree row-for-row.
     Disjoint seeds give independent samples (train/eval splits)."""
-    return df.filter(_sample_code(key, seed) < int(fraction * MOD))
+    return df.filter(sample_predicate(key, fraction, seed))
+
+
+def sample_predicate(key: Column | str, fraction: float, seed: int = 17) -> Column:
+    """The row-local membership predicate behind :func:`hash_sample`,
+    exposed as a Column so fused operators can carry membership as a
+    flag instead of re-scanning a filtered copy of the same table
+    (r13: dsir's one-pass histogram pair)."""
+    return _sample_code(key, seed) < int(fraction * MOD)
 
 
 def stratified_hash_sample(

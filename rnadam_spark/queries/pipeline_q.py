@@ -1667,14 +1667,17 @@ def dsir_log_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rnadam_spark.operators import dsir
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    target = sampling.hash_sample(docs, "doc_id", _DSIR_TARGET_FRAC, seed=_DSIR_SEED)
     # r12 twin defaults (bench ab.dsir_weights re-measures per round;
-    # both twins pinned value-equal by tests/test_dsir.py): Counter
-    # partials for the bounded histograms, and the FUSED scorer — the
-    # em_state pattern — for the per-doc weights
-    tc = dsir.bucket_counts_pandas(target, DSIR_BUCKETS)
-    rc = dsir.bucket_counts_pandas(docs, DSIR_BUCKETS)
-    return dsir.dsir_log_weights_pandas(docs, tc, rc, DSIR_BUCKETS)
+    # both twins pinned value-equal by tests/test_dsir.py), r13: since
+    # target ⊆ raw by a row-local hash predicate, ONE Arrow pass
+    # histograms both corpora (dsir_log_weights_self_pandas) — counts
+    # and ratio doubles identical to the two-scan form, 3 → 2 corpus
+    # passes (sf10: 11.7 → 9.8s, interleaved min-of-3)
+    return dsir.dsir_log_weights_self_pandas(
+        docs,
+        sampling.sample_predicate(F.col("doc_id"), _DSIR_TARGET_FRAC, seed=_DSIR_SEED),
+        DSIR_BUCKETS,
+    )
 
 
 _BOILER_N = 3

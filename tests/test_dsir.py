@@ -313,3 +313,36 @@ def test_dsir_pandas_twins_value_equal(spark, sf_dir):
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
     assert a[900001] == (0, 0.0) and a[900002] == (0, 0.0)
+
+
+def test_dsir_self_pandas_equals_two_scan(spark, sf_dir):
+    # r13: the one-pass self form (single corpus scan histogramming
+    # raw+target together) must reproduce the two-scan pandas pipeline
+    # exactly — same histogram integers → same ratio doubles → same
+    # weights, on the registered query's own sample predicate
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import dsir, sampling
+    from rnadam_spark.queries.pipeline_q import (
+        DSIR_BUCKETS,
+        _DSIR_SEED,
+        _DSIR_TARGET_FRAC,
+    )
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    target = sampling.hash_sample(docs, "doc_id", _DSIR_TARGET_FRAC, seed=_DSIR_SEED)
+    two_scan = dsir.dsir_log_weights_pandas(
+        docs,
+        dsir.bucket_counts_pandas(target, DSIR_BUCKETS),
+        dsir.bucket_counts_pandas(docs, DSIR_BUCKETS),
+        DSIR_BUCKETS,
+    )
+    one_pass = dsir.dsir_log_weights_self_pandas(
+        docs,
+        sampling.sample_predicate(F.col("doc_id"), _DSIR_TARGET_FRAC, seed=_DSIR_SEED),
+        DSIR_BUCKETS,
+    )
+    a = {r["doc_id"]: (r["n_features"], r["log_weight"]) for r in two_scan.collect()}
+    b = {r["doc_id"]: (r["n_features"], r["log_weight"]) for r in one_pass.collect()}
+    assert a == b and len(a) > 0
