@@ -205,7 +205,13 @@ def lsh_candidate_pairs(
       bucket groupBy — measured faster than the self-join at sf0.1
       (A/B timings re-measured per round in bench.py's ``ab`` block),
       and the gap widens with input size since the self-join computes
-      the signature subtree twice.
+      the signature subtree twice. The expansion itself is
+      posexplode + slice (r13): each member row pairs with the tail of
+      the sorted bucket, replacing the nested transform/sequence
+      struct build — the same pairs in the same order, one interpreted
+      HOF tree less per bucket (sf10 11.3 → 9.3s interleaved min-of-3;
+      a 5-key tuple grouping and an Arrow expansion kernel were also
+      measured and both LOST — see OPTIMIZATION_r13.md).
     - "selfjoin": streaming band equi-self-join; tolerates unbounded
       buckets, with the cap (when set) applied as a bucket-size
       semi-filter first so both strategies emit identical pairs."""
@@ -220,21 +226,16 @@ def lsh_candidate_pairs(
             .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
             .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
         )
-        n = F.size("ds")
-        ds = F.col("ds")
-        pairs = F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n),
-                    lambda j: F.struct(
-                        F.element_at(ds, i).alias("doc_a"),
-                        F.element_at(ds, j).alias("doc_b"),
-                    ),
-                ),
+        e1 = g.select(F.col("ds"), F.posexplode("ds").alias("i", "doc_a"))
+        return (
+            e1.select(
+                "doc_a",
+                F.explode(
+                    F.slice("ds", F.col("i") + 2, F.size("ds") - F.col("i") - 1)
+                ).alias("doc_b"),
             )
+            .distinct()
         )
-        return g.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b").distinct()
     if strategy != "selfjoin":
         raise ValueError(f"unknown pair strategy: {strategy!r}")
     if max_bucket is not None:
