@@ -658,6 +658,26 @@ def _lm_vocab_ab(spark, timed, docs) -> dict[str, dict[str, float]]:
                 "runlength_hof": timed(lambda: tmod.vocabulary(docs)),
                 "pandas_arrow": timed(lambda: tmod.vocabulary_pandas(docs)),
             },
+            # r13: the training pass itself — Counter-partial kernel
+            # (em_global_counts' form; the exchange moves
+            # vocabulary-bounded partials) vs the explode + codegen
+            # hash aggregate. Integer-exact either way (pinned by
+            # tests/test_lm.py::test_train_char_lm_kernels_equal);
+            # default follows the sf10 measurement (2.2 vs 8.0s)
+            "lm_train": {
+                "pandas_counter": timed(
+                    lambda: lmod.train_char_lm(
+                        docs.filter(F.col("doc_id") % 10 == 0), cache=False
+                    )
+                ),
+                "jvm_explode_agg": timed(
+                    lambda: lmod.train_char_lm(
+                        docs.filter(F.col("doc_id") % 10 == 0),
+                        cache=False,
+                        kernel="jvm",
+                    )
+                ),
+            },
         }
         # r13 (VERDICT r12 #6): vocabulary's sf0.1 trade is a
         # coin-flip held by the sf10 win — publish the crossover
