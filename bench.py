@@ -367,6 +367,24 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "pandas_counter": timed(lambda: kmer_count_q(spark, sf_dir, kernel="pandas")),
             "jvm_explode_agg": timed(lambda: kmer_count_q(spark, sf_dir, kernel="jvm")),
         },
+        # r13 twins: the embedding-family per-row projections on the
+        # exact-order numpy kernels vs the interpreted literal-HOF
+        # forms — integer outputs bit-identical (parity pinned by
+        # tests/test_similarity.py); sf10 adoption runs measured
+        # pq_encode 38.2 → 2.4s (16x, the encode-once pass PQ exists
+        # to amortize) and ivf_cells 5.0 → 1.3s
+        "pq_encode": {
+            "pandas_numpy": timed(lambda: similarity.pq_encode(emb, pq_books)),
+            "jvm_literal_hof": timed(
+                lambda: similarity.pq_encode(emb, pq_books, kernel="jvm")
+            ),
+        },
+        "ivf_cells": {
+            "pandas_numpy": timed(lambda: similarity.ivf_cells(emb)),
+            "jvm_literal_hof": timed(
+                lambda: similarity.ivf_cells(emb, kernel="jvm")
+            ),
+        },
         # r13 twin: quality_scores on the curation parity kit vs the
         # staged-HOF form (0.37 vs 0.62s at sf0.1, 3.6 vs 4.8s at sf10
         # in the adoption runs; parity by tests/test_text_curation.py).

@@ -199,6 +199,85 @@ def _lit_vectors(vectors: list[list[float]]) -> Column:
     return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in vectors])
 
 
+def _py_fold_dot(a, c) -> float | None:
+    """Pure-Python mirror of ``dot`` (zip_with + left-fold aggregate)
+    for misshapen rows in the numpy kernels: zip_with pads the shorter
+    side with null, any null product nulls the fold, the fold starts
+    at 0.0 and adds in array order."""
+    if a is None:
+        return None
+    out = 0.0
+    for j in range(max(len(a), len(c))):
+        x = a[j] if j < len(a) else None
+        y = c[j] if j < len(c) else None
+        if x is None or y is None:
+            return None
+        out = out + x * y
+    return out
+
+
+def _py_argmax(scores) -> int:
+    """argmax with the struct-ordering convention of
+    ``array_max(ARRAY<STRUCT<s,cid>>)``: null s sorts below every
+    double, ties break to the LARGER cid."""
+    best_key, best_cid = None, 0
+    for cid, s in enumerate(scores):
+        key = (s is not None, s if s is not None else 0.0, cid)
+        if best_key is None or key >= best_key:
+            best_key, best_cid = key, cid
+    return best_cid
+
+
+def _np_argmax_rows(mat, centroids: list[list[float]], norms: list[float] | None):
+    """Per-row argmax over ``centroids`` of ``dot(row, c)`` (or
+    ``2·dot − ‖c‖²`` when ``norms`` is given), ties to the larger cid —
+    the EXACT float sequence of :func:`_centroid_scores` /
+    :func:`_l2_scores`: per element one product rounding then one
+    left-fold add rounding in array order, all float64, so scores (and
+    therefore the integer argmax) are bit-identical to the JVM
+    interpreted-HOF evaluation."""
+    import numpy as np
+
+    n = mat.shape[0]
+    best_s = None
+    best_c = np.zeros(n, dtype=np.int64)
+    for cid, c in enumerate(centroids):
+        acc = np.zeros(n)
+        for j, cj in enumerate(c):
+            acc = acc + mat[:, j] * cj
+        if norms is not None:
+            acc = 2.0 * acc - norms[cid]
+        if best_s is None:
+            best_s = acc
+        else:
+            m = acc >= best_s
+            best_s = np.where(m, acc, best_s)
+            best_c = np.where(m, cid, best_c)
+    return best_c
+
+
+def _split_embedding_batch(embeddings, dim: int):
+    """Split one Arrow batch's embedding column into the vectorized
+    path (a dense (rows, dim) float64 matrix) and the per-row fallback
+    (None / wrong length). Returns (idx_ok, mat, idx_bad, rows_bad)."""
+    import numpy as np
+
+    idx_ok, rows_ok, idx_bad, rows_bad = [], [], [], []
+    for i, e in enumerate(embeddings):
+        if e is not None and len(e) == dim:
+            idx_ok.append(i)
+            rows_ok.append(e)
+        else:
+            idx_bad.append(i)
+            rows_bad.append(e)
+    mat = (
+        np.stack([np.asarray(e, dtype=np.float64) for e in rows_ok])
+        if rows_ok
+        else np.zeros((0, dim))
+    )
+    return idx_ok, mat, idx_bad, rows_bad
+
+
 def _centroid_scores(emb: Column, centroids: list[list[int]]) -> Column:
     """ARRAY<STRUCT<s,cid>> of dot products against every centroid; the
     array_max of this is the argmax cell (struct ordering compares s
@@ -218,18 +297,49 @@ def ivf_cells(
     seed: int = 1234,
     dim: int = DIM,
     centroids: list[list[float]] | None = None,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(vec_id, cell): IVF coarse quantization — assign each vector to
     its nearest centroid. Default centroids are deterministic ±1
     patterns (equal norms, so dot-argmax ≡ cosine-argmax); pass
     ``centroids`` (e.g. from :func:`kmeans_centroids`) for trained
-    cells. Assignment is a per-row projection against broadcast
-    literals — zero shuffle, scan-speed. At scale the corpus is written
-    partitioned/bucketed BY cell so a probe reads only its cells'
-    files."""
+    cells. Assignment is a per-row projection — zero shuffle,
+    scan-speed. At scale the corpus is written partitioned/bucketed BY
+    cell so a probe reads only its cells' files.
+
+    ``kernel`` (r13): "pandas" (default) runs the dot-argmax in numpy
+    with the exact float sequence of the interpreted
+    ``_centroid_scores`` expression — cells bit-identical (pinned by
+    tests/test_similarity.py::test_ivf_cells_kernels_equal; measured
+    4.3s → well under 1s at 200k vectors). ``kernel="jvm"`` keeps the
+    literal-HOF projection."""
     cents = centroids if centroids is not None else hyperplanes(n=n_centroids, dim=dim, seed=seed)
-    cell = F.array_max(_centroid_scores(_as_double("embedding"), cents))["cid"]
-    return embeddings.select("vec_id", cell.cast("bigint").alias("cell"))
+    if kernel == "jvm":
+        cell = F.array_max(_centroid_scores(_as_double("embedding"), cents))["cid"]
+        return embeddings.select("vec_id", cell.cast("bigint").alias("cell"))
+    if kernel != "pandas":
+        raise ValueError(f"unknown ivf_cells kernel: {kernel!r}")
+    cents = [[float(v) for v in c] for c in cents]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            embs = list(pdf["embedding"])
+            idx_ok, mat, idx_bad, rows_bad = _split_embedding_batch(embs, dim)
+            cells = [None] * len(embs)
+            if idx_ok:
+                assigned = _np_argmax_rows(mat, cents, None)
+                for row_i, i in enumerate(idx_ok):
+                    cells[i] = int(assigned[row_i])
+            for i, e in zip(idx_bad, rows_bad):
+                scores = [_py_fold_dot(e, c) for c in cents]
+                cells[i] = _py_argmax(scores)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
+
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(batches, "vec_id bigint, cell bigint")
 
 
 def kmeans_centroids(
@@ -378,12 +488,12 @@ def cell_near_pairs(
     materialization it measures 12.9s (min-of-3, sf0.1 local[32]) —
     faster than either prior form. The float embeddings re-attach by a
     vec_id join after the guard, so they never evaluate for the guard
-    at all."""
-    cell = F.array_max(_centroid_scores(_as_double("embedding"), centroids))["cid"]
+    at all. (r13: the assignment itself is :func:`ivf_cells`, whose
+    default numpy kernel produces bit-identical cells — see there.)"""
     from rnadam_spark.lineage import truncate_lineage
 
     assignment = truncate_lineage(
-        embeddings.select("vec_id", cell.cast("bigint").alias("cell"))
+        ivf_cells(embeddings, centroids=centroids, dim=len(centroids[0]))
     )
     if max_cell is not None:
         from rnadam_spark.operators.guards import drop_oversize_buckets
@@ -565,22 +675,82 @@ def train_pq(
 
 
 def pq_encode(
-    embeddings: DataFrame, codebooks: list[list[list[float]]], dim: int = DIM
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int = DIM,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(vec_id, codes): PQ codes — per subspace, the index of the
-    L2-nearest codebook centroid. A pure projection against literal
-    codebooks: zero shuffle, scan-speed, and the output row is
-    m·log2(k) bits of payload instead of dim·32 — the representation
-    that makes 100 TB of embeddings greppable (a 1024-d float corpus
-    compresses 64× at m=64, nbits=8)."""
-    emb = _as_double("embedding")
-    codes = F.array(
-        *[
-            F.array_max(_l2_scores(s, codebooks[sub]))["cid"]
-            for sub, s in enumerate(_sub_slices(emb, m=len(codebooks), dim=dim))
-        ]
-    )
-    return embeddings.select("vec_id", codes.alias("codes"))
+    L2-nearest codebook centroid. Zero shuffle either way, and the
+    output row is m·log2(k) bits of payload instead of dim·32 — the
+    representation that makes 100 TB of embeddings greppable (a 1024-d
+    float corpus compresses 64× at m=64, nbits=8).
+
+    ``kernel`` (r13 optimization round): "pandas" (default) computes
+    the per-subspace L2-argmax in numpy with the EXACT float sequence
+    of the interpreted ``_l2_scores`` expression (per element one
+    product rounding + one left-fold add rounding in array order,
+    float64, the same driver-computed ‖c‖² literals), so the integer
+    codes are bit-identical — pinned by
+    tests/test_similarity.py::test_pq_encode_kernels_equal. The
+    interpreted-HOF form (m·k·d_sub lambda evaluations per row —
+    measured 39.2s vs <2s at 200k vectors, the encode-once pass PQ
+    exists to amortize) stays at ``kernel="jvm"``; ``ab.pq_encode``
+    re-measures per round."""
+    m = len(codebooks)
+    if kernel == "jvm":
+        emb = _as_double("embedding")
+        codes = F.array(
+            *[
+                F.array_max(_l2_scores(s, codebooks[sub]))["cid"]
+                for sub, s in enumerate(_sub_slices(emb, m=m, dim=dim))
+            ]
+        )
+        return embeddings.select("vec_id", codes.alias("codes"))
+    if kernel != "pandas":
+        raise ValueError(f"unknown pq_encode kernel: {kernel!r}")
+    d_sub = dim // m
+    norms = [
+        [float(sum(v * v for v in c)) for c in book] for book in codebooks
+    ]  # the same driver doubles _l2_scores inlines as literals
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            embs = list(pdf["embedding"])
+            idx_ok, mat, idx_bad, rows_bad = _split_embedding_batch(embs, dim)
+            codes = [None] * len(embs)
+            if idx_ok:
+                per_sub = [
+                    _np_argmax_rows(
+                        mat[:, sub * d_sub : (sub + 1) * d_sub],
+                        codebooks[sub],
+                        norms[sub],
+                    )
+                    for sub in range(m)
+                ]
+                stacked = np.stack(per_sub, axis=1)
+                for row_i, i in enumerate(idx_ok):
+                    codes[i] = stacked[row_i].tolist()
+            for i, e in zip(idx_bad, rows_bad):
+                sub_codes = []
+                for sub in range(m):
+                    s = None if e is None else list(e[sub * d_sub : sub * d_sub + d_sub])
+                    scores = [
+                        None
+                        if (d := _py_fold_dot(s, c)) is None
+                        else 2.0 * d - norms[sub][cid]
+                        for cid, c in enumerate(codebooks[sub])
+                    ]
+                    sub_codes.append(_py_argmax(scores))
+                codes[i] = sub_codes
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": codes})
+
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(batches, "vec_id bigint, codes array<int>")
 
 
 def pq_topk(

@@ -604,3 +604,65 @@ def test_ivf_topk_matches_retired_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}')")
     want = list(map(tuple, con.execute(_IVF_TOPK_SQL).fetchall()))
     assert got == want and len(got) == 20
+
+
+def _corner_corpus(spark, dim=64, n=40, seed=7):
+    # realistic float rows + every misshapen corner the numpy kernels
+    # route through the scalar mirror: null, empty, short, long
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    rows += [
+        (n, None),
+        (n + 1, []),
+        (n + 2, [0.5, -0.25, 0.125]),
+        (n + 3, [rng.uniform(-1, 1) for _ in range(dim + 1)]),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_ivf_cells_kernels_equal(spark):
+    df = _corner_corpus(spark)
+    got_p = {r.vec_id: r.cell for r in similarity.ivf_cells(df).collect()}
+    got_j = {r.vec_id: r.cell for r in similarity.ivf_cells(df, kernel="jvm").collect()}
+    assert got_p == got_j and len(got_p) == 44
+    # trained-float centroids too (the cell_near_pairs path)
+    cents = [[0.1 * ((i * 7 + j * 3) % 11 - 5) for j in range(64)] for i in range(8)]
+    got_p = {r.vec_id: r.cell for r in similarity.ivf_cells(df, centroids=cents).collect()}
+    got_j = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_cells(df, centroids=cents, kernel="jvm").collect()
+    }
+    assert got_p == got_j
+    # exact-tie breaks to the larger cid in BOTH kernels
+    tie = spark.createDataFrame([(0, [1.0, 1.0, 0.0, 0.0])], SCHEMA)
+    tie_cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    for kern in ("pandas", "jvm"):
+        [r] = similarity.ivf_cells(tie, centroids=tie_cents, dim=4, kernel=kern).collect()
+        assert r.cell == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.ivf_cells(df, kernel="nope")
+
+
+def test_pq_encode_kernels_equal(spark):
+    import random
+
+    df = _corner_corpus(spark)
+    rng = random.Random(13)
+    books = [
+        [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)] for _ in range(8)
+    ]
+    got_p = {r.vec_id: r.codes for r in similarity.pq_encode(df, books).collect()}
+    got_j = {
+        r.vec_id: r.codes for r in similarity.pq_encode(df, books, kernel="jvm").collect()
+    }
+    assert got_p == got_j and len(got_p) == 44
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.pq_encode(df, books, kernel="nope")
