@@ -346,3 +346,22 @@ def test_dsir_self_pandas_equals_two_scan(spark, sf_dir):
     a = {r["doc_id"]: (r["n_features"], r["log_weight"]) for r in two_scan.collect()}
     b = {r["doc_id"]: (r["n_features"], r["log_weight"]) for r in one_pass.collect()}
     assert a == b and len(a) > 0
+
+
+def test_dsir_kernels_equal(spark, sf_dir):
+    # r13: the end-to-end dsir() composition must yield the identical
+    # selected set under both kernels (the twins are pinned above;
+    # this pins the composition + dsir_select on top of them)
+    import pytest
+
+    from rnadam_spark.operators import dsir, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    target = sampling.hash_sample(docs, "doc_id", 0.2, seed=31)
+    a = sorted(map(tuple, dsir.dsir(docs, target, fraction=0.25).collect()))
+    b = sorted(
+        map(tuple, dsir.dsir(docs, target, fraction=0.25, kernel="jvm").collect())
+    )
+    assert a == b and len(a) > 50
+    with pytest.raises(ValueError):
+        dsir.dsir(docs, target, fraction=0.25, kernel="nope")
