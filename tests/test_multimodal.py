@@ -322,3 +322,115 @@ def test_dhash_pairs_full_duckdb_cross_check(spark):
         )
     )
     assert got == want and got
+
+
+def test_dhash_pairs_strategies_agree(spark):
+    # r13: the in-row posexplode+slice expansion must emit EXACTLY the
+    # self-join's pair set (same ids, same hamming), hot buckets capped
+    # identically on both paths
+    import random
+
+    import pytest
+
+    rng = random.Random(31)
+
+    def as_signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = []
+    aid = 0
+    for _ in range(30):
+        base = rng.getrandbits(64)
+        for flips in (0, 2, 4, 9):
+            v = base
+            for b in rng.sample(range(64), flips):
+                v ^= 1 << b
+            rows.append((aid, as_signed(v)))
+            aid += 1
+    # a degenerate all-zeros farm that the cap must drop on BOTH paths
+    rows += [(aid + i, 0) for i in range(12)]
+    hashes = spark.createDataFrame(rows, "asset_id BIGINT, dhash BIGINT")
+    inrow = sorted(
+        map(tuple, mm.dhash_hamming_pairs(hashes, max_bucket=10).collect())
+    )
+    selfjoin = sorted(
+        map(
+            tuple,
+            mm.dhash_hamming_pairs(hashes, max_bucket=10, strategy="selfjoin").collect(),
+        )
+    )
+    assert inrow == selfjoin and len(inrow) > 20
+    with pytest.raises(ValueError):
+        mm.dhash_hamming_pairs(hashes, strategy="nope")
+    with pytest.raises(ValueError):
+        mm.dhash_hamming_pairs(hashes, max_bucket=None, strategy="inrow")
+
+
+def _full_bmp(width=16, height=12, seed=5):
+    # 24-bit BMP WITH pixel payload so _bmp_gray decodes for real
+    import random
+    import struct
+
+    rng = random.Random(seed)
+    row_bytes = (width * 3 + 3) & ~3
+    pixels = bytes(rng.randrange(256) for _ in range(row_bytes * height))
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def test_dhash_kernels_equal(spark):
+    # r13 batched fake-path kernel: every hash bit must equal the
+    # scalar layering across real-BMP, text, short and empty payloads
+    import pytest
+
+    rows = [
+        (1, "image", bytearray(_full_bmp()), {}),
+        (2, "image", bytearray(_full_bmp(9, -7, seed=8)), {}),
+        (3, "image", bytearray(b"plain text payload " * 40), {}),
+        (4, "image", bytearray(b"tiny"), {}),
+        (5, "image", bytearray(b""), {}),
+        (6, "image", bytearray(_bmp_bytes(640, 480)), {}),  # header, no pixels
+        (7, "image", bytearray(bytes(range(256)) * 3), {}),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSETS)
+    got_b = {r.asset_id: r.dhash for r in mm.dhash_assets(df).collect()}
+    got_s = {r.asset_id: r.dhash for r in mm.dhash_assets(df, kernel="scalar").collect()}
+    assert got_b == got_s and len(got_b) == 7
+    with pytest.raises(ValueError):
+        mm.dhash_assets(df, kernel="nope")
+
+
+def test_audio_kernels_equal(spark):
+    import io
+    import wave
+
+    import pytest
+
+    def tone_wav(width=2, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(bytes((i * 37) % 256 for i in range(4000 * channels * width)))
+        return buf.getvalue()
+
+    rows = [
+        (1, "audio", bytearray(tone_wav()), {}),
+        (2, "audio", bytearray(tone_wav(width=1, channels=2)), {}),
+        (3, "audio", bytearray(b"not audio " * 50), {}),
+        (4, "audio", bytearray(b"short"), {}),  # <65 bytes: scalar path
+        (5, "audio", bytearray(b""), {}),
+        (6, "audio", bytearray(b"RIFF1234WAVEbroken"), {}),  # RIFF, bad chunks
+    ]
+    df = spark.createDataFrame(rows, mm.ASSETS)
+    got_b = {r.asset_id: (r.afp, r.is_wav) for r in mm.audio_fingerprint(df).collect()}
+    got_s = {
+        r.asset_id: (r.afp, r.is_wav)
+        for r in mm.audio_fingerprint(df, kernel="scalar").collect()
+    }
+    assert got_b == got_s and len(got_b) == 6
+    assert got_b[1][1] and not got_b[3][1]
+    with pytest.raises(ValueError):
+        mm.audio_fingerprint(df, kernel="nope")
