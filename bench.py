@@ -167,6 +167,8 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from rnadam_spark.functions.rounding import hround
     from rnadam_spark.lineage import truncate_lineage
     from rnadam_spark.operators import dedup, repetition, similarity, text
+    from rnadam_spark.operators import multimodal as mmod_ab
+    from rnadam_spark.operators import spans as spans_ab
     from rnadam_spark.queries.genomics_q import em_quantify
     from rnadam_spark.queries.genomics_q import kmer_count as kmer_count_q
     from rnadam_spark.queries.pipeline_q import _BENCH_MOD, DECONTAM_N, LSH_MAX_BUCKET
@@ -366,6 +368,57 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "kmer_count": {
             "pandas_counter": timed(lambda: kmer_count_q(spark, sf_dir, kernel="pandas")),
             "jvm_explode_agg": timed(lambda: kmer_count_q(spark, sf_dir, kernel="jvm")),
+        },
+        # r13 twin: duplicated-span detection with the vectorized
+        # spec-XXH64 window builder vs the interpreted
+        # array_join(slice) + xxhash64 expression — row-identical
+        # windows (bit-exact XXH64 parity pinned by tests/test_spans.py;
+        # 22.2 vs 7.8s at sf10 in the adoption runs)
+        "duplicated_spans": {
+            "pandas_xxh64": timed(
+                lambda: spans_ab.duplicated_spans(docs, min_tokens=13)
+            ),
+            "jvm_expr": timed(
+                lambda: spans_ab.duplicated_spans(docs, min_tokens=13, kernel="jvm")
+            ),
+        },
+        # r13 twins: the multimodal fingerprint passes on the batched
+        # fake-path kernels (bit-identical, parity pinned by
+        # tests/test_multimodal.py) and the in-row pair expansion vs
+        # the banded self-join (same pair set; the text corpus's fake
+        # hashes band into ~900M candidates at sf10, where inrow's
+        # n(n-1)/2 tail-slice generation beat the n^2 self-join
+        # 10.9 vs 17.9s end-to-end in the adoption runs)
+        "dhash": {
+            "batch_kernel": timed(
+                lambda: mmod_ab.dhash_assets(mmod_ab.assets_from_documents(docs))
+            ),
+            "scalar_kernel": timed(
+                lambda: mmod_ab.dhash_assets(
+                    mmod_ab.assets_from_documents(docs), kernel="scalar"
+                )
+            ),
+            "pairs_inrow": timed(
+                lambda: mmod_ab.dhash_hamming_pairs(
+                    mmod_ab.dhash_assets(mmod_ab.assets_from_documents(docs))
+                )
+            ),
+            "pairs_selfjoin": timed(
+                lambda: mmod_ab.dhash_hamming_pairs(
+                    mmod_ab.dhash_assets(mmod_ab.assets_from_documents(docs)),
+                    strategy="selfjoin",
+                )
+            ),
+        },
+        "audio_fp": {
+            "batch_kernel": timed(
+                lambda: mmod_ab.audio_fingerprint(mmod_ab.assets_from_documents(docs))
+            ),
+            "scalar_kernel": timed(
+                lambda: mmod_ab.audio_fingerprint(
+                    mmod_ab.assets_from_documents(docs), kernel="scalar"
+                )
+            ),
         },
         # r13 twins: the embedding-family per-row projections on the
         # exact-order numpy kernels vs the interpreted literal-HOF

@@ -54,12 +54,79 @@ def _window_hashes(text_col: str, min_tokens: int) -> Column:
     return F.transform(token_ngrams(text_col, min_tokens), lambda g: F.xxhash64(g))
 
 
+def _window_hash_rows(
+    docs: DataFrame, min_tokens: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos, wh): the posexploded window-hash table via an
+    Arrow/numpy kernel — row-identical to the JVM
+    ``posexplode(_window_hashes(...))`` form (r13, guide §4.2).
+
+    Exactness: tokenization is the simhash kernel's pinned
+    ``re.split(r"\\s+", ..., re.ASCII)`` ≡ Java ``\\s`` parity; the
+    window gram is ``" ".join(toks[i:i+n])``, whose UTF-8 bytes are a
+    SUBSTRING of the single-space-joined text (tokens contain no
+    ASCII space, and no UTF-8 continuation byte is 0x20, so the 0x20
+    bytes of the joined buffer are exactly the separators) — window
+    byte ranges come from one separator scan, no per-window string is
+    ever built; ``wh`` is the spec XXH64 of those bytes with Spark's
+    seed 42 (functions/xxh64_np.py, parity pinned bit-for-bit against
+    ``F.xxhash64``)."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from rnadam_spark.functions.xxh64_np import xxh64_ranges
+
+        ws = re.compile(r"\s+", flags=re.ASCII)
+        for pdf in it:
+            ids, poss, bufs, starts, lens = [], [], [], [], []
+            base = 0
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text) if t]
+                n_win = len(toks) - (min_tokens - 1)
+                if n_win < 1:
+                    continue
+                nb = " ".join(toks).encode("utf-8")
+                arr = np.frombuffer(nb, dtype=np.uint8)
+                sp = np.nonzero(arr == 32)[0]
+                tok_starts = np.concatenate(([0], sp + 1))
+                tok_ends = np.concatenate((sp, [len(arr)]))
+                w_starts = tok_starts[:n_win]
+                w_lens = tok_ends[min_tokens - 1 :] - w_starts
+                ids.extend([doc_id] * n_win)
+                poss.append(np.arange(n_win, dtype=np.int32))
+                starts.append(w_starts + base)
+                lens.append(w_lens)
+                bufs.append(nb)
+                base += len(nb)
+            if not ids:
+                continue
+            buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            wh = xxh64_ranges(
+                buf, np.concatenate(starts), np.concatenate(lens)
+            )
+            yield pd.DataFrame(
+                {id_col: ids, "pos": np.concatenate(poss), "wh": wh}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} {id_type}, pos int, wh bigint"
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     min_tokens: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens): maximal token spans
     (0-based, inclusive token indices) whose every ``min_tokens`` window
@@ -76,18 +143,29 @@ def duplicated_spans(
     reliable checkpoints) — without that, Spark re-executes the
     scan → tokenize → window-hash → posexplode subtree, the dominant
     cost of the whole pass, once per consumer.
+
+    ``kernel`` (r13): "pandas" (default) builds the windows table via
+    :func:`_window_hash_rows` — the interpreted per-window
+    ``array_join(slice(...))`` string construction (measured 11.3s of
+    the 21.3s sf10 detection pass) becomes one separator scan + a
+    vectorized spec-XXH64 over byte ranges, ROW-IDENTICAL to the JVM
+    form (tests/test_spans.py pins the window table and the spans
+    end-to-end). "jvm" keeps the expression form.
     """
     if min_tokens < 1:
         raise ValueError("min_tokens must be >= 1")
     from rnadam_spark.lineage import truncate_lineage
 
-    windows = truncate_lineage(
-        docs.select(
+    if kernel == "pandas":
+        raw_windows = _window_hash_rows(docs, min_tokens, text_col, id_col)
+    elif kernel == "jvm":
+        raw_windows = docs.select(
             F.col(id_col),
             F.posexplode(_window_hashes(text_col, min_tokens)).alias("pos", "wh"),
-        ),
-        checkpoint_dir,
-    )
+        )
+    else:
+        raise ValueError(f"unknown duplicated_spans kernel: {kernel!r}")
+    windows = truncate_lineage(raw_windows, checkpoint_dir)
     dup = (
         windows.groupBy("wh")
         .agg(F.count("*").alias("_cnt"))

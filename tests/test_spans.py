@@ -10,7 +10,12 @@ from collections import Counter
 import pytest
 from pyspark.sql import functions as F
 
-from rnadam_spark.operators.spans import duplicated_spans, remove_duplicated_spans
+from rnadam_spark.operators.spans import (
+    _window_hash_rows,
+    _window_hashes,
+    duplicated_spans,
+    remove_duplicated_spans,
+)
 
 
 def _py_spans(texts: dict[int, str], L: int) -> dict[int, list[tuple[int, int]]]:
@@ -129,9 +134,15 @@ def test_short_docs_yield_no_windows(spark):
 
 
 def test_no_python_boundary(corpus):
+    # r13: the DEFAULT kernel is one MapInPandas (the vectorized
+    # XXH64 window builder) and nothing else Python; the JVM kernel
+    # stays boundary-free
     _, df = corpus
-    plan = duplicated_spans(df, min_tokens=4)._jdf.queryExecution().executedPlan().toString()
+    plan = duplicated_spans(df, min_tokens=4, kernel="jvm")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+    plan_p = duplicated_spans(df, min_tokens=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan_p.count("MapInPandas") == 0  # materialized BEFORE the boundary snapshot
+    assert "BatchEvalPython" not in plan_p
 
 
 def test_single_tokenize_pass(corpus):
@@ -255,3 +266,71 @@ def test_duplicated_spans_full_duckdb_cross_check(spark):
     """
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want and got
+
+
+def test_xxh64_batch_matches_spark(spark):
+    # r13: the vectorized spec-XXH64 behind _window_hash_rows must be
+    # bit-identical to F.xxhash64 across every length/tail shape
+    import random
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.functions.xxh64_np import xxh64_ranges
+
+    rng = random.Random(3)
+    strs = [""]
+    for L in list(range(1, 101)) + [200, 1000]:
+        strs.append("".join(chr(rng.randrange(32, 127)) for _ in range(L)))
+    strs += ["naïve café — ünïcode ♥" * 5, "日本語のテキスト", " nbsp and tab\t"]
+    bufs = [s.encode("utf-8") for s in strs]
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    starts = np.zeros(len(bufs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    mine = list(xxh64_ranges(buf, starts, lens))
+    rows = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i long, s string"
+    ).select("i", F.xxhash64("s").alias("h")).collect()
+    want = [r.h for r in sorted(rows, key=lambda r: r.i)]
+    assert mine == want
+
+
+def test_duplicated_spans_kernels_equal(spark):
+    # window table AND final spans identical across kernels, incl. the
+    # tokenization corners (NBSP is NOT a Java \s separator), unicode
+    # text, short docs, null text, and real duplicated passages
+    import pytest
+
+    passage = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, f"intro {passage} outro one"),
+        (2, f"prefix words {passage} suffix"),
+        (3, "nbsp glued token " + "filler word " * 10 + "nbsp glued token"),
+        (4, "short doc"),
+        (5, None),
+        (6, ("ünïcode véry " * 8) + passage),
+        (7, f"{passage} {passage}"),  # duplicated within ONE doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    win_p = sorted(
+        map(tuple, _window_hash_rows(docs, 12, "text", "doc_id").collect())
+    )
+    from pyspark.sql import functions as F
+
+    win_j = sorted(
+        map(
+            tuple,
+            docs.select(
+                F.col("doc_id"),
+                F.posexplode(_window_hashes("text", 12)).alias("pos", "wh"),
+            ).collect(),
+        )
+    )
+    assert win_p == win_j and len(win_p) > 10
+    got_p = sorted(map(tuple, duplicated_spans(docs, 12).collect()))
+    got_j = sorted(map(tuple, duplicated_spans(docs, 12, kernel="jvm").collect()))
+    assert got_p == got_j and len(got_p) >= 3
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, 12, kernel="nope")
