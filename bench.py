@@ -168,6 +168,7 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from rnadam_spark.lineage import truncate_lineage
     from rnadam_spark.operators import dedup, repetition, similarity, text
     from rnadam_spark.operators import multimodal as mmod_ab
+    from rnadam_spark.operators import search as search_ab
     from rnadam_spark.operators import spans as spans_ab
     from rnadam_spark.queries.genomics_q import em_quantify
     from rnadam_spark.queries.genomics_q import kmer_count as kmer_count_q
@@ -368,6 +369,19 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "kmer_count": {
             "pandas_counter": timed(lambda: kmer_count_q(spark, sf_dir, kernel="pandas")),
             "jvm_explode_agg": timed(lambda: kmer_count_q(spark, sf_dir, kernel="jvm")),
+        },
+        # r13 twin: the registered bm25 row on the numpy scoring
+        # kernel (exact float sequence; 8.7 vs 2.1s at sf10, tie at
+        # sf0.1) vs the per-term interpreted filter() HOF form
+        "bm25_topk": {
+            "pandas_counter": timed(
+                lambda: search_ab.bm25_topk(docs, "the data system and network", k=10)
+            ),
+            "jvm_filter_hof": timed(
+                lambda: search_ab.bm25_topk(
+                    docs, "the data system and network", k=10, kernel="jvm"
+                )
+            ),
         },
         # r13 twin: duplicated-span detection with the vectorized
         # spec-XXH64 window builder vs the interpreted

@@ -86,3 +86,44 @@ def test_bm25_reused_stats_match_fresh(spark):
     a = [(r.doc_id, r.score) for r in search.bm25_topk(docs, "spark data", stats=stats).collect()]
     b = [(r.doc_id, r.score) for r in search.bm25_topk(docs, "spark data").collect()]
     assert a == b
+
+
+def test_bm25_kernels_equal(spark, sf_dir):
+    # r13: the numpy scoring kernel must reproduce the interpreted
+    # expression's 6dp-rounded scores EXACTLY (same float sequence) —
+    # over the real corpus plus unicode lowercasing corners (İ → i +
+    # combining dot contains an ASCII 'i'; Kelvin K → k; ß; Σ;
+    # titlecase ǅ; fullwidth chars) and null/empty texts
+    import pytest
+
+    from rnadam_spark.operators import search as search_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).union(
+        spark.createDataFrame(
+            [
+                (900001, None),
+                (900002, ""),
+                (900003, "İstanbul KELVIN K data ß ΣΙΓΜΑ ǅ ＦＵＬＬ the"),
+                (900004, "the the the data data network"),
+            ],
+            "doc_id bigint, text string",
+        )
+    )
+    q = "the data system and network"
+    a = [tuple(r) for r in search_mod.bm25_topk(docs, q, k=30).collect()]
+    jstats = search_mod.corpus_stats(
+        docs, sorted(set(search_mod._py_terms(q))), kernel="jvm"
+    )
+    pstats = search_mod.corpus_stats(docs, sorted(set(search_mod._py_terms(q))))
+    assert jstats == pstats
+    j = [
+        tuple(r)
+        for r in search_mod.bm25_topk(docs, q, k=30, kernel="jvm").collect()
+    ]
+    assert a == j and len(a) == 30
+    with pytest.raises(ValueError):
+        search_mod.bm25_topk(docs, q, kernel="nope")
+    with pytest.raises(ValueError):
+        search_mod.corpus_stats(docs, ["x"], kernel="nope")
