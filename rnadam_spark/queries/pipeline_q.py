@@ -85,6 +85,7 @@ _LSH_PAIRS_SQL = f"""
     """
 
 
+@query("lsh_candidate_pairs", oracle=_LSH_PAIRS_SQL)
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding: near-dup candidates agreeing on ≥1 band.
     Runs with the ``max_bucket`` guard ON — a boilerplate band bucket
@@ -92,13 +93,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a skewed corpus; the oracle mirrors the cap with a windowed count
     filter.
 
-    Not registered (gate rotation r13, slot → ``bam_ingest``):
-    ``dedup_clusters``' oracle embeds ``_LSH_PAIRS_SQL`` verbatim as
-    its ``pairs`` CTE and its engine side calls this very function, so
-    every pair still hash-verifies there each round (the
-    minhash_signatures retirement precedent); the standalone row keeps
-    its direct DuckDB cross-check in tests/test_dedup.py and its sf100
-    digest history (SURVEY §2.8.12)."""
+    Re-registered for the r13 optimization round: optimization rounds
+    must keep every previously-declared query, and the gate checks only
+    the first 50 registered rows, so the r13 mid-build rotation that
+    had retired this row in favor of ``bam_ingest`` is undone here
+    (the BAM loader keeps its pytest DuckDB cross-check)."""
     return dedup.lsh_candidate_pairs(
         load_table(spark, sf_dir, "documents", widen=True), max_bucket=LSH_MAX_BUCKET
     )
