@@ -63,13 +63,11 @@ def _bench_queries() -> dict:
         # deregistered round 11 (ann_recall/excise_paragraphs rotation);
         # headline keeps timing the brute-force ANN baseline
         "embedding_topk": embedding_topk,
-        # deregistered round 13 (bam_ingest rotation; dedup_clusters'
-        # oracle embeds the pair SQL verbatim); headline and the
-        # cross-decade block keep timing the banding kernel
+        # re-registered in the r13 optimization round (the mid-build
+        # rotation was undone: optimization rounds keep the declared
+        # set a superset of the prior round's); the explicit entries
+        # are now redundant with **QUERIES but kept for clarity
         "lsh_candidate_pairs": lsh_candidate_pairs,
-        # deregistered round 13 (bam_region_ingest rotation;
-        # class_counts_normalized's oracle embeds _CLASSES_SQL
-        # verbatim); headline keeps timing the class construction
         "equivalence_classes": equivalence_classes,
     }
 
@@ -476,6 +474,14 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "window": timed(lambda: em_quantify(spark, sf_dir)),
             "skew_safe": timed(lambda: em_quantify(spark, sf_dir, skew_safe=True)),
         },
+        # r13 twin: the loop-static PageRank edge cache (materialized
+        # once, key-partitioned by a data-derived count) vs the lazy
+        # form that re-executes and re-shuffles the edge subtree every
+        # iteration; ranks identical (tests/test_graph.py)
+        "pagerank": {
+            "edge_cache": timed(lambda: _pagerank_q(spark, sf_dir, True)),
+            "lazy_edges": timed(lambda: _pagerank_q(spark, sf_dir, False)),
+        },
         # decontamination join strategy: broadcast the benchmark grams
         # (default — eval suites are tiny next to the corpus) vs the
         # sort-merge plan a corpus-vs-corpus overlap would need
@@ -535,6 +541,12 @@ def _classes_q(spark, sf_dir: str, kernel: str):
     from rnadam_spark.queries.genomics_q import _classes
 
     return _classes(spark, sf_dir, kernel=kernel)
+
+
+def _pagerank_q(spark, sf_dir: str, cache_edges: bool):
+    from rnadam_spark.queries.web_q import pagerank
+
+    return pagerank(spark, sf_dir, cache_edges=cache_edges)
 
 
 def _curated_ab(spark, timed, sf_dir: str) -> dict[str, float]:

@@ -25,10 +25,22 @@ Scale shape, mirroring the engine's other driver-loop algorithms (EM
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rnadam_spark.lineage import truncate_lineage
+
+#: target edge rows per partition for the loop-static edge cache —
+#: scale-adaptive (sf0.1 → 1 partition, ~10^9 edges → thousands), the
+#: same data-derived sizing as the EM edge cache
+#: (SPARK_GRAFT_EM_EDGE_ROWS_PER_PART, r13 §7); override for clusters
+#: whose per-core memory differs from the local default.
+_EDGE_ROWS_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_PR_EDGE_ROWS_PER_PART", "250000")
+)
 
 
 def pagerank(
@@ -38,12 +50,19 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_dir: str | None = None,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """(node, rank): PageRank after ``iterations`` power steps with
     uniform teleport and uniform dangling-mass redistribution; ranks
     sum to 1 every iteration. Duplicate (src, dst) rows count as
     parallel edges (weight by multiplicity); self-loops participate
-    like any edge."""
+    like any edge.
+
+    ``cache_edges`` (r13, default True): materialize the loop-static
+    edge table once, hash-partitioned on the join key with a
+    data-derived partition count — without it every iteration
+    re-executes the edge subtree (scan + transforms) and re-shuffles
+    it into the E-step join (``False`` keeps the lazy form for A/B)."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -60,6 +79,22 @@ def pagerank(
     base = truncate_lineage(nodes.join(out_deg, "node", "left"), checkpoint_dir)
     ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "_deg")
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    # r13 (guide §2.4/§5): the edge table is loop-STATIC but was left
+    # lazy, so every iteration re-executed its whole upstream subtree
+    # (scan + transforms) AND re-shuffled it into the join. Materialize
+    # it ONCE, hash-partitioned on the join key with a data-derived
+    # partition count (truncate_lineage preserves the partitioning, so
+    # each iteration's join exchanges only the node-sized ranks table).
+    # Edge count comes free off the already-materialized degree table —
+    # Σ out-degree — a 1-row aggregate, not a corpus pass.
+    if cache_edges:
+        n_edges = int(
+            base.agg(F.coalesce(F.sum("_deg"), F.lit(0)).alias("m")).collect()[0]["m"]
+        )
+        e = truncate_lineage(
+            e.repartition(max(1, math.ceil(n_edges / _EDGE_ROWS_PER_PART)), "node"),
+            checkpoint_dir,
+        )
     for _ in range(iterations):
         # dangling mass as a broadcast 1-row aggregate over the PREVIOUS
         # (materialized) ranks — never a driver collect, and the whole

@@ -239,6 +239,7 @@ def contaminated_spans(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     broadcast_benchmark: bool = True,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens): maximal corpus
     spans whose every ``min_tokens`` window appears anywhere in the
@@ -252,10 +253,25 @@ def contaminated_spans(
     set swapped for the benchmark's window set: eval suites are tiny
     next to a 100 TB corpus, so the distinct benchmark hashes broadcast
     (``broadcast_benchmark=False`` for corpus-vs-corpus overlap) and
-    the corpus-side scan never shuffles until the per-doc re-group."""
-    windows = docs.select(
-        F.col(id_col), F.posexplode(_window_hashes(text_col, min_tokens)).alias("pos", "wh")
-    )
+    the corpus-side scan never shuffles until the per-doc re-group.
+
+    ``kernel`` (r13): the CORPUS-side window table shares
+    :func:`duplicated_spans`' choice — "pandas" (default) builds it via
+    the vectorized spec-XXH64 kernel (:func:`_window_hash_rows`,
+    row-identical to the JVM form, parity pinned by tests/
+    test_spans.py), "jvm" keeps the interpreted
+    ``posexplode(array_join(slice(...)))`` expression. The benchmark
+    side always stays JVM: eval suites are bounded, so its window
+    build is not a corpus-pass cost."""
+    if kernel == "pandas":
+        windows = _window_hash_rows(docs, min_tokens, text_col, id_col)
+    elif kernel == "jvm":
+        windows = docs.select(
+            F.col(id_col),
+            F.posexplode(_window_hashes(text_col, min_tokens)).alias("pos", "wh"),
+        )
+    else:
+        raise ValueError(f"unknown contaminated_spans kernel: {kernel!r}")
     bench = benchmark.select(
         F.explode(_window_hashes(bench_text_col, min_tokens)).alias("wh")
     ).distinct()

@@ -47,3 +47,18 @@ def test_pagerank_dangling_and_determinism(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     got2 = {r.node: r.rank for r in pagerank(df.repartition(5), iterations=15).collect()}
     assert got == got2
+
+
+def test_pagerank_edge_cache_forms_agree(spark):
+    # r13: the loop-static edge table materializes once, key-partitioned
+    # (cache_edges=True default); the lazy form stays as the A/B twin.
+    # Ranks identical on a graph with hubs, dangling nodes and parallel
+    # edges (duplicate (1,2) counts as two edges both ways).
+    edges = [(1, 2), (1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 2), (6, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.node: r.rank for r in pagerank(df, iterations=8).collect()}
+    b = {r.node: r.rank for r in pagerank(df, iterations=8, cache_edges=False).collect()}
+    assert a == b
+    want = _py_pagerank(edges, iterations=8)
+    for v in want:
+        assert abs(a[v] - want[v]) < 1e-6

@@ -334,3 +334,35 @@ def test_duplicated_spans_kernels_equal(spark):
     assert got_p == got_j and len(got_p) >= 3
     with pytest.raises(ValueError):
         duplicated_spans(docs, 12, kernel="nope")
+
+
+def test_contaminated_spans_kernels_equal(spark):
+    # r13: contaminated_spans' corpus-side window table shares the
+    # vectorized XXH64 kernel; spans identical across kernels over the
+    # same corner corpus (incl. a doc whose only hit is unicode-adjacent
+    # and a clean doc)
+    import pytest
+
+    from rnadam_spark.operators.spans import contaminated_spans
+
+    passage = "what is the capital of france paris is the capital city"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {passage} closing words"),
+            (2, "totally clean document with nothing leaked inside it at all"),
+            (3, ("ünïcode véry " * 4) + passage),
+            (4, None),
+            (5, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"quiz: {passage} end of key")], "doc_id bigint, text string"
+    )
+    got_p = sorted(map(tuple, contaminated_spans(docs, bench, min_tokens=5).collect()))
+    got_j = sorted(
+        map(tuple, contaminated_spans(docs, bench, min_tokens=5, kernel="jvm").collect())
+    )
+    assert got_p == got_j and {r[0] for r in got_p} == {1, 3}
+    with pytest.raises(ValueError):
+        contaminated_spans(docs, bench, min_tokens=5, kernel="nope")
