@@ -476,8 +476,12 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         },
         # r13 twin: the loop-static PageRank edge cache (materialized
         # once, key-partitioned by a data-derived count) vs the lazy
-        # form that re-executes and re-shuffles the edge subtree every
-        # iteration; ranks identical (tests/test_graph.py)
+        # form that re-executes the edge subtree every iteration. The
+        # REGISTERED row defaults to lazy by measurement (over its
+        # cheap projected edges the node-sized ranks broadcast, so the
+        # edge side never shuffles and the cache only saves re-scans:
+        # sf10 lazy 4.03-4.36s vs cache 4.17-5.65s); ranks identical
+        # (tests/test_graph.py), re-measured here every round
         "pagerank": {
             "edge_cache": timed(lambda: _pagerank_q(spark, sf_dir, True)),
             "lazy_edges": timed(lambda: _pagerank_q(spark, sf_dir, False)),

@@ -33,13 +33,13 @@ from pyspark.sql import functions as F
 
 from rnadam_spark.lineage import truncate_lineage
 
-#: target edge rows per partition for the loop-static edge cache —
-#: scale-adaptive (sf0.1 → 1 partition, ~10^9 edges → thousands), the
-#: same data-derived sizing as the EM edge cache
-#: (SPARK_GRAFT_EM_EDGE_ROWS_PER_PART, r13 §7); override for clusters
-#: whose per-core memory differs from the local default.
+#: target edge rows per partition for the opt-in loop-static edge
+#: cache — scale-adaptive (sf0.1 → 1 partition, ~10^9 edges →
+#: thousands), the same data-derived sizing as the EM edge cache
+#: (SPARK_GRAFT_EM_EDGE_ROWS_PER_PART, r13 §7). 62.5k measured better
+#: than 250k at sf10 (4.17 vs 5.65s); override per cluster.
 _EDGE_ROWS_PER_PART = int(
-    os.environ.get("SPARK_GRAFT_PR_EDGE_ROWS_PER_PART", "250000")
+    os.environ.get("SPARK_GRAFT_PR_EDGE_ROWS_PER_PART", "62500")
 )
 
 
@@ -50,7 +50,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_dir: str | None = None,
-    cache_edges: bool = True,
+    cache_edges: bool = False,
 ) -> DataFrame:
     """(node, rank): PageRank after ``iterations`` power steps with
     uniform teleport and uniform dangling-mass redistribution; ranks
@@ -58,11 +58,20 @@ def pagerank(
     parallel edges (weight by multiplicity); self-loops participate
     like any edge.
 
-    ``cache_edges`` (r13, default True): materialize the loop-static
-    edge table once, hash-partitioned on the join key with a
-    data-derived partition count — without it every iteration
-    re-executes the edge subtree (scan + transforms) and re-shuffles
-    it into the E-step join (``False`` keeps the lazy form for A/B)."""
+    ``cache_edges`` (r13): materialize the loop-static edge table once,
+    hash-partitioned on the join key with a data-derived partition
+    count, so iterations stop re-executing the edge subtree. Default
+    FALSE by measurement, not theory: over the registered row's cheap
+    projected edges the lazy form ties or wins at every measurable
+    decade (sf10 interleaved min-of-3: lazy 4.03–4.36s vs cache 4.17s
+    at 62.5k rows/part, 5.65s at 250k — ranks are node-sized so the
+    per-iteration join BROADCASTS them and never shuffles the edge
+    side; the cache only saves the re-scan, and its materialization +
+    reduced scan parallelism cost more than those re-scans here). Opt
+    IN when the edge subtree is expensive to recompute — e.g. edges
+    extracted from document text — where (iterations − 1) saved
+    corpus passes dominate; ``ab.pagerank`` re-measures the trade
+    every round. Ranks identical either way (tests/test_graph.py)."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

@@ -150,7 +150,7 @@ def _pagerank_sql() -> str:
 
 
 @query("pagerank", oracle=_pagerank_sql())
-def pagerank(spark: SparkSession, sf_dir: str, cache_edges: bool = True) -> DataFrame:
+def pagerank(spark: SparkSession, sf_dir: str, cache_edges: bool = False) -> DataFrame:
     """Domain-authority PageRank (operators/graph.pagerank) over the
     deterministic two-layer source↔d-node graph: per iteration one
     key-partitioned join + one map-side-partial groupBy, the dangling

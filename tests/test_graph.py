@@ -50,13 +50,13 @@ def test_pagerank_dangling_and_determinism(spark):
 
 
 def test_pagerank_edge_cache_forms_agree(spark):
-    # r13: the loop-static edge table materializes once, key-partitioned
-    # (cache_edges=True default); the lazy form stays as the A/B twin.
-    # Ranks identical on a graph with hubs, dangling nodes and parallel
-    # edges (duplicate (1,2) counts as two edges both ways).
+    # r13: the loop-static edge cache (opt-in; lazy is the measured
+    # default — see graph.pagerank's docstring) must produce identical
+    # ranks on a graph with hubs, dangling nodes and parallel edges
+    # (duplicate (1,2) counts as two edges both ways).
     edges = [(1, 2), (1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 2), (6, 7)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    a = {r.node: r.rank for r in pagerank(df, iterations=8).collect()}
+    a = {r.node: r.rank for r in pagerank(df, iterations=8, cache_edges=True).collect()}
     b = {r.node: r.rank for r in pagerank(df, iterations=8, cache_edges=False).collect()}
     assert a == b
     want = _py_pagerank(edges, iterations=8)
