@@ -675,8 +675,11 @@ def _em_loop_ab(spark, docs) -> dict[str, float]:
     build. checkpoint_every=2 is the loop-unrolled two-iteration plan:
     one eager truncation per two iterations, with the unchecked
     iteration's subtree materializing once inside the next E-step's
-    broadcast exchange. The default stays every-1 unless BOTH sf10 and
-    sf100 invert (adoption discipline: same-protocol win at both)."""
+    broadcast exchange. The both-decades adoption bar was met on the
+    final r13 tree (loop-only min-of-k: every_2 12.14 vs 13.73s at
+    sf10, 58.29 vs 61.57s at sf100 — the §7 data-sized edge cache
+    shrank per-iteration work until the eager action dominated), so
+    every-2 is now the DEFAULT; this row keeps re-measuring both."""
     from rnadam_spark.algorithms.quantify import em_loop
     from rnadam_spark.queries.genomics_q import K, em_state
 

@@ -226,7 +226,7 @@ def quantify(
     max_iterations: int,
     calibrate_kmer_bias: bool = True,
     calibrate_length_bias: bool = True,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
     timers=None,
     skew_safe: bool = False,
     checkpoint_dir: str | None = None,
@@ -303,7 +303,7 @@ def em_loop(
     max_iterations: int,
     calibrate_length_bias: bool = True,
     t_len: DataFrame | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
     timers=None,
     skew_safe: bool = False,
     checkpoint_dir: str | None = None,
@@ -337,19 +337,24 @@ def em_loop(
     for i in range(max_iterations):
         # mu is n_transcripts rows: truncating the whole EM lineage here
         # is near-free (the reference never truncated — its plan depth
-        # grew linearly with iterations). Every iteration by default:
-        # each broadcast exchange materializes its child subtree
-        # independently, so an unbounded lineage re-executes all prior
-        # iterations per broadcast — measured 45.9s vs 8.3s for the
-        # 5-iteration flagship at sf0.1 with checkpoint_every 5 vs 1;
-        # intermediate cadences also lose (r8 min-of-3: 8.66s at 1,
-        # 9.20s at 2, 9.54s at 3 — the saved eager action never pays
-        # for the re-executed iteration inside each broadcast). Also
-        # measured and rejected: transporting mu through the driver
-        # (collect + createDataFrame per iteration — mu is bounded
-        # model state, so it is legal) was SLOWER than localCheckpoint
-        # at sf0.1 (5.23s vs 4.91s warm min-of-3, identical results):
-        # the collect round-trip costs more than the checkpoint write.
+        # grew linearly with iterations). Cadence is a measured trade:
+        # without ANY truncation each broadcast exchange re-executes
+        # all prior iterations (45.9s vs 8.3s for the 5-iteration
+        # flagship at sf0.1, checkpoint_every 5 vs 1, r8); every-2 —
+        # one eager action per TWO iterations, the skipped iteration's
+        # subtree materializing once inside the next E-step broadcast —
+        # lost under r8's 32-partition edge cache (9.20 vs 8.66s) but
+        # WINS after r13 §7 sized the cache from the data: loop-only
+        # min-of-k on the final tree, every_2 vs every_1 — sf10 12.14
+        # vs 13.73s, sf100 58.29 vs 61.57s (sf0.1 is a coin flip across
+        # artifacts), meeting the both-decades adoption bar, so 2 is
+        # the default; ab.em_loop re-measures the cadence every round.
+        # Also measured and rejected: transporting mu through the
+        # driver (collect + createDataFrame per iteration — mu is
+        # bounded model state, so it is legal) was SLOWER than
+        # localCheckpoint at sf0.1 (5.23s vs 4.91s warm min-of-3,
+        # identical results): the collect round-trip costs more than
+        # the checkpoint write.
         if (i + 1) % checkpoint_every == 0:
             mu = truncate_lineage(mu, checkpoint_dir)
         if timers is None:
