@@ -322,9 +322,18 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "staged_hof": timed(lambda: text.gopher_quality(docs)),
             "pandas_arrow": timed(lambda: text.gopher_quality_pandas(docs)),
         },
+        # grouped = the r13 second-session default: signature-dedup
+        # before banding (4.8x at sf10), group-grain cap + pair dedup,
+        # no doc-level distinct. sf10 5.99 vs inrow 9.44s; sf0.1 a
+        # 0.5s loss — crossover published here every round
         "lsh_candidate_pairs": {
-            "inrow_capped": timed(
+            "grouped_capped": timed(
                 lambda: dedup.lsh_candidate_pairs(docs, max_bucket=LSH_MAX_BUCKET)
+            ),
+            "inrow_capped": timed(
+                lambda: dedup.lsh_candidate_pairs(
+                    docs, max_bucket=LSH_MAX_BUCKET, strategy="inrow"
+                )
             ),
             "selfjoin_capped": timed(
                 lambda: dedup.lsh_candidate_pairs(
@@ -448,6 +457,18 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             "pandas_numpy": timed(lambda: similarity.ivf_cells(emb)),
             "jvm_literal_hof": timed(
                 lambda: similarity.ivf_cells(emb, kernel="jvm")
+            ),
+        },
+        # r13 twin (second session): the sign-random-projection
+        # bucketing on the exact-order numpy kernel vs the folded-
+        # literal HOF form — same §12 shape (16 planes × 64 dims =
+        # 1024 interpreted lambda evals/row on the JVM side); buckets
+        # bit-identical (tests/test_similarity.py::
+        # test_lsh_buckets_scaled_kernels_equal)
+        "lsh_buckets_scaled": {
+            "pandas_numpy": timed(lambda: similarity.lsh_buckets_scaled(emb)),
+            "jvm_literal_hof": timed(
+                lambda: similarity.lsh_buckets_scaled(emb, kernel="jvm")
             ),
         },
         # r13 twin: quality_scores on the curation parity kit vs the

@@ -196,9 +196,10 @@ def lsh_candidate_pairs(
     pair in a bucket of n costs n², so a boilerplate bucket of 10⁶ docs
     would emit 10¹² pairs; capping is the standard scale guard).
 
-    ``strategy`` picks how bucket pairs are expanded (default: "inrow"
-    when capped, "selfjoin" uncapped — the in-row expansion REQUIRES
-    the cap, since it materializes a bucket's member list in one row):
+    ``strategy`` picks how bucket pairs are expanded (default: "grouped"
+    when capped, "selfjoin" uncapped — the grouped and in-row
+    expansions REQUIRE the cap, since they materialize a bucket's
+    member list in one row):
 
     - "inrow": groupBy band → collect members → in-row pair expansion.
       The MinHash subtree runs once and the only data shuffle is the
@@ -214,10 +215,27 @@ def lsh_candidate_pairs(
       measured and both LOST — see OPTIMIZATION_r13.md).
     - "selfjoin": streaming band equi-self-join; tolerates unbounded
       buckets, with the cap (when set) applied as a bucket-size
-      semi-filter first so both strategies emit identical pairs."""
-    bands = lsh_band_sigs(minhash_signatures(docs))
+      semi-filter first so both strategies emit identical pairs.
+    - "grouped": docs sharing an IDENTICAL full signature collapse to
+      one representative before banding (r13 second session — measured
+      4.8× signature dedup at sf10); banding, the bucket cap and the
+      pair dedup all run at the GROUP grain, then group pairs expand
+      back to doc pairs exactly once — the final 26M-row distinct
+      exchange disappears. Pair set identical (see
+      :func:`_grouped_pairs`; exceptAll both ways = 0 over 16.9M pairs
+      at sf10); requires ``max_bucket``. Default by measurement:
+      sf10 5.99 vs inrow 9.44s min-of-3 interleaved; sf0.1 is a 0.5s
+      LOSS (1.94 vs 1.41 — the extra groupBy + joins are scheduling
+      floor at small scale), the same crossover shape as kmer_count —
+      the default follows the sf10 decade and ``ab.lsh_candidate_pairs``
+      re-measures all three strategies every round."""
     if strategy is None:
-        strategy = "inrow" if max_bucket is not None else "selfjoin"
+        strategy = "grouped" if max_bucket is not None else "selfjoin"
+    if strategy == "grouped":
+        if max_bucket is None:
+            raise ValueError("grouped pair expansion requires max_bucket")
+        return _grouped_pairs(minhash_signatures(docs), max_bucket)
+    bands = lsh_band_sigs(minhash_signatures(docs))
     if strategy == "inrow":
         if max_bucket is None:
             raise ValueError("in-row pair expansion requires max_bucket")
@@ -254,6 +272,104 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate pairs via signature-group collapse — the same pair SET
+    as the doc-level strategies, derived at the group grain.
+
+    Equality argument: docs with an identical full signature have
+    identical band_sigs for every band, so they occupy exactly the same
+    buckets; a bucket's doc count equals Σ cnt over its groups, so the
+    2..max_bucket qualify test is unchanged; the pairs inside a
+    qualifying bucket are exactly (cross-group pairs over its group
+    pairs) ∪ (intra-group pairs of its groups), and groups are disjoint,
+    so after the GROUP-level distinct each doc pair expands exactly
+    once — no doc-level distinct needed. band_sig is built with the
+    same concat_ws expression as :func:`lsh_band_sigs` (null h-values
+    skip identically on both paths, so bucket membership matches even
+    for signatures containing nulls).
+
+    Scale shape: the band exchange and the pair-dedup exchange shrink
+    by the signature-duplication factor (4.8× at sf10 — exact dups and
+    near-dup farms are the norm in web corpora, and every exact dup is
+    a signature dup); a corpus with no duplicate signatures pays one
+    extra narrow groupBy. Pinned pair-set-equal to "inrow" by
+    tests/test_dedup.py plus the gate row's DuckDB oracle."""
+    from rnadam_spark.lineage import truncate_lineage
+
+    rows_per_band = N_HASHES // N_BANDS
+    h_cols = [f"h{i}" for i in range(N_HASHES)]
+    # one row per distinct signature: gid = min member doc_id (groups
+    # are disjoint, so gid is unique); materialized once — banding and
+    # the two expansion joins all read it
+    groups = truncate_lineage(
+        sigs.groupBy(*h_cols)
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select(
+            F.element_at("docs", 1).alias("gid"),
+            "docs",
+            F.size("docs").alias("cnt"),
+            *h_cols,
+        )
+    )
+    members = groups.select("gid", "docs")
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    gb = groups.select("gid", "cnt", F.explode(bands_arr).alias("bs")).select(
+        "gid", "cnt", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+    buckets = (
+        gb.groupBy("band", "band_sig")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("gid", "cnt"))).alias("gs"),
+            F.sum("cnt").alias("total"),
+        )
+        .filter((F.col("total") >= 2) & (F.col("total") <= max_bucket))
+    )
+    e1 = buckets.select(F.col("gs"), F.posexplode("gs").alias("i", "ga"))
+    cross = e1.select(
+        F.col("ga.gid").alias("g_a"),
+        F.explode(F.slice("gs", F.col("i") + 2, F.size("gs") - F.col("i") - 1)).alias("gbs"),
+    ).select("g_a", F.col("gbs.gid").alias("g_b"))
+    intra = (
+        buckets.select(F.explode("gs").alias("gx"))
+        .filter(F.col("gx.cnt") >= 2)
+        .select(F.col("gx.gid").alias("g_a"), F.col("gx.gid").alias("g_b"))
+    )
+    gp = cross.union(intra).distinct()
+    ex = gp.join(
+        members.select(F.col("gid").alias("g_a"), F.col("docs").alias("da")), "g_a"
+    ).join(members.select(F.col("gid").alias("g_b"), F.col("docs").alias("db")), "g_b")
+    cross_docs = (
+        ex.filter(F.col("g_a") != F.col("g_b"))
+        .select(F.explode("da").alias("x"), F.col("db"))
+        .select("x", F.explode("db").alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+        )
+    )
+    intra_docs = (
+        ex.filter(F.col("g_a") == F.col("g_b"))
+        .select(F.col("da").alias("ds"))
+        .select(F.col("ds"), F.posexplode("ds").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds") - F.col("i") - 1)
+            ).alias("doc_b"),
+        )
+    )
+    return cross_docs.union(intra_docs)
 
 
 def incremental_near_dups(

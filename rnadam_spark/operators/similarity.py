@@ -126,15 +126,117 @@ def _bucket_bits(emb: Column, planes: list[list[int]], p: Column | None = None) 
     )
 
 
+def _np_bucket_bits(mat, planes: list[list[float]], p):
+    """Per-row bucket ints replaying :func:`_bucket_bits`' EXACT float
+    sequence (the §12 discipline): per plane one elementwise product
+    rounding then one left-fold add rounding in array order, all
+    float64 — the sign test (and so the integer bucket) is
+    bit-identical to the JVM interpreted-HOF evaluation. ``p`` is an
+    int64 array masking each row to its first p planes (None = all);
+    a NaN score fails ``>= 0`` on both engines."""
+    import numpy as np
+
+    n = mat.shape[0]
+    out = np.zeros(n, dtype=np.int64)
+    for j, plane in enumerate(planes):
+        acc = np.zeros(n)
+        for d, w in enumerate(plane):
+            acc = acc + mat[:, d] * w
+        keep = acc >= 0.0
+        if p is not None:
+            keep &= j < p
+        out += np.where(keep, np.int64(2**j), np.int64(0))
+    return out
+
+
+def _py_bucket_bits(e, planes: list[list[float]], p: int | None) -> int:
+    """Pure-Python mirror of :func:`_bucket_bits` for misshapen rows
+    (null / wrong-length embeddings): zip_with null-padding nulls the
+    fold, a null score contributes no bit (``when`` otherwise-0)."""
+    out = 0
+    for j, plane in enumerate(planes):
+        if p is not None and j >= p:
+            continue
+        s = _py_fold_dot(e, plane)
+        if s is not None and s >= 0:
+            out += 2**j
+    return out
+
+
+def _bucket_kernel_df(
+    embeddings: DataFrame,
+    planes: list[list[int]],
+    dim: int,
+    tgt: int | None,
+) -> DataFrame:
+    """(vec_id, bucket) via an Arrow/numpy projection — the §12 kernel
+    shape for the sign-random-projection bucketing. ``tgt`` None = all
+    planes (fixed form); otherwise the scaled form's per-row mask
+    p = greatest(1, #{j in 1..max : tgt·2^(j-1) < n}) computed from the
+    attached broadcast count ``__n`` with the SAME exact integer
+    comparisons as the in-plan expression."""
+    pls = [[float(v) for v in c] for c in planes]
+    n_planes = len(pls)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            embs = list(pdf["embedding"])
+            if tgt is None:
+                p_row = None
+            else:
+                nn = pdf["__n"].to_numpy(dtype=np.int64)
+                p_row = np.maximum(
+                    np.int64(1),
+                    sum(
+                        (np.int64(tgt * 2 ** (j - 1)) < nn).astype(np.int64)
+                        for j in range(1, n_planes + 1)
+                    ),
+                )
+            idx_ok, mat, idx_bad, rows_bad = _split_embedding_batch(embs, dim)
+            buckets = [0] * len(embs)
+            if idx_ok:
+                ok = np.asarray(idx_ok, dtype=np.int64)
+                bs = _np_bucket_bits(mat, pls, None if p_row is None else p_row[ok])
+                for row_i, i in enumerate(idx_ok):
+                    buckets[i] = int(bs[row_i])
+            for i, e in zip(idx_bad, rows_bad):
+                buckets[i] = _py_bucket_bits(
+                    e, pls, None if p_row is None else int(p_row[i])
+                )
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": buckets})
+
+    cols = ["vec_id", F.col("embedding").cast("array<double>").alias("embedding")]
+    if tgt is not None:
+        cols.append("__n")
+    return embeddings.select(*cols).mapInPandas(batches, "vec_id bigint, bucket bigint")
+
+
 def lsh_buckets(
-    embeddings: DataFrame, seed: int = 99, dim: int = DIM, n_planes: int = N_PLANES
+    embeddings: DataFrame,
+    seed: int = 99,
+    dim: int = DIM,
+    n_planes: int = N_PLANES,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(vec_id, bucket): bucket = bit pattern of sign(v · hᵢ). ``dim``
     must match the embedding width (zip_with null-pads otherwise);
-    ``n_planes`` must be sized for the corpus — see ``planes_for``."""
+    ``n_planes`` must be sized for the corpus — see ``planes_for``.
+
+    ``kernel`` (r13): "pandas" (default) runs the plane dots in numpy
+    with the exact float sequence of the interpreted ``_bucket_bits``
+    expression — buckets bit-identical (pinned by
+    tests/test_similarity.py::test_lsh_buckets_kernels_equal);
+    ``kernel="jvm"`` keeps the folded-literal HOF projection."""
     planes = hyperplanes(n=n_planes, dim=dim, seed=seed)
-    bucket = _bucket_bits(_as_double("embedding"), planes)
-    return embeddings.select("vec_id", bucket.cast("bigint").alias("bucket"))
+    if kernel == "jvm":
+        bucket = _bucket_bits(_as_double("embedding"), planes)
+        return embeddings.select("vec_id", bucket.cast("bigint").alias("bucket"))
+    if kernel != "pandas":
+        raise ValueError(f"unknown lsh_buckets kernel: {kernel!r}")
+    return _bucket_kernel_df(embeddings, planes, dim, None)
 
 
 def lsh_buckets_scaled(
@@ -143,6 +245,7 @@ def lsh_buckets_scaled(
     seed: int = 99,
     dim: int = DIM,
     n_planes_max: int = 16,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(vec_id, bucket): sign-random-projection buckets whose plane
     count adapts to the corpus IN-PLAN — the :func:`planes_for` rule
@@ -169,10 +272,23 @@ def lsh_buckets_scaled(
     integer comparisons, equal to ``ceil(log2(n/target))`` for integer
     n but immune to the cross-engine 1-ulp hazard of a float log2 at
     power-of-two boundaries (an oracle must reproduce p bit-for-bit;
-    one ulp above an integer flips ceil and every bucket with it)."""
+    one ulp above an integer flips ceil and every bucket with it).
+
+    ``kernel`` (r13): "pandas" (default) evaluates the plane dots in
+    numpy replaying the interpreted expression's exact float sequence
+    and the SAME integer-compare p rule from the attached broadcast
+    count — buckets bit-identical (pinned by
+    tests/test_similarity.py::test_lsh_buckets_scaled_kernels_equal);
+    ``kernel="jvm"`` keeps the in-plan HOF form."""
     planes = hyperplanes(n=n_planes_max, dim=dim, seed=seed)
     n = embeddings.agg(F.count("*").alias("__n"))
     tgt = max(target_bucket, 1)
+    if kernel == "pandas":
+        return _bucket_kernel_df(
+            embeddings.crossJoin(F.broadcast(n)), planes, dim, tgt
+        )
+    if kernel != "jvm":
+        raise ValueError(f"unknown lsh_buckets_scaled kernel: {kernel!r}")
     p = F.greatest(
         F.lit(1).cast("bigint"),
         sum(

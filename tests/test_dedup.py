@@ -62,6 +62,42 @@ def test_lsh_pair_strategies_agree(spark):
     assert inrow == selfjoin and inrow
 
 
+def test_lsh_grouped_strategy_agrees(spark):
+    import pytest
+
+    # exact dups (identical signatures) + near dups (signature differs,
+    # band collides) + a loner: exercises intra-group, cross-group and
+    # group-of-one paths of the grouped expansion
+    rows = (
+        [(i, BASE) for i in range(4)]  # one signature group of 4
+        + [(10 + i, BASE + f" extra{i}") for i in range(3)]  # singles
+        + [(20, "zzz completely unrelated text qqq")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for cap in (6, 100):
+        inrow = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.lsh_candidate_pairs(docs, max_bucket=cap, strategy="inrow").collect()
+        }
+        grouped_df = dedup.lsh_candidate_pairs(docs, max_bucket=cap, strategy="grouped")
+        grouped = [(r.doc_a, r.doc_b) for r in grouped_df.collect()]
+        # same SET, and no duplicate rows without a doc-level distinct
+        assert set(grouped) == inrow and len(grouped) == len(inrow)
+    # the cap counts DOCS (Σ cnt), not distinct signatures: 4 identical
+    # docs + 1 near-dup in one bucket = 5 docs / ≤3 groups — a cap of 4
+    # must drop that bucket in BOTH strategies
+    rows5 = [(i, BASE) for i in range(4)] + [(9, BASE + " tail")]
+    docs5 = spark.createDataFrame(rows5, ["doc_id", "text"])
+    for strat in ("inrow", "grouped"):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.lsh_candidate_pairs(docs5, max_bucket=4, strategy=strat).collect()
+        }
+        assert all(9 not in p for p in got), strat
+    with pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(docs, strategy="grouped")  # needs max_bucket
+
+
 def test_ngram_gram_df_cap(spark):
     # every doc shares one hot trigram; with the df cap below the
     # gram's document frequency, the hot gram is pruned from candidate

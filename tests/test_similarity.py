@@ -666,3 +666,43 @@ def test_pq_encode_kernels_equal(spark):
 
     with pytest.raises(ValueError):
         similarity.pq_encode(df, books, kernel="nope")
+
+
+def test_lsh_buckets_kernels_equal(spark):
+    import pytest
+
+    df = _corner_corpus(spark)
+    # an exact-zero dot must set the bit in BOTH kernels (0.0 >= 0)
+    zero = spark.createDataFrame([(100, [0.0] * 64)], SCHEMA)
+    df = df.union(zero)
+    got_p = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df).collect()}
+    got_j = {
+        r.vec_id: r.bucket for r in similarity.lsh_buckets(df, kernel="jvm").collect()
+    }
+    assert got_p == got_j and len(got_p) == 45
+    assert got_p[100] == 2**similarity.N_PLANES - 1  # all-zero dots: every bit set
+    # misshapen rows (null / empty / short / long) bucket to 0 in both
+    for vid in (40, 41, 42, 43):
+        assert got_p[vid] == 0
+    with pytest.raises(ValueError):
+        similarity.lsh_buckets(df, kernel="nope")
+
+
+def test_lsh_buckets_scaled_kernels_equal(spark):
+    import pytest
+
+    # n spanning the p = 1, 2, 3 integer boundaries of the tgt·2^(j-1)
+    # rule (tgt=8: p rises at n=9, 17, 33) + the misshapen corners
+    df = _corner_corpus(spark, dim=4, n=30)
+    for tgt in (8, 64):
+        got_p = {
+            r.vec_id: r.bucket
+            for r in similarity.lsh_buckets_scaled(df, tgt, dim=4).collect()
+        }
+        got_j = {
+            r.vec_id: r.bucket
+            for r in similarity.lsh_buckets_scaled(df, tgt, dim=4, kernel="jvm").collect()
+        }
+        assert got_p == got_j and len(got_p) == 34
+    with pytest.raises(ValueError):
+        similarity.lsh_buckets_scaled(df, kernel="nope")
