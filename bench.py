@@ -419,9 +419,19 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                     mmod_ab.assets_from_documents(docs), kernel="scalar"
                 )
             ),
-            "pairs_inrow": timed(
+            # grouped = the r13 second-session default (identical
+            # hashes collapse 86x at sf10, bit_count per distinct hash
+            # pair): sf10 3.59 vs inrow 14.13s, sf0.1 a ~0.9s loss —
+            # the crossover published here every round
+            "pairs_grouped": timed(
                 lambda: mmod_ab.dhash_hamming_pairs(
                     mmod_ab.dhash_assets(mmod_ab.assets_from_documents(docs))
+                )
+            ),
+            "pairs_inrow": timed(
+                lambda: mmod_ab.dhash_hamming_pairs(
+                    mmod_ab.dhash_assets(mmod_ab.assets_from_documents(docs)),
+                    strategy="inrow",
                 )
             ),
             "pairs_selfjoin": timed(

@@ -686,9 +686,15 @@ def dhash_hamming_pairs(
     and ``max_bucket`` capping degenerate bands (e.g. a constant-color
     thumbnail corpus hashing to all-zeros).
 
-    ``strategy`` picks how bucket pairs are expanded (default: "inrow"
+    ``strategy`` picks how bucket pairs are expanded (default: "grouped"
     when ``max_bucket`` is set, else "selfjoin" — the
     lsh_candidate_pairs convention):
+
+    - "grouped" (r13 second session): identical hashes collapse to one
+      group before banding; the cap, the bit_count verify and the pair
+      dedup run at the group grain, then group pairs expand back to
+      asset pairs exactly once (see the inline comment for the
+      equality argument and the one-hash-per-id requirement).
 
     - "inrow" (r13): members collect per bucket as a SORTED
       (id, hash) struct array and each member pairs with the tail via
@@ -740,7 +746,115 @@ def dhash_hamming_pairs(
         F.col(id_col), h.alias("_h"), F.explode(bands).alias("b")
     ).select(id_col, "_h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
     if strategy is None:
-        strategy = "inrow" if max_bucket is not None else "selfjoin"
+        strategy = "grouped" if max_bucket is not None else "selfjoin"
+    if strategy == "grouped":
+        # assets sharing an IDENTICAL hash collapse to one group before
+        # banding (r13 second session — 86x at sf10 on the fake-path
+        # corpus; identical payload bytes hash identically, so exact
+        # dups always collapse): banding, the bucket cap (Σ cnt ≡ the
+        # asset count the other strategies test) and the pair dedup run
+        # at the GROUP grain, bit_count evaluates once per distinct
+        # hash pair instead of once per asset pair, intra-group pairs
+        # are hamming 0 by construction, and group pairs expand back to
+        # asset pairs exactly once — the asset-level distinct
+        # disappears. Pair set identical to "inrow"/"selfjoin" (pinned
+        # by tests/test_multimodal.py + an sf10 exceptAll run) PROVIDED
+        # each id carries ONE hash row, which every in-repo producer
+        # (dhash_assets, audio_fingerprint, video frame packing)
+        # guarantees. Default by measurement: see ab.dhash.
+        if max_bucket is None:
+            raise ValueError("grouped pair expansion requires max_bucket")
+        from rnadam_spark.lineage import truncate_lineage
+
+        groups = truncate_lineage(
+            hashes.groupBy(h.alias("_h"))
+            .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+            .select(
+                F.element_at("ids", 1).alias("gid"),
+                "ids",
+                F.size("ids").alias("cnt"),
+                "_h",
+            )
+        )
+        members = groups.select("gid", "ids")
+        gbands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("_h"), offsets[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .alias("val"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        gb = groups.select("gid", "cnt", "_h", F.explode(gbands).alias("b")).select(
+            "gid", "cnt", "_h", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+        )
+        buckets = (
+            gb.groupBy("band", "val")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("gid", F.col("_h").alias("h"), "cnt"))
+                ).alias("gs"),
+                F.sum("cnt").alias("total"),
+            )
+            .filter((F.col("total") >= 2) & (F.col("total") <= max_bucket))
+        )
+        e1 = buckets.select(F.col("gs"), F.posexplode("gs").alias("i", "ga"))
+        cross = (
+            e1.select(
+                F.col("ga.gid").alias("g_a"),
+                F.col("ga.h").alias("_ha"),
+                F.explode(
+                    F.slice("gs", F.col("i") + 2, F.size("gs") - F.col("i") - 1)
+                ).alias("gbs"),
+            )
+            .select(
+                "g_a",
+                F.col("gbs.gid").alias("g_b"),
+                F.bit_count(F.col("_ha").bitwiseXOR(F.col("gbs.h")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_distance)
+        )
+        intra = (
+            buckets.select(F.explode("gs").alias("gx"))
+            .filter(F.col("gx.cnt") >= 2)
+            .select(
+                F.col("gx.gid").alias("g_a"),
+                F.col("gx.gid").alias("g_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        gp = cross.union(intra).distinct()
+        ex = gp.join(
+            members.select(F.col("gid").alias("g_a"), F.col("ids").alias("ia")), "g_a"
+        ).join(members.select(F.col("gid").alias("g_b"), F.col("ids").alias("ib")), "g_b")
+        cross_assets = (
+            ex.filter(F.col("g_a") != F.col("g_b"))
+            .select("hamming", F.explode("ia").alias("x"), F.col("ib"))
+            .select("hamming", "x", F.explode("ib").alias("y"))
+            .select(
+                F.least("x", "y").alias("asset_a"),
+                F.greatest("x", "y").alias("asset_b"),
+                "hamming",
+            )
+        )
+        intra_assets = (
+            ex.filter(F.col("g_a") == F.col("g_b"))
+            .select(F.col("ia").alias("ds"))
+            .select(F.col("ds"), F.posexplode("ds").alias("i", "asset_a"))
+            .select(
+                "asset_a",
+                F.explode(
+                    F.slice("ds", F.col("i") + 2, F.size("ds") - F.col("i") - 1)
+                ).alias("asset_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        return cross_assets.union(intra_assets)
     if strategy == "inrow":
         if max_bucket is None:
             raise ValueError("in-row pair expansion requires max_bucket")

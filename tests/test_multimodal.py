@@ -360,10 +360,34 @@ def test_dhash_pairs_strategies_agree(spark):
         )
     )
     assert inrow == selfjoin and len(inrow) > 20
+    # the grouped default (sorted above) matches both explicit forms —
+    # including intra-group hamming-0 pairs from duplicate hashes and
+    # the Σcnt cap semantics exercised by the all-zeros farm
+    explicit_inrow = sorted(
+        map(
+            tuple,
+            mm.dhash_hamming_pairs(hashes, max_bucket=10, strategy="inrow").collect(),
+        )
+    )
+    assert explicit_inrow == inrow
+    # duplicate hashes below the cap: intra pairs surface at hamming 0
+    dup = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, 7), (3, 6)], "asset_id BIGINT, dhash BIGINT"
+    )
+    for strat in ("grouped", "inrow"):
+        got = sorted(
+            map(
+                tuple,
+                mm.dhash_hamming_pairs(dup, max_bucket=10, strategy=strat).collect(),
+            )
+        )
+        assert got == [(0, 1, 0), (0, 2, 0), (0, 3, 1), (1, 2, 0), (1, 3, 1), (2, 3, 1)], strat
     with pytest.raises(ValueError):
         mm.dhash_hamming_pairs(hashes, strategy="nope")
     with pytest.raises(ValueError):
         mm.dhash_hamming_pairs(hashes, max_bucket=None, strategy="inrow")
+    with pytest.raises(ValueError):
+        mm.dhash_hamming_pairs(hashes, max_bucket=None, strategy="grouped")
 
 
 def _full_bmp(width=16, height=12, seed=5):
