@@ -331,22 +331,25 @@ def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
     buckets = (
         gb.groupBy("band", "band_sig")
         .agg(
-            F.sort_array(F.collect_list(F.struct("gid", "cnt"))).alias("gs"),
+            F.sort_array(F.collect_list("gid")).alias("gs"),
             F.sum("cnt").alias("total"),
         )
         .filter((F.col("total") >= 2) & (F.col("total") <= max_bucket))
     )
-    e1 = buckets.select(F.col("gs"), F.posexplode("gs").alias("i", "ga"))
-    cross = e1.select(
-        F.col("ga.gid").alias("g_a"),
-        F.explode(F.slice("gs", F.col("i") + 2, F.size("gs") - F.col("i") - 1)).alias("gbs"),
-    ).select("g_a", F.col("gbs.gid").alias("g_b"))
-    intra = (
-        buckets.select(F.explode("gs").alias("gx"))
-        .filter(F.col("gx.cnt") >= 2)
-        .select(F.col("gx.gid").alias("g_a"), F.col("gx.gid").alias("g_b"))
+    # the tail slice starts AT the member (i+1, 1-based), so each group
+    # also pairs with ITSELF once per bucket — that self pair carries
+    # the intra-group doc pairs through the same single consumer of
+    # ``buckets`` (a separate intra branch would re-run the banding +
+    # bucket groupBy from the barrier); groups of one expand to zero
+    # doc pairs in the intra tail-slice below
+    e1 = buckets.select(F.col("gs"), F.posexplode("gs").alias("i", "g_a"))
+    gp = (
+        e1.select(
+            "g_a",
+            F.explode(F.slice("gs", F.col("i") + 1, F.size("gs") - F.col("i"))).alias("g_b"),
+        )
+        .distinct()
     )
-    gp = cross.union(intra).distinct()
     ex = gp.join(
         members.select(F.col("gid").alias("g_a"), F.col("docs").alias("da")), "g_a"
     ).join(members.select(F.col("gid").alias("g_b"), F.col("docs").alias("db")), "g_b")

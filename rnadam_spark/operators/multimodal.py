@@ -795,19 +795,26 @@ def dhash_hamming_pairs(
             gb.groupBy("band", "val")
             .agg(
                 F.sort_array(
-                    F.collect_list(F.struct("gid", F.col("_h").alias("h"), "cnt"))
+                    F.collect_list(F.struct("gid", F.col("_h").alias("h")))
                 ).alias("gs"),
                 F.sum("cnt").alias("total"),
             )
             .filter((F.col("total") >= 2) & (F.col("total") <= max_bucket))
         )
+        # the tail slice starts AT the member (i+1, 1-based), so each
+        # group also pairs with ITSELF once per bucket: the self pair's
+        # hamming is bit_count(h^h)=0, always within max_distance, and
+        # it carries the intra-group doc pairs through the same single
+        # consumer of ``buckets`` (a separate intra branch would re-run
+        # the banding + bucket groupBy from the barrier); groups of one
+        # expand to zero doc pairs in the intra tail-slice below
         e1 = buckets.select(F.col("gs"), F.posexplode("gs").alias("i", "ga"))
-        cross = (
+        gp = (
             e1.select(
                 F.col("ga.gid").alias("g_a"),
                 F.col("ga.h").alias("_ha"),
                 F.explode(
-                    F.slice("gs", F.col("i") + 2, F.size("gs") - F.col("i") - 1)
+                    F.slice("gs", F.col("i") + 1, F.size("gs") - F.col("i"))
                 ).alias("gbs"),
             )
             .select(
@@ -818,17 +825,8 @@ def dhash_hamming_pairs(
                 .alias("hamming"),
             )
             .filter(F.col("hamming") <= max_distance)
+            .distinct()
         )
-        intra = (
-            buckets.select(F.explode("gs").alias("gx"))
-            .filter(F.col("gx.cnt") >= 2)
-            .select(
-                F.col("gx.gid").alias("g_a"),
-                F.col("gx.gid").alias("g_b"),
-                F.lit(0).cast("int").alias("hamming"),
-            )
-        )
-        gp = cross.union(intra).distinct()
         ex = gp.join(
             members.select(F.col("gid").alias("g_a"), F.col("ids").alias("ia")), "g_a"
         ).join(members.select(F.col("gid").alias("g_b"), F.col("ids").alias("ib")), "g_b")
