@@ -341,6 +341,23 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                 )
             ),
         },
+        # r13 second session: the registered dedup_clusters' star
+        # rounds over the CONTRACTED signature-group graph (groups are
+        # cliques; 10.6x fewer edges at sf10, 52-66s -> ~13s) vs the
+        # doc-level pairs+CC composition — (node, component) sets
+        # identical (test_lsh_components_match_pairs_cc)
+        "dedup_clusters": {
+            "contracted_cc": timed(
+                lambda: dedup.lsh_near_dup_components(
+                    docs, max_bucket=LSH_MAX_BUCKET
+                )
+            ),
+            "doc_level_cc": timed(
+                lambda: dedup.lsh_near_dup_components(
+                    docs, max_bucket=LSH_MAX_BUCKET, contracted=False
+                )
+            ),
+        },
         # r13 twin: the numpy minhash kernel (per-doc grain straight
         # out of the scan, zero shuffle) vs the explode+partial-agg JVM
         # form — integer-exact, pinned value-equal by

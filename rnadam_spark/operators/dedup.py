@@ -274,35 +274,32 @@ def lsh_candidate_pairs(
     )
 
 
-def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
-    """Candidate pairs via signature-group collapse — the same pair SET
-    as the doc-level strategies, derived at the group grain.
+def _signature_groups_and_pairs(
+    sigs: DataFrame, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """The group grain shared by :func:`_grouped_pairs` (candidate
+    pairs) and :func:`lsh_near_dup_components` (contracted connected
+    components). Returns ``(groups, gp)``:
 
-    Equality argument: docs with an identical full signature have
-    identical band_sigs for every band, so they occupy exactly the same
-    buckets; a bucket's doc count equals Σ cnt over its groups, so the
-    2..max_bucket qualify test is unchanged; the pairs inside a
-    qualifying bucket are exactly (cross-group pairs over its group
-    pairs) ∪ (intra-group pairs of its groups), and groups are disjoint,
-    so after the GROUP-level distinct each doc pair expands exactly
-    once — no doc-level distinct needed. band_sig is built with the
-    same concat_ws expression as :func:`lsh_band_sigs` (null h-values
-    skip identically on both paths, so bucket membership matches even
-    for signatures containing nulls).
+    - ``groups``: one row per distinct full signature — (gid, docs,
+      cnt) with gid = min member doc_id (groups partition the doc ids,
+      so gid is unique), barriered once for all consumers;
+    - ``gp``: DISTINCT group pairs (g_a, g_b) from the banded buckets,
+      including the SELF pair (g, g) for every group appearing in a
+      qualifying (2 ≤ Σ cnt ≤ max_bucket) bucket — the tail slice
+      starts AT the member (i+1, 1-based) so the self pair rides the
+      same single consumer of the bucket table (a separate intra
+      branch would re-run the banding + bucket groupBy from the
+      barrier).
 
-    Scale shape: the band exchange and the pair-dedup exchange shrink
-    by the signature-duplication factor (4.8× at sf10 — exact dups and
-    near-dup farms are the norm in web corpora, and every exact dup is
-    a signature dup); a corpus with no duplicate signatures pays one
-    extra narrow groupBy. Pinned pair-set-equal to "inrow" by
-    tests/test_dedup.py plus the gate row's DuckDB oracle."""
+    band_sig is built with the same concat_ws expression as
+    :func:`lsh_band_sigs` (null h-values skip identically on both
+    paths, so bucket membership matches even for signatures containing
+    nulls)."""
     from rnadam_spark.lineage import truncate_lineage
 
     rows_per_band = N_HASHES // N_BANDS
     h_cols = [f"h{i}" for i in range(N_HASHES)]
-    # one row per distinct signature: gid = min member doc_id (groups
-    # are disjoint, so gid is unique); materialized once — banding and
-    # the two expansion joins all read it
     groups = truncate_lineage(
         sigs.groupBy(*h_cols)
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
@@ -313,7 +310,6 @@ def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
             *h_cols,
         )
     )
-    members = groups.select("gid", "docs")
     bands_arr = F.array(
         *[
             F.struct(
@@ -336,12 +332,6 @@ def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
         )
         .filter((F.col("total") >= 2) & (F.col("total") <= max_bucket))
     )
-    # the tail slice starts AT the member (i+1, 1-based), so each group
-    # also pairs with ITSELF once per bucket — that self pair carries
-    # the intra-group doc pairs through the same single consumer of
-    # ``buckets`` (a separate intra branch would re-run the banding +
-    # bucket groupBy from the barrier); groups of one expand to zero
-    # doc pairs in the intra tail-slice below
     e1 = buckets.select(F.col("gs"), F.posexplode("gs").alias("i", "g_a"))
     gp = (
         e1.select(
@@ -350,6 +340,31 @@ def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
         )
         .distinct()
     )
+    return groups, gp
+
+
+def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate pairs via signature-group collapse — the same pair SET
+    as the doc-level strategies, derived at the group grain.
+
+    Equality argument: docs with an identical full signature have
+    identical band_sigs for every band, so they occupy exactly the same
+    buckets; a bucket's doc count equals Σ cnt over its groups, so the
+    2..max_bucket qualify test is unchanged; the pairs inside a
+    qualifying bucket are exactly (cross-group pairs over its group
+    pairs) ∪ (intra-group pairs of its groups), and groups are disjoint,
+    so after the GROUP-level distinct each doc pair expands exactly
+    once — no doc-level distinct needed. Groups of one expand to zero
+    doc pairs in the intra tail-slice below.
+
+    Scale shape: the band exchange and the pair-dedup exchange shrink
+    by the signature-duplication factor (4.8× at sf10 — exact dups and
+    near-dup farms are the norm in web corpora, and every exact dup is
+    a signature dup); a corpus with no duplicate signatures pays one
+    extra narrow groupBy. Pinned pair-set-equal to "inrow" by
+    tests/test_dedup.py plus the gate row's DuckDB oracle."""
+    groups, gp = _signature_groups_and_pairs(sigs, max_bucket)
+    members = groups.select("gid", "docs")
     ex = gp.join(
         members.select(F.col("gid").alias("g_a"), F.col("docs").alias("da")), "g_a"
     ).join(members.select(F.col("gid").alias("g_b"), F.col("docs").alias("db")), "g_b")
@@ -373,6 +388,67 @@ def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
         )
     )
     return cross_docs.union(intra_docs)
+
+
+def lsh_near_dup_components(
+    docs: DataFrame,
+    max_bucket: int,
+    checkpoint_dir: str | None = None,
+    contracted: bool = True,
+) -> DataFrame:
+    """(node, component): connected components of the
+    ``lsh_candidate_pairs(docs, max_bucket)`` graph — the near-dup
+    cluster derivation — computed on the CONTRACTED signature-group
+    graph (r13 second session).
+
+    Why contraction is exact: in the doc pair graph every signature
+    group that appears in a qualifying bucket is a CLIQUE (its intra
+    pairs are emitted whenever any of its buckets qualifies), and a
+    cross-group pair connects every doc of one group to every doc of
+    the other — so doc components are exactly the group components
+    expanded to members, and the component label (min doc_id) equals
+    the min gid of the group component because gid IS each group's min
+    doc_id. The star rounds therefore run over the group graph —
+    10.6× fewer edges at sf10 (1.59M vs 16.9M; the doc-level chain
+    measured 52–66s, this form ~13s end-to-end) — and doc ids only
+    appear in the final expansion join.
+
+    Node coverage matches ``connected_components`` over the doc pairs:
+    a doc is in the output iff it occurs in ≥ 1 pair, i.e. its group
+    has a cross pair, or has cnt ≥ 2 and sits in a qualifying bucket
+    (the self pair marks that; such isolated cliques become their own
+    component). Pinned set-equal to the pairs+CC composition by
+    tests/test_dedup.py::test_lsh_components_match_pairs_cc and the
+    ``dedup_clusters`` gate oracle.
+
+    ``contracted=False`` keeps the doc-level composition (pairs → star
+    rounds) for A/B re-measurement."""
+    from rnadam_spark.operators.clustering import connected_components
+
+    if not contracted:
+        pairs = lsh_candidate_pairs(docs, max_bucket=max_bucket)
+        return connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    groups, gp = _signature_groups_and_pairs(minhash_signatures(docs), max_bucket)
+    cross = gp.filter(F.col("g_a") != F.col("g_b"))
+    cc_g = connected_components(
+        cross, src="g_a", dst="g_b", checkpoint_dir=checkpoint_dir
+    )
+    # isolated internally-connected groups: self pair present (= in a
+    # qualifying bucket) and cnt >= 2, with no cross edge — their docs
+    # form a component of their own, labelled by the group's min id
+    selfg = (
+        gp.filter(F.col("g_a") == F.col("g_b"))
+        .select(F.col("g_a").alias("gid"))
+        .join(groups.filter(F.col("cnt") >= 2).select("gid"), "gid")
+        .join(cc_g.select(F.col("node").alias("gid")), "gid", "left_anti")
+        .select(F.col("gid").alias("node"), F.col("gid").alias("component"))
+    )
+    members = groups.select(F.col("gid").alias("node"), "docs")
+    return (
+        cc_g.union(selfg)
+        .join(members, "node")
+        .select(F.explode("docs").alias("node"), "component")
+    )
 
 
 def incremental_near_dups(

@@ -125,13 +125,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed per round). ``component`` is the min doc_id of the
     component, i.e. the canonical-duplicate id. The oracle walks the
     same graph with a recursive CTE (min label over reachability) —
-    feasible at oracle scale, while the star rounds are the 100 TB path."""
-    from rnadam_spark.operators import clustering
+    feasible at oracle scale, while the star rounds are the 100 TB path.
 
-    pairs = dedup.lsh_candidate_pairs(
+    r13 second session: the star rounds run over the CONTRACTED
+    signature-group graph (``dedup.lsh_near_dup_components`` — groups
+    are cliques, so doc components are the expanded group components;
+    10.6× fewer edges at sf10, 52–66s → ~13s; set-equal pinned by
+    test_lsh_components_match_pairs_cc + this oracle, and
+    ``ab.dedup_clusters`` re-measures both forms every round)."""
+    cc = dedup.lsh_near_dup_components(
         load_table(spark, sf_dir, "documents", widen=True), max_bucket=LSH_MAX_BUCKET
     )
-    cc = clustering.connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 

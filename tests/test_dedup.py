@@ -98,6 +98,48 @@ def test_lsh_grouped_strategy_agrees(spark):
         dedup.lsh_candidate_pairs(docs, strategy="grouped")  # needs max_bucket
 
 
+def test_lsh_components_match_pairs_cc(spark, sf_dir):
+    # crafted graph exercising every contraction path: a 4-doc
+    # exact-dup clique bridged to near-dups (cross edges), a 2-doc
+    # exact-dup clique with no neighbours (self pair only — the
+    # isolated-clique branch), and a loner (no pairs, absent from BOTH
+    # outputs)
+    rows = (
+        [(i, BASE) for i in range(4)]
+        + [(10 + i, BASE + f" extra{i}") for i in range(3)]
+        + [(20, "the quick brown fox grazes beside a very quiet river bend"),
+           (21, "the quick brown fox grazes beside a very quiet river bend")]
+        + [(30, "zzz completely unrelated text qqq")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.node, r.component)
+        for r in dedup.lsh_near_dup_components(docs, max_bucket=100).collect()
+    }
+    ref = {
+        (r.node, r.component)
+        for r in dedup.lsh_near_dup_components(
+            docs, max_bucket=100, contracted=False
+        ).collect()
+    }
+    assert got == ref and got
+    assert (20, 20) in got and (21, 20) in got  # the isolated clique
+    assert all(n != 30 for n, _ in got)  # the loner pairs with nothing
+    # and on a real corpus: identical (node, component) sets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.node, r.component)
+        for r in dedup.lsh_near_dup_components(docs, max_bucket=100).collect()
+    }
+    ref = {
+        (r.node, r.component)
+        for r in dedup.lsh_near_dup_components(
+            docs, max_bucket=100, contracted=False
+        ).collect()
+    }
+    assert got == ref and len(got) > 50
+
+
 def test_ngram_gram_df_cap(spark):
     # every doc shares one hot trigram; with the df cap below the
     # gram's document frequency, the hot gram is pruned from candidate
