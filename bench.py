@@ -341,6 +341,35 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                 )
             ),
         },
+        # r13 second session: the registered paragraph_near_dups chain
+        # with candidates/verify/CC at the DISTINCT-TEXT grain vs the
+        # unit grain (38.9M -> 15.7M verify pairs at sf10, 239 -> 86s;
+        # sf0.1 pays ~3s of extra stages — the crossover published
+        # here; losers set-equal, test_paragraph_near_dups_contracted_
+        # matches)
+        "paragraph_near_dups": {
+            "contracted_text_grain": timed(
+                lambda: dedup.paragraph_near_dups(
+                    docs,
+                    threshold=0.8,
+                    max_bucket=LSH_MAX_BUCKET,
+                    min_chars=40,
+                    split_pattern=" table ",
+                    unit_key="encoded",
+                )
+            ),
+            "unit_grain": timed(
+                lambda: dedup.paragraph_near_dups(
+                    docs,
+                    threshold=0.8,
+                    max_bucket=LSH_MAX_BUCKET,
+                    min_chars=40,
+                    split_pattern=" table ",
+                    unit_key="encoded",
+                    contracted=False,
+                )
+            ),
+        },
         # r13 second session: the registered dedup_clusters' star
         # rounds over the CONTRACTED signature-group graph (groups are
         # cliques; 10.6x fewer edges at sf10, 52-66s -> ~13s) vs the

@@ -275,15 +275,20 @@ def lsh_candidate_pairs(
 
 
 def _signature_groups_and_pairs(
-    sigs: DataFrame, max_bucket: int
+    sigs: DataFrame, max_bucket: int, weights: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The group grain shared by :func:`_grouped_pairs` (candidate
-    pairs) and :func:`lsh_near_dup_components` (contracted connected
-    components). Returns ``(groups, gp)``:
+    pairs), :func:`lsh_near_dup_components` (contracted connected
+    components) and :func:`paragraph_near_dups`' text-grain chain.
+    Returns ``(groups, gp)``:
 
     - ``groups``: one row per distinct full signature — (gid, docs,
       cnt) with gid = min member doc_id (groups partition the doc ids,
-      so gid is unique), barriered once for all consumers;
+      so gid is unique), barriered once for all consumers. ``cnt``
+      defaults to the member count; with ``weights`` (a (doc_id, _w)
+      table — e.g. text-group sizes when the ids are already collapsed
+      representatives) it is Σ _w, so the bucket cap below still
+      counts ORIGINAL rows;
     - ``gp``: DISTINCT group pairs (g_a, g_b) from the banded buckets,
       including the SELF pair (g, g) for every group appearing in a
       qualifying (2 ≤ Σ cnt ≤ max_bucket) bucket — the tail slice
@@ -300,13 +305,21 @@ def _signature_groups_and_pairs(
 
     rows_per_band = N_HASHES // N_BANDS
     h_cols = [f"h{i}" for i in range(N_HASHES)]
+    if weights is not None:
+        sigs = sigs.join(weights, "doc_id")
+        w = F.col("_w")
+    else:
+        w = F.lit(1)
     groups = truncate_lineage(
         sigs.groupBy(*h_cols)
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("docs"),
+            F.sum(w).alias("cnt"),
+        )
         .select(
             F.element_at("docs", 1).alias("gid"),
             "docs",
-            F.size("docs").alias("cnt"),
+            "cnt",
             *h_cols,
         )
     )
@@ -364,6 +377,14 @@ def _grouped_pairs(sigs: DataFrame, max_bucket: int) -> DataFrame:
     extra narrow groupBy. Pinned pair-set-equal to "inrow" by
     tests/test_dedup.py plus the gate row's DuckDB oracle."""
     groups, gp = _signature_groups_and_pairs(sigs, max_bucket)
+    return _expand_group_pairs(groups, gp)
+
+
+def _expand_group_pairs(groups: DataFrame, gp: DataFrame) -> DataFrame:
+    """Expand distinct group pairs back to member pairs, exactly once
+    each: cross pairs as least/greatest over both member lists, the
+    self pair (g, g) as the in-group tail expansion (groups of one
+    expand to zero rows)."""
     members = groups.select("gid", "docs")
     ex = gp.join(
         members.select(F.col("gid").alias("g_a"), F.col("docs").alias("da")), "g_a"
@@ -817,6 +838,7 @@ def paragraph_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     unit_key: str = "hash",
+    contracted: bool = True,
 ) -> DataFrame:
     """(doc_id, para_idx): paragraphs that are NEAR-duplicates of
     another paragraph anywhere in the corpus, minus one canonical
@@ -865,7 +887,14 @@ def paragraph_near_dups(
     ``"encoded"`` when ids permit, or swap the key for a
     struct(doc_id, para_idx) carried through CC — the CC loop is
     key-type-agnostic; only the min-key canonical convention assumes a
-    scalar orderable key."""
+    scalar orderable key.
+
+    ``contracted`` (r13 second session, default True): candidates,
+    verify and star rounds run at the DISTINCT-TEXT grain and expand
+    to units at the end (:func:`_contracted_unit_losers` — identical
+    output set, measured 239 → 86s at sf10; sf0.1 pays ~3s of extra
+    stages, re-measured per round in ``ab.paragraph_near_dups``);
+    False keeps the unit-grain composition for A/B re-measurement."""
     from rnadam_spark.operators.clustering import connected_components
 
     paras = docs.select(
@@ -884,13 +913,91 @@ def paragraph_near_dups(
         raise ValueError(f"unit_key must be 'hash' or 'encoded', got {unit_key!r}")
     units = paras.withColumn("_unit", key)
     u = units.select(F.col("_unit").alias("doc_id"), F.col("_ptext").alias("text"))
-    cand = lsh_candidate_pairs(u, max_bucket=max_bucket)
-    ver = verify_pairs(cand, u, threshold=threshold)
-    comp = connected_components(ver)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("_unit")
-    )
+    if contracted and max_bucket is not None:
+        # the contraction rides the grouped bucket machinery, which
+        # needs the cap; uncapped callers keep the unit-grain chain
+        losers = _contracted_unit_losers(u, threshold, max_bucket)
+    else:
+        cand = lsh_candidate_pairs(u, max_bucket=max_bucket)
+        ver = verify_pairs(cand, u, threshold=threshold)
+        comp = connected_components(ver)
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("_unit")
+        )
     return units.join(losers, "_unit", "leftsemi").select(id_col, "para_idx")
+
+
+def _contracted_unit_losers(
+    u: DataFrame, threshold: float, max_bucket: int, k: int = SHINGLE_K
+) -> DataFrame:
+    """(_unit): the non-canonical units of each near-dup family,
+    derived with candidates, exact-Jaccard verify AND star rounds all
+    at the DISTINCT-TEXT grain (r13 second session — 2.45× text dedup
+    at sf10: 38.9M unit pairs → 15.7M text pairs, so the verify stage
+    intersects shingle sets once per distinct text pair and the star
+    rounds walk the smaller graph; measured 239 → 86s at sf10).
+
+    Why the contraction is exact: units with identical text are fully
+    interchangeable through the whole chain — identical signatures
+    (same buckets; the bucket cap counts ORIGINAL units via the
+    weighted group cnt), identical shingle sets (so a cross pair's
+    Jaccard equals its representatives', and an intra-text pair's
+    Jaccard is exactly 1.0 whenever the text has ≥ 1 shingle, i.e.
+    len ≥ k) — so the verified unit graph is the verified
+    representative graph with each text group expanded to a clique,
+    and components/labels expand exactly like
+    :func:`lsh_near_dup_components` (tgid = min unit of its group, so
+    min component label is preserved). Isolated text groups (cnt ≥ 2,
+    in a qualifying bucket, no cross verified edge) are their own
+    family IFF their text has ≥ 1 shingle — the same condition under
+    which their unit-grain intra pairs pass verify. Pinned set-equal
+    to the unit-grain chain by
+    tests/test_dedup.py::test_paragraph_near_dups_contracted_matches
+    and the gate row's full-chain DuckDB oracle."""
+    from rnadam_spark.lineage import truncate_lineage
+    from rnadam_spark.operators.clustering import connected_components
+
+    tg = truncate_lineage(
+        u.groupBy("text")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("us"))
+        .select(
+            F.element_at("us", 1).alias("tgid"),
+            "us",
+            F.size("us").alias("cnt"),
+            F.length("text").alias("_len"),
+            "text",
+        )
+    )
+    reps = tg.select(F.col("tgid").alias("doc_id"), "text")
+    weights = tg.select(F.col("tgid").alias("doc_id"), F.col("cnt").alias("_w"))
+    groups, gp = _signature_groups_and_pairs(
+        minhash_signatures(reps), max_bucket, weights=weights
+    )
+    rep_pairs = _expand_group_pairs(groups, gp)
+    ver = verify_pairs(rep_pairs, reps, k=k, threshold=threshold)
+    cc_r = connected_components(ver)
+    # reps sitting in >= 1 qualifying bucket: the self pair of their
+    # signature group marks every member rep
+    marked = (
+        gp.filter(F.col("g_a") == F.col("g_b"))
+        .select(F.col("g_a").alias("gid"))
+        .join(groups.select("gid", "docs"), "gid")
+        .select(F.explode("docs").alias("tgid"))
+    )
+    selfg = (
+        tg.filter((F.col("cnt") >= 2) & (F.col("_len") >= k))
+        .select("tgid")
+        .join(marked, "tgid", "leftsemi")
+        .join(cc_r.select(F.col("node").alias("tgid")), "tgid", "left_anti")
+        .select(F.col("tgid").alias("node"), F.col("tgid").alias("component"))
+    )
+    return (
+        cc_r.union(selfg)
+        .join(tg.select(F.col("tgid").alias("node"), "us"), "node")
+        .select(F.explode("us").alias("_unit"), "component")
+        .filter(F.col("_unit") != F.col("component"))
+        .select("_unit")
+    )
 
 
 def candidate_recall(

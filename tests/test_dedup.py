@@ -98,6 +98,63 @@ def test_lsh_grouped_strategy_agrees(spark):
         dedup.lsh_candidate_pairs(docs, strategy="grouped")  # needs max_bucket
 
 
+def test_paragraph_near_dups_contracted_matches(spark, sf_dir):
+    para = "this paragraph is a boilerplate cookie banner used on every single page"
+    near = para.replace("every single", "most")
+    rows = [
+        (1, f"{para}\n\n{near}\n\nunique text one flows here beyond forty characters easily"),
+        (2, f"{para}\n\nanother unique paragraph body that is long enough to participate"),
+        (3, f"{para}\n\nab"),  # 'ab' is under min_chars, ignored
+        (4, "zzz totally unrelated content that still clears the length bar qqq"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for uk in ("encoded", "hash"):
+        got = {
+            (r.doc_id, r.para_idx)
+            for r in dedup.paragraph_near_dups(
+                docs, max_bucket=100, unit_key=uk, contracted=True
+            ).collect()
+        }
+        ref = {
+            (r.doc_id, r.para_idx)
+            for r in dedup.paragraph_near_dups(
+                docs, max_bucket=100, unit_key=uk, contracted=False
+            ).collect()
+        }
+        assert got == ref and got, uk
+    # exact-dup paragraphs SHORTER than the shingle k have unit-grain
+    # Jaccard 0 (empty shingle sets) and must not form a family on
+    # either path — the contracted form's len >= k guard
+    short = spark.createDataFrame(
+        [(1, "abc\n\nabc"), (2, "abc")], ["doc_id", "text"]
+    )
+    for c in (True, False):
+        assert (
+            dedup.paragraph_near_dups(
+                short, max_bucket=100, min_chars=2, contracted=c
+            ).count()
+            == 0
+        ), c
+    # and on a real corpus with the registered row's parameters
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        threshold=0.8,
+        max_bucket=100,
+        min_chars=40,
+        split_pattern=" table ",
+        unit_key="encoded",
+    )
+    got = {
+        (r.doc_id, r.para_idx)
+        for r in dedup.paragraph_near_dups(docs, contracted=True, **kw).collect()
+    }
+    ref = {
+        (r.doc_id, r.para_idx)
+        for r in dedup.paragraph_near_dups(docs, contracted=False, **kw).collect()
+    }
+    assert got == ref and len(got) > 10
+
+
 def test_lsh_components_match_pairs_cc(spark, sf_dir):
     # crafted graph exercising every contraction path: a 4-doc
     # exact-dup clique bridged to near-dups (cross edges), a 2-doc
