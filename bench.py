@@ -340,6 +340,20 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                     docs, max_bucket=LSH_MAX_BUCKET, strategy="selfjoin"
                 )
             ),
+            # r14 (VERDICT r13 #1/#5): the crossover decade for the
+            # grouped default, in the driver's artifact (sf10 evidence
+            # lives in sf10_scaling.strategy_ab)
+            **_strategy_sf1_ab(
+                spark,
+                {
+                    "grouped_capped_sf1": lambda d1: dedup.lsh_candidate_pairs(
+                        d1, max_bucket=LSH_MAX_BUCKET
+                    ),
+                    "inrow_capped_sf1": lambda d1: dedup.lsh_candidate_pairs(
+                        d1, max_bucket=LSH_MAX_BUCKET, strategy="inrow"
+                    ),
+                },
+            ),
         },
         # r13 second session: the registered paragraph_near_dups chain
         # with candidates/verify/CC at the DISTINCT-TEXT grain vs the
@@ -422,6 +436,20 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "kmer_count": {
             "pandas_counter": timed(lambda: kmer_count_q(spark, sf_dir, kernel="pandas")),
             "jvm_explode_agg": timed(lambda: kmer_count_q(spark, sf_dir, kernel="jvm")),
+            # r14 (VERDICT r13 #5): the decade where the Counter default
+            # wins, published next to the sf0.1 row it loses
+            **(
+                {
+                    "pandas_counter_sf1": _timed_once(
+                        lambda: kmer_count_q(spark, _sf1_dir(), kernel="pandas")
+                    ),
+                    "jvm_explode_agg_sf1": _timed_once(
+                        lambda: kmer_count_q(spark, _sf1_dir(), kernel="jvm")
+                    ),
+                }
+                if _sf1_dir() is not None
+                else {}
+            ),
         },
         # r13 twin: the registered bm25 row on the numpy scoring
         # kernel (exact float sequence; 8.7 vs 2.1s at sf10, tie at
@@ -435,6 +463,18 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
                     docs, "the data system and network", k=10, kernel="jvm"
                 )
             ),
+            # r14 (VERDICT r13 #5): crossover decade
+            **_strategy_sf1_ab(
+                spark,
+                {
+                    "pandas_counter_sf1": lambda d1: search_ab.bm25_topk(
+                        d1, "the data system and network", k=10
+                    ),
+                    "jvm_filter_hof_sf1": lambda d1: search_ab.bm25_topk(
+                        d1, "the data system and network", k=10, kernel="jvm"
+                    ),
+                },
+            ),
         },
         # r13 twin: duplicated-span detection with the vectorized
         # spec-XXH64 window builder vs the interpreted
@@ -447,6 +487,18 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             ),
             "jvm_expr": timed(
                 lambda: spans_ab.duplicated_spans(docs, min_tokens=13, kernel="jvm")
+            ),
+            # r14 (VERDICT r13 #5): crossover decade
+            **_strategy_sf1_ab(
+                spark,
+                {
+                    "pandas_xxh64_sf1": lambda d1: spans_ab.duplicated_spans(
+                        d1, min_tokens=13
+                    ),
+                    "jvm_expr_sf1": lambda d1: spans_ab.duplicated_spans(
+                        d1, min_tokens=13, kernel="jvm"
+                    ),
+                },
             ),
         },
         # r13 twins: the multimodal fingerprint passes on the batched
@@ -562,6 +614,17 @@ def _ab_blocks(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "pagerank": {
             "edge_cache": timed(lambda: _pagerank_q(spark, sf_dir, True)),
             "lazy_edges": timed(lambda: _pagerank_q(spark, sf_dir, False)),
+            # r14 (VERDICT r13 #7): the documented opt-in case measured
+            # on the shape it was built for — edges EXTRACTED FROM
+            # DOCUMENT TEXT (web.domain_edges: a regex URL scan of the
+            # corpus per edge read), where (iterations − 1) saved
+            # corpus passes are the cache's theory of victory
+            "text_edges_cache": timed(
+                lambda: _pagerank_text_edges(spark, sf_dir, True)
+            ),
+            "text_edges_lazy": timed(
+                lambda: _pagerank_text_edges(spark, sf_dir, False)
+            ),
         },
         # decontamination join strategy: broadcast the benchmark grams
         # (default — eval suites are tiny next to the corpus) vs the
@@ -628,6 +691,34 @@ def _pagerank_q(spark, sf_dir: str, cache_edges: bool):
     from rnadam_spark.queries.web_q import pagerank
 
     return pagerank(spark, sf_dir, cache_edges=cache_edges)
+
+
+def _pagerank_text_edges(spark, sf_dir: str, cache_edges: bool):
+    """PageRank over edges extracted from document TEXT (regex URL
+    scan per edge read) — the expensive-edge-subtree shape the
+    ``cache_edges`` opt-in was built for (r14, VERDICT r13 #7).
+    Synthetic URLs are injected into the text the same way the
+    blocklist gate row does, so the corpus has a real link graph."""
+    from pyspark.sql import functions as F
+
+    from rnadam_spark.operators import graph, web
+    from rnadam_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    linked = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://a.src"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(".org/x and http://mirror"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".io/y"),
+        ).alias("text"),
+    )
+    edges = web.domain_edges(linked)
+    return graph.pagerank(edges, iterations=5, cache_edges=cache_edges)
 
 
 def _curated_ab(spark, timed, sf_dir: str) -> dict[str, float]:
@@ -713,12 +804,10 @@ def _dsir_ab(spark, timed, docs) -> dict[str, float]:
     return out
 
 
-def _sf1_corpus(spark):
-    """The validated sf1 documents table for crossover rows, or None.
-    Same guard as _contamination_sf1_ab: refuse to publish some other
-    scale under _sf1 keys if the env override reorders the dir list."""
-    from rnadam_spark.sources.tables import load_table
-
+def _sf1_dir() -> str | None:
+    """The validated sf1 directory for crossover rows, or None. Refuse
+    to publish some other scale under _sf1 keys if the env override
+    reorders the dir list (r12 review)."""
     sf1_dir = (
         os.environ.get("SPARK_GRAFT_BENCH_SF10_DIRS", "/tmp/sf1,/tmp/sf10")
         .split(",")[0]
@@ -726,7 +815,41 @@ def _sf1_corpus(spark):
     )
     if not os.path.isdir(sf1_dir) or _sf_from_dir(sf1_dir) != 1.0:
         return None
-    return load_table(spark, sf1_dir, "documents", widen=True)
+    return sf1_dir
+
+
+def _sf1_corpus(spark):
+    """The validated sf1 documents table for crossover rows, or None."""
+    from rnadam_spark.sources.tables import load_table
+
+    d = _sf1_dir()
+    return None if d is None else load_table(spark, d, "documents", widen=True)
+
+
+def _strategy_sf1_ab(spark, forms: dict) -> dict[str, float]:
+    """Single-shot sf1 rows for a dict of ``key -> (docs1 -> DataFrame)``
+    builders — the r14 crossover-decade protocol (VERDICT r13 #5: every
+    sf0.1-losing default publishes the decade where it wins in the SAME
+    artifact PERF reads). Empty when the deterministic sf1 corpus is
+    absent."""
+    docs1 = _sf1_corpus(spark)
+    if docs1 is None:
+        return {}
+    return {key: _timed_once(lambda: make(docs1)) for key, make in forms.items()}
+
+
+def _timed_once(make_df) -> float:
+    """One cache-cleared timed run through the noop sink — the _sf1
+    crossover-row protocol (min-of-k at sf1 would triple rows that are
+    already multi-second; the decade, not the third decimal, is the
+    published fact)."""
+    import time as _time
+
+    df = make_df()
+    df.sparkSession.catalog.clearCache()
+    t0 = _time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(_time.time() - t0, 3)
 
 
 def _timed_em_state(spark, docs, pandas_kernel: bool) -> float:
@@ -857,6 +980,20 @@ def _lm_vocab_ab(spark, timed, docs) -> dict[str, dict[str, float]]:
                         cache=False,
                         kernel="jvm",
                     )
+                ),
+                # r14 (VERDICT r13 #5): crossover decade
+                **_strategy_sf1_ab(
+                    spark,
+                    {
+                        "pandas_counter_sf1": lambda d1: lmod.train_char_lm(
+                            d1.filter(F.col("doc_id") % 10 == 0), cache=False
+                        ),
+                        "jvm_explode_agg_sf1": lambda d1: lmod.train_char_lm(
+                            d1.filter(F.col("doc_id") % 10 == 0),
+                            cache=False,
+                            kernel="jvm",
+                        ),
+                    },
                 ),
             },
         }
@@ -1241,7 +1378,18 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
     timed run per (query, scale) — min-of-k at 60M-row scale would
     triple a cost that is already minutes — under a wall-clock budget;
     rows skipped when the budget runs out are RECORDED, never silently
-    dropped."""
+    dropped.
+
+    Exception (r14, VERDICT r13 #1): ``lsh_candidate_pairs`` is
+    min-of-2 per scale — its single-shot sf10 row was the round's one
+    unconfirmed claim (25.9 → 29.31s in the r13 driver artifact while
+    controlled interleaved min-of-3 read 4.85s; both sessions recorded
+    the same end-of-long-bench variance signature on this row), and
+    2×(sf1+sf10) ≈ 2×13s fits the 240s budget. The row records its
+    ``repeats``. The block also publishes the grouped-vs-inrow
+    decision evidence at sf10 itself (``strategy_ab``), so the
+    registered default's adoption measurement lives in the driver's
+    artifact, not only in the builder's session logs."""
     import time as _time
 
     dirs = os.environ.get("SPARK_GRAFT_BENCH_SF10_DIRS", "/tmp/sf1,/tmp/sf10")
@@ -1271,14 +1419,28 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
     except Exception:
         pass
     max_carries = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_CARRIES", "2"))
+    # r14: per-name repeat counts (min-of-k); see the docstring
+    repeats = {"lsh_candidate_pairs": 2}
     forced_this_run = False
     t0 = _time.time()
+
+    def _timed_min(make_df, k: int) -> float:
+        best = None
+        for _ in range(max(k, 1)):
+            spark.catalog.clearCache()
+            t1 = _time.time()
+            make_df().write.format("noop").mode("overwrite").save()
+            dt = _time.time() - t1
+            best = dt if best is None else min(best, dt)
+        return round(best, 2)
+
     for name in names:
         if name not in queries:
             continue
+        reps = repeats.get(name, 1)
         prev = prev_rows.get(name)
         est = (
-            prev["sf1_sec"] + prev["sf10_sec"]
+            (prev["sf1_sec"] + prev["sf10_sec"]) * reps
             if prev and "sf1_sec" in prev and "sf10_sec" in prev
             else 60.0
         )
@@ -1296,12 +1458,8 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
             forced_this_run = True
         fn = queries[name]
         try:
-            t1 = _time.time()
-            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sec1 = round(_time.time() - t1, 2)
-            t1 = _time.time()
-            fn(spark, sf10_dir).write.format("noop").mode("overwrite").save()
-            sec10 = round(_time.time() - t1, 2)
+            sec1 = _timed_min(lambda: fn(spark, sf1_dir), reps)
+            sec10 = _timed_min(lambda: fn(spark, sf10_dir), reps)
         except Exception as e:  # a scale-corpus hiccup must not kill the bench
             out["rows"][name] = {"error": str(e)[:200]}
             continue
@@ -1310,9 +1468,41 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
             "sf10_sec": sec10,
             "slope_per_decade": round(sec10 / max(sec1, 1e-9), 2),
         }
+        if reps > 1:
+            row["repeats"] = reps
         if forced:
             row["forced_remeasure_after_carries"] = int((prev or {}).get("carries", 0))
         out["rows"][name] = row
+    # r14 (VERDICT r13 #1): the grouped default's adoption evidence at
+    # the decade where it was adopted — grouped vs inrow at sf10,
+    # min-of-2 each, budget-gated like every row here (skipped rows
+    # recorded). The registered row above already measures grouped;
+    # this block adds the inrow twin so the artifact itself shows
+    # which strategy wins at sf10.
+    try:
+        lsh_row = out["rows"].get("lsh_candidate_pairs") or {}
+        est_inrow = 2 * float(lsh_row.get("sf10_sec") or 15.0)
+        if _time.time() - t0 + est_inrow <= budget:
+            from rnadam_spark.operators import dedup as _dedup
+            from rnadam_spark.queries.pipeline_q import LSH_MAX_BUCKET as _LSH_CAP
+            from rnadam_spark.sources.tables import load_table as _load
+
+            docs10 = _load(spark, sf10_dir, "documents", widen=True)
+            out["strategy_ab"] = {
+                "lsh_pairs_grouped_sf10": _timed_min(
+                    lambda: _dedup.lsh_candidate_pairs(docs10, max_bucket=_LSH_CAP), 2
+                ),
+                "lsh_pairs_inrow_sf10": _timed_min(
+                    lambda: _dedup.lsh_candidate_pairs(
+                        docs10, max_bucket=_LSH_CAP, strategy="inrow"
+                    ),
+                    2,
+                ),
+            }
+        else:
+            out["strategy_ab"] = {"skipped": "budget"}
+    except Exception as e:
+        out["strategy_ab"] = {"error": str(e)[:200]}
     return out
 
 

@@ -21,15 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
     """Cut ``df``'s lineage: ``localCheckpoint`` when ``checkpoint_dir``
     is None, reliable ``checkpoint`` into that directory otherwise.
-    Both are eager — loop callers rely on the materialization happening
-    here, once, instead of per downstream broadcast."""
+    Eager by default — loop callers rely on the materialization
+    happening here, once, instead of per downstream broadcast.
+
+    ``eager=False`` (r14) defers materialization to the CALLER's next
+    action over the returned frame — for loops whose round already ends
+    with an action (the CC fixpoint probe), the lazy form fuses the
+    truncation into that action: one job per round instead of an eager
+    count plus the probe. The caller MUST run exactly one action on the
+    result before deriving multiple consumers from it, or the unpersist-
+    ed subtree recomputes per consumer — the hazard the eager default
+    exists to prevent."""
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     # setCheckpointDir is engine-global; re-setting to the same path is
     # a no-op, and differing paths follow the most recent caller
     sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)

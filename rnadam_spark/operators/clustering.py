@@ -103,8 +103,15 @@ def connected_components(
     edges = edges0
     prev: tuple | None = None
     for _ in range(max_rounds):
+        # LAZY truncation (r14, guide §1.2/§5): the fixpoint probe below
+        # is the round's action anyway, so it materializes the
+        # checkpoint as a side effect — ONE job per round where the
+        # eager form paid two (an eager count, then the probe re-reading
+        # the blocks; measured on the registered dedup_clusters chain:
+        # the probe is the only consumer before the next round, so the
+        # fused job computes the star round exactly once).
         edges = truncate_lineage(
-            _small_star(_large_star(edges)).distinct(), checkpoint_dir
+            _small_star(_large_star(edges)).distinct(), checkpoint_dir, eager=False
         )
         # cheap fixpoint probe: count + key sums + order-insensitive hash
         # sum — collision across rounds would need two distinct edge sets

@@ -275,7 +275,10 @@ def lsh_candidate_pairs(
 
 
 def _signature_groups_and_pairs(
-    sigs: DataFrame, max_bucket: int, weights: DataFrame | None = None
+    sigs: DataFrame,
+    max_bucket: int,
+    weights: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The group grain shared by :func:`_grouped_pairs` (candidate
     pairs), :func:`lsh_near_dup_components` (contracted connected
@@ -300,9 +303,19 @@ def _signature_groups_and_pairs(
     band_sig is built with the same concat_ws expression as
     :func:`lsh_band_sigs` (null h-values skip identically on both
     paths, so bucket membership matches even for signatures containing
-    nulls)."""
+    nulls).
+
+    ``checkpoint_dir`` switches the groups barrier from
+    ``localCheckpoint`` to a reliable checkpoint (r14, ADVICE fix:
+    ``lsh_near_dup_components`` documents executor-loss survival but
+    only its star rounds were reliably checkpointed — the group-graph
+    build now honors the same directory)."""
     from rnadam_spark.lineage import truncate_lineage
 
+    if max_bucket is None:
+        # `total <= None` is null and silently drops EVERY bucket —
+        # match lsh_candidate_pairs' grouped guard (r14, ADVICE fix)
+        raise ValueError("signature-group pair expansion requires max_bucket")
     rows_per_band = N_HASHES // N_BANDS
     h_cols = [f"h{i}" for i in range(N_HASHES)]
     if weights is not None:
@@ -321,7 +334,8 @@ def _signature_groups_and_pairs(
             "docs",
             "cnt",
             *h_cols,
-        )
+        ),
+        checkpoint_dir,
     )
     bands_arr = F.array(
         *[
@@ -449,7 +463,9 @@ def lsh_near_dup_components(
     if not contracted:
         pairs = lsh_candidate_pairs(docs, max_bucket=max_bucket)
         return connected_components(pairs, checkpoint_dir=checkpoint_dir)
-    groups, gp = _signature_groups_and_pairs(minhash_signatures(docs), max_bucket)
+    groups, gp = _signature_groups_and_pairs(
+        minhash_signatures(docs), max_bucket, checkpoint_dir=checkpoint_dir
+    )
     cross = gp.filter(F.col("g_a") != F.col("g_b"))
     cc_g = connected_components(
         cross, src="g_a", dst="g_b", checkpoint_dir=checkpoint_dir
@@ -789,7 +805,20 @@ def verify_pairs(
     state; the explicit trade, recorded like the z-order write
     premium). The intersection runs in-row (``array_intersect`` of
     sorted distinct shingles) — no shingle-level explode, no per-pair
-    shuffle beyond the two candidate-sized joins."""
+    shuffle beyond the two candidate-sized joins.
+
+    Size prefilter (r14, guide §2.3 — shuffle keys/metadata, not
+    payloads): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    J(A,B) ≤ min/max — EXACTLY (not probabilistically). Pairs whose
+    size ratio already rounds below ``threshold`` therefore cannot
+    pass the final filter, and are dropped on an 8-byte-per-side join
+    BEFORE the shingle arrays attach: only surviving pairs pull array
+    payloads through the verify joins. Monotonicity makes the bound
+    airtight across the rounding: IEEE division and ``hround`` are
+    both monotone non-decreasing, so real-J ≤ real-bound implies
+    hround(J) ≤ hround(bound) — a dropped pair's rounded Jaccard is
+    strictly below ``threshold``. With ``threshold == 0`` the ratio
+    test (≥ 0) keeps every pair, degenerating to the old plan."""
     from rnadam_spark.functions.rounding import hround
     from rnadam_spark.lineage import truncate_lineage
 
@@ -815,6 +844,20 @@ def verify_pairs(
             F.col(id_col),
             F.array_distinct(char_shingles(text_col, k)).alias("_sh"),
         )
+    )
+    # size prefilter (r14, see docstring): join the 8-byte set sizes
+    # first and drop pairs whose exact upper bound min/max already
+    # rounds below the threshold — the array payloads below only
+    # attach to pairs that can still pass
+    szs = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
+    bound = F.least("_sza", "_szb").cast("double") / F.greatest(
+        F.greatest("_sza", "_szb"), F.lit(1)
+    ).cast("double")
+    pairs = (
+        pairs.join(szs.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza")), "doc_a")
+        .join(szs.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("_szb")), "doc_b")
+        .filter(hround(bound, 6) >= threshold)
+        .select("doc_a", "doc_b")
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))

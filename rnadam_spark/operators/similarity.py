@@ -132,8 +132,13 @@ def _np_bucket_bits(mat, planes: list[list[float]], p):
     rounding then one left-fold add rounding in array order, all
     float64 — the sign test (and so the integer bucket) is
     bit-identical to the JVM interpreted-HOF evaluation. ``p`` is an
-    int64 array masking each row to its first p planes (None = all);
-    a NaN score fails ``>= 0`` on both engines."""
+    int64 array masking each row to its first p planes (None = all).
+    NaN scores SET the bit: Spark's nan-safe comparison orders NaN
+    above every double, so the JVM ``s >= 0`` passes for NaN — the
+    numpy mirror is ``~(acc < 0.0)`` (r14, ADVICE fix: the previous
+    ``acc >= 0.0`` cleared the bit for NaN, silently moving all-NaN
+    rows to bucket 0 where the JVM kernel buckets them to 2^p − 1;
+    pinned by the NaN rows in test_lsh_buckets_kernels_equal)."""
     import numpy as np
 
     n = mat.shape[0]
@@ -142,7 +147,7 @@ def _np_bucket_bits(mat, planes: list[list[float]], p):
         acc = np.zeros(n)
         for d, w in enumerate(plane):
             acc = acc + mat[:, d] * w
-        keep = acc >= 0.0
+        keep = ~(acc < 0.0)
         if p is not None:
             keep &= j < p
         out += np.where(keep, np.int64(2**j), np.int64(0))
@@ -152,13 +157,15 @@ def _np_bucket_bits(mat, planes: list[list[float]], p):
 def _py_bucket_bits(e, planes: list[list[float]], p: int | None) -> int:
     """Pure-Python mirror of :func:`_bucket_bits` for misshapen rows
     (null / wrong-length embeddings): zip_with null-padding nulls the
-    fold, a null score contributes no bit (``when`` otherwise-0)."""
+    fold, a null score contributes no bit (``when`` otherwise-0); a NaN
+    score sets the bit (Spark's nan-safe ``>= 0`` passes for NaN — same
+    r14 ADVICE fix as :func:`_np_bucket_bits`)."""
     out = 0
     for j, plane in enumerate(planes):
         if p is not None and j >= p:
             continue
         s = _py_fold_dot(e, plane)
-        if s is not None and s >= 0:
+        if s is not None and not (s < 0):
             out += 2**j
     return out
 
@@ -335,10 +342,15 @@ def _py_fold_dot(a, c) -> float | None:
 def _py_argmax(scores) -> int:
     """argmax with the struct-ordering convention of
     ``array_max(ARRAY<STRUCT<s,cid>>)``: null s sorts below every
-    double, ties break to the LARGER cid."""
+    double, NaN sorts ABOVE every double (Spark's nan-safe ordering —
+    r14 ADVICE-class fix; Python tuple compare would lose every NaN
+    comparison), ties break to the LARGER cid."""
+    import math
+
     best_key, best_cid = None, 0
     for cid, s in enumerate(scores):
-        key = (s is not None, s if s is not None else 0.0, cid)
+        is_nan = s is not None and math.isnan(s)
+        key = (s is not None, is_nan, 0.0 if (s is None or is_nan) else s, cid)
         if best_key is None or key >= best_key:
             best_key, best_cid = key, cid
     return best_cid
@@ -351,7 +363,12 @@ def _np_argmax_rows(mat, centroids: list[list[float]], norms: list[float] | None
     :func:`_l2_scores`: per element one product rounding then one
     left-fold add rounding in array order, all float64, so scores (and
     therefore the integer argmax) are bit-identical to the JVM
-    interpreted-HOF evaluation."""
+    interpreted-HOF evaluation. NaN scores sort ABOVE every double
+    (Spark's nan-safe struct ordering; NaN ties break to the larger cid
+    like any tie) — the numpy update mask adds ``isnan(acc)`` because
+    ``acc >= best_s`` is False whenever either side is NaN (r14
+    ADVICE-class fix, pinned by the NaN rows in the kernel parity
+    tests)."""
     import numpy as np
 
     n = mat.shape[0]
@@ -366,7 +383,7 @@ def _np_argmax_rows(mat, centroids: list[list[float]], norms: list[float] | None
         if best_s is None:
             best_s = acc
         else:
-            m = acc >= best_s
+            m = (acc >= best_s) | np.isnan(acc)
             best_s = np.where(m, acc, best_s)
             best_c = np.where(m, cid, best_c)
     return best_c

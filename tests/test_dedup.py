@@ -594,3 +594,40 @@ def test_simhash_pandas_kernel_matches_jvm(spark):
     assert jvm.exceptAll(pnd).count() == 0 and pnd.exceptAll(jvm).count() == 0
     kept = {r.doc_id for r in pnd.collect()}
     assert kept == {0, 1, 2, 3, 7, 8}
+
+
+def test_verify_pairs_size_prefilter_exact(spark):
+    """r14 (guide §2.3): the size-ratio prefilter in verify_pairs —
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) exactly — must never change the
+    verified pair set. The boundary pair (jac == bound == threshold,
+    the subset shape where the inequality is tight) must SURVIVE; a
+    grossly size-mismatched pair drops under both the prefilter and
+    the final filter; threshold=0 degenerates the prefilter to a no-op
+    (every pair kept, as before)."""
+    rows = [
+        (1, "abcdefg"),             # 4 distinct 4-shingles
+        (2, "abcdefgh"),            # superset, 5 shingles -> J = 4/5 = 0.8
+        (3, "abcdefg" + "x" * 50),  # 8 distinct shingles -> ratio 0.5
+        (4, "zzzzqqqqwwww"),        # disjoint
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.verify_pairs(pairs, docs, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 0.8}
+    assert dedup.verify_pairs(pairs, docs, threshold=0.0).count() == 4
+
+
+def test_components_max_bucket_none_raises(spark):
+    """r14 (ADVICE fix): contracted components with max_bucket=None
+    used to return an EMPTY result (`total <= None` is null) — now it
+    raises like lsh_candidate_pairs' grouped guard."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "abcd" * 10)], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.lsh_near_dup_components(docs, max_bucket=None)

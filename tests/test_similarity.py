@@ -608,10 +608,14 @@ def test_ivf_topk_matches_retired_oracle(spark, sf_dir):
 
 def _corner_corpus(spark, dim=64, n=40, seed=7):
     # realistic float rows + every misshapen corner the numpy kernels
-    # route through the scalar mirror: null, empty, short, long
+    # route through the scalar mirror: null, empty, short, long — plus
+    # NaN rows (r14, ADVICE fix): Spark's nan-safe ordering makes a NaN
+    # score pass `>= 0` and sort ABOVE every double, so the numpy/python
+    # mirrors must replicate that, not IEEE's always-false comparisons
     import random
 
     rng = random.Random(seed)
+    nan = float("nan")
     rows = [
         (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
     ]
@@ -620,6 +624,8 @@ def _corner_corpus(spark, dim=64, n=40, seed=7):
         (n + 1, []),
         (n + 2, [0.5, -0.25, 0.125]),
         (n + 3, [rng.uniform(-1, 1) for _ in range(dim + 1)]),
+        (n + 4, [nan] * dim),
+        (n + 5, [nan] + [rng.uniform(-1, 1) for _ in range(dim - 1)]),
     ]
     return spark.createDataFrame(rows, SCHEMA)
 
@@ -628,7 +634,7 @@ def test_ivf_cells_kernels_equal(spark):
     df = _corner_corpus(spark)
     got_p = {r.vec_id: r.cell for r in similarity.ivf_cells(df).collect()}
     got_j = {r.vec_id: r.cell for r in similarity.ivf_cells(df, kernel="jvm").collect()}
-    assert got_p == got_j and len(got_p) == 44
+    assert got_p == got_j and len(got_p) == 46
     # trained-float centroids too (the cell_near_pairs path)
     cents = [[0.1 * ((i * 7 + j * 3) % 11 - 5) for j in range(64)] for i in range(8)]
     got_p = {r.vec_id: r.cell for r in similarity.ivf_cells(df, centroids=cents).collect()}
@@ -661,7 +667,7 @@ def test_pq_encode_kernels_equal(spark):
     got_j = {
         r.vec_id: r.codes for r in similarity.pq_encode(df, books, kernel="jvm").collect()
     }
-    assert got_p == got_j and len(got_p) == 44
+    assert got_p == got_j and len(got_p) == 46
     import pytest
 
     with pytest.raises(ValueError):
@@ -679,7 +685,7 @@ def test_lsh_buckets_kernels_equal(spark):
     got_j = {
         r.vec_id: r.bucket for r in similarity.lsh_buckets(df, kernel="jvm").collect()
     }
-    assert got_p == got_j and len(got_p) == 45
+    assert got_p == got_j and len(got_p) == 47
     assert got_p[100] == 2**similarity.N_PLANES - 1  # all-zero dots: every bit set
     # misshapen rows (null / empty / short / long) bucket to 0 in both
     for vid in (40, 41, 42, 43):
@@ -703,6 +709,6 @@ def test_lsh_buckets_scaled_kernels_equal(spark):
             r.vec_id: r.bucket
             for r in similarity.lsh_buckets_scaled(df, tgt, dim=4, kernel="jvm").collect()
         }
-        assert got_p == got_j and len(got_p) == 34
+        assert got_p == got_j and len(got_p) == 36
     with pytest.raises(ValueError):
         similarity.lsh_buckets_scaled(df, kernel="nope")

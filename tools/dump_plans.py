@@ -32,7 +32,10 @@ def main() -> None:
 
         names = list(HEADLINE)
     out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r13"
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("rnadam-plan-dump")
