@@ -631,3 +631,52 @@ def test_components_max_bucket_none_raises(spark):
     docs = spark.createDataFrame([(1, "abcd" * 10)], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.lsh_near_dup_components(docs, max_bucket=None)
+
+
+def test_verify_pairs_kernels_equal(spark):
+    """r14: the packed-int64 verify kernel must match the string form
+    exactly — including astral (non-BMP) codepoints riding the string
+    fallback arrays, null/short texts, and the jaccard VALUES (same
+    integers → same IEEE division → same hround)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),
+        (3, "a completely different document about spark plans"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "emoji \U0001F600\U0001F600 text with the quick brown fox body"),
+        (6, "emoji \U0001F600\U0001F600 text with the quick brown fox body!"),
+        (7, None),
+        (8, "abc"),  # shorter than k
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4), (5, 6), (1, 5), (3, 7), (7, 8), (1, 8)],
+        ["doc_a", "doc_b"],
+    )
+    for thr in (0.8, 0.2, 0.0):
+        got_p = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.verify_pairs(pairs, docs, threshold=thr).collect()
+        }
+        got_j = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.verify_pairs(
+                pairs, docs, threshold=thr, kernel="jvm"
+            ).collect()
+        }
+        assert got_p == got_j, (thr, got_p, got_j)
+    # the emoji near-dup pair must verify (astral shingles intersect
+    # through the string fallback arrays)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.verify_pairs(pairs, docs, threshold=0.8).collect()
+    }
+    assert (5, 6) in got and (1, 4) in got
+    # k > 4 auto-falls back to the string path (codes exceed an int64)
+    wide_p = dedup.verify_pairs(pairs, docs, k=5, threshold=0.2).collect()
+    wide_j = dedup.verify_pairs(pairs, docs, k=5, threshold=0.2, kernel="jvm").collect()
+    assert sorted(map(tuple, wide_p)) == sorted(map(tuple, wide_j))
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.verify_pairs(pairs, docs, kernel="nope")
