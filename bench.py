@@ -1402,8 +1402,23 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
     # carry-forward (r10 VERDICT #3); 240 admits it while the
     # max-carries cap above bounds staleness if it outgrows even that
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF10_BUDGET", "240"))
-    # cheap -> expensive, so a tight budget still yields several rows
-    names = ["kmer_count", "lsh_candidate_pairs", "lm_perplexity", "em_quantify"]
+    # cheap -> expensive, so a tight budget still yields several rows.
+    # r14 adds dedup_clusters (probe-fused star rounds) so the driver's
+    # artifact carries its cross-decade evidence. paragraph_near_dups
+    # was TRIED here and removed after one run: its single-shot row
+    # read 156s at the end of the bench session while interleaved
+    # min-of-3 on the same tree reads 52s — the same deep-session
+    # variance signature as r13's lsh row — AND its cost blew the
+    # budget so strategy_ab got skipped; its sf10 evidence lives in
+    # OPTIMIZATION_r14.md's equality-swept interleaved measurements
+    # instead of a number this block cannot measure honestly.
+    names = [
+        "kmer_count",
+        "lsh_candidate_pairs",
+        "lm_perplexity",
+        "dedup_clusters",
+        "em_quantify",
+    ]
     out: dict = {"sf1_dir": sf1_dir, "sf10_dir": sf10_dir, "rows": {}, "skipped": []}
     # the block gates STARTS, so without an estimate one 3-minute query
     # admitted at budget-1s busts the driver's unattended wall clock;
@@ -1481,24 +1496,36 @@ def _sf10_scaling_block(spark, queries: dict) -> dict:
     # which strategy wins at sf10.
     try:
         lsh_row = out["rows"].get("lsh_candidate_pairs") or {}
-        est_inrow = 2 * float(lsh_row.get("sf10_sec") or 15.0)
+        est_inrow = 3 * float(lsh_row.get("sf10_sec") or 15.0)
         if _time.time() - t0 + est_inrow <= budget:
             from rnadam_spark.operators import dedup as _dedup
             from rnadam_spark.queries.pipeline_q import LSH_MAX_BUCKET as _LSH_CAP
             from rnadam_spark.sources.tables import load_table as _load
 
             docs10 = _load(spark, sf10_dir, "documents", widen=True)
-            out["strategy_ab"] = {
-                "lsh_pairs_grouped_sf10": _timed_min(
-                    lambda: _dedup.lsh_candidate_pairs(docs10, max_bucket=_LSH_CAP), 2
+            forms = {
+                "lsh_pairs_grouped_sf10": lambda: _dedup.lsh_candidate_pairs(
+                    docs10, max_bucket=_LSH_CAP
                 ),
-                "lsh_pairs_inrow_sf10": _timed_min(
-                    lambda: _dedup.lsh_candidate_pairs(
-                        docs10, max_bucket=_LSH_CAP, strategy="inrow"
-                    ),
-                    2,
+                "lsh_pairs_inrow_sf10": lambda: _dedup.lsh_candidate_pairs(
+                    docs10, max_bucket=_LSH_CAP, strategy="inrow"
                 ),
             }
+            # INTERLEAVED rounds, min per form: a sequential min-of-2
+            # block let the first form eat the whole warm-up tail (the
+            # r14 round measured grouped 7.26 sequential vs 4.87
+            # interleaved on the same tree minutes apart, with inrow
+            # steady at ~6.3 — alternation is the protocol that
+            # survives this host's regime drift)
+            best: dict[str, float] = {}
+            for _ in range(3):
+                for key, make in forms.items():
+                    spark.catalog.clearCache()
+                    t1 = _time.time()
+                    make().write.format("noop").mode("overwrite").save()
+                    dt = _time.time() - t1
+                    best[key] = min(best.get(key, dt), dt)
+            out["strategy_ab"] = {k: round(v, 2) for k, v in best.items()}
         else:
             out["strategy_ab"] = {"skipped": "budget"}
     except Exception as e:
